@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference sketch configuration (k=16, sketch=16,
+window=128, stride=113 — /root/reference/src/mode_build.cpp:65-68,111)
+re-targeted at webtext: k-character shingles instead of k-mers, whole-doc
+signatures instead of per-genomic-window sketches (the graft's "window"
+is the document; see SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- sketching (reference parity: src/hash_dna.h defaults k=16, s=16)
+    shingle_k: int = 16          # characters per shingle (ref: kmer k)
+    sketch_size: int = 16        # signature width s (ref: sketchSize)
+
+    # --- LSH banding over the s-wide signature
+    # 8 bands × 2 rows: threshold (1/b)^(1/r) ≈ 0.35.  At the verify
+    # threshold τ=0.6 the banding miss probability is (1-0.6²)^8 ≈ 0.018
+    # and falls below 1e-3 by J≈0.72 — sized for the ≥0.99 dup-pair
+    # recall gate at the planted near-dup mutation rates (FIXTURES.md).
+    bands: int = 8               # b
+    rows_per_band: int = 2       # r ; b*r == sketch_size
+    # similarity threshold for verified duplicate pairs (exact Jaccard
+    # on character shingle sets).
+    jaccard_threshold: float = 0.6
+
+    # --- skew / stop-feature controls
+    # Cap on docs per (band, bucket) before the self-join; buckets larger
+    # than this are dropped as non-discriminative boilerplate — the
+    # overpopulated-feature removal analog
+    # (/root/reference/src/sketch_database.h:375-395, docs/build.txt:46-50).
+    max_docs_per_bucket: int = 254   # ref: loclist cap 254
+    # Salting fan-out for the band-bucket join's hot keys.
+    salt_buckets: int = 8
+
+    # --- candidate thresholds (ref: hitsMin = sketchLen/3 deduced,
+    # /root/reference/src/mode_query.cpp:247-260)
+    min_band_hits: int = 1
+
+    # --- suffix/substring verify pass
+    min_substring_overlap: int = 2000  # chars (FIXTURES.md 'substring' kind)
+    # winnowing window (shingles); guarantees a shared fingerprint for
+    # verbatim overlaps ≥ winnow_w + shingle_k - 1 chars ≪ the 2000-char
+    # substring-dup definition, so candidate recall for that lane is 1.0
+    winnow_w: int = 500
+    # minimum shared winnow fingerprints for a substring candidate: a
+    # true ≥2000-char overlap shares ≥ floor((2000-(w+k-1))/w)+1 ≈ 3
+    # fingerprints at w=500, so 2 keeps lane recall at 1.0 while pruning
+    # the long tail of single-fingerprint (boilerplate/vocab) collisions
+    # before the expensive LCS verify.
+    min_fp_hits: int = 2
+
+    # --- hashing seeds for the k-permutation MinHash lanes
+    minhash_seed: int = 0x9E3779B9
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.sketch_size:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal sketch_size ({self.sketch_size})"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,124 @@
+"""Connected components over the verified duplicate-pair edge list.
+
+This replaces the reference's LCA-voting assignment stage
+(/root/reference/src/classification.cpp:235-265): where MetaCache folds
+top-k candidates through a taxonomy to a single label, the webtext graft
+folds verified pair edges into duplicate clusters.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+rounds, per-round work proportional to the edge list, no driver-side
+graph state.  Spark has no fixpoint primitive (SURVEY.md §4), so this is
+a driver loop over DataFrame ops with per-iteration ``localCheckpoint``
+to cut lineage (at cluster scale: swap for checkpoint/Iceberg snapshots
+— see plans/checkpoint.py).
+
+Conventions: node ids are int64; cluster id = smallest node id in the
+component (deterministic, stable across partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect strictly-larger neighbors to
+    min(N(u) ∪ {u}).  Input must be symmetric."""
+    nbr_min = edges.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m"),
+        F.collect_set("b").alias("nbrs"),
+    )
+    return (
+        nbr_min.select("a", "m", F.explode("nbrs").alias("v"))
+        .where(F.col("v") > F.col("a"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over edges pointing to ≤-neighbors: connect all of
+    N≤(u) ∪ {u} to its minimum."""
+    # orient edges (big → small)
+    e = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    grouped = e.groupBy("a").agg(
+        F.min("b").alias("m"), F.collect_set("b").alias("nbrs")
+    )
+    relink = grouped.select(
+        "a", "m", F.explode(F.array_union("nbrs", F.array("a"))).alias("v")
+    ).where(F.col("v") != F.col("m"))
+    return relink.select(F.col("v").alias("a"), F.col("m").alias("b")).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """Edge list (a, b) → assignments (node, component).
+
+    Every node that appears in an edge gets a row; component = min id in
+    its component.  Callers union in singleton nodes themselves.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if e.isEmpty():
+        return spark.createDataFrame([], "node long, component long")
+
+    prev_fp = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(_symmetrize(e)))
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        fp = _edge_fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged state is a forest of stars (v → root). Every non-root
+    # node has exactly one outgoing edge to its root.
+    assign = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = assign.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return assign.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def cluster_assignments(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All docs → (id_col, cluster_id); singletons cluster to themselves."""
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        docs.select(F.col(id_col).cast("long"))
+        .distinct()
+        .join(comp, on=F.col(id_col) == F.col("node"), how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

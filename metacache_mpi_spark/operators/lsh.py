@@ -1,0 +1,167 @@
+"""LSH banding over MinHash signatures → candidate duplicate pairs.
+
+This is the Spark-first replacement for the reference's inverted index
+and its MPI exchange:
+
+- the hash_multimap ``feature → [(target, window)]``
+  (/root/reference/src/sketch_database.h:201-206) becomes a band-bucket
+  DataFrame keyed by ``(band, bucket)`` — the groupBy shuffle IS the
+  hash table;
+- index probing (``accumulate_matches``,
+  /root/reference/src/sketch_database.h:804-833) becomes pair
+  generation within buckets;
+- overpopulated-feature removal + the 254-location insert cap
+  (/root/reference/src/sketch_database.h:375-395,1088-1093) become a
+  bucket-size cap that drops boilerplate buckets BEFORE any quadratic
+  work — the critical guard at 10^12-doc scale.
+
+Scale notes (100 TB / 1000 executors):
+- Bands are emitted JVM-side (``posexplode`` + ``slice`` + ``xxhash64``)
+  — no Python in this path.
+- Pair generation uses ``groupBy(band, bucket) → collect_set → in-array
+  pair expansion`` instead of a bucket self-join: one shuffle, and the
+  cap bounds per-group work at cap²/2 ≈ 32K pairs, so no task can blow
+  up on a hot bucket.  AQE skew-join remains enabled as backstop.
+- Buckets of size 1 are pruned before expansion (most buckets, at any
+  scale), and buckets above the cap are dropped entirely
+  (non-discriminative boilerplate, exactly the reference's
+  remove-overpopulated-features trade-off, docs/build.txt:46-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..functions.sketch import make_minhash_udf
+
+
+def attach_signature(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    out_col: str = "signature",
+) -> DataFrame:
+    """Add the MinHash signature column (Arrow-batched pandas UDF)."""
+    udf = make_minhash_udf(cfg.shingle_k, cfg.sketch_size, cfg.minhash_seed)
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def emit_bands(
+    sigs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """signature → one row per band: (id, band, bucket).
+
+    ``bucket = xxhash64(band, slice(signature))`` — 64-bit, JVM-side.
+    Docs with null signatures (shorter than one shingle) emit nothing.
+    """
+    r = cfg.rows_per_band
+    band_arrays = F.expr(
+        f"transform(sequence(0, {cfg.bands - 1}), "
+        f"b -> slice({sig_col}, b * {r} + 1, {r}))"
+    )
+    return (
+        sigs.where(F.col(sig_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(band_arrays).alias("band", "band_sig"))
+        .select(
+            id_col,
+            "band",
+            F.xxhash64("band", "band_sig").alias("bucket"),
+        )
+    )
+
+
+def prune_buckets(
+    bands: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group band rows into buckets, dropping useless ones.
+
+    - size-1 buckets produce no pairs → pruned (the bulk of all buckets);
+    - buckets larger than ``max_docs_per_bucket`` are boilerplate /
+      stop-shingle buckets → dropped (overpopulated-feature removal
+      analog, /root/reference/src/sketch_database.h:381-395).
+
+    Returns (band, bucket, ids: array<id> sorted) — the "location list".
+    """
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(
+            (F.size("ids") >= 2) & (F.size("ids") <= cfg.max_docs_per_bucket)
+        )
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs (a < b) with band-collision counts.
+
+    ``band_hits`` is the number of bands in which the pair collides —
+    the analog of the reference's per-candidate hit count
+    (/root/reference/src/candidates.h:41-102); downstream thresholds can
+    mirror ``hitsMin`` (/root/reference/src/mode_query.cpp:247-260).
+    """
+    buckets = prune_buckets(bands, cfg, id_col)
+    # All ordered pairs within a bucket, expanded inside the array —
+    # bounded by the bucket cap, no self-join shuffle needed.
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+        .where(F.col("band_hits") >= cfg.min_band_hits)
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs → candidate pairs, end to end (signature → bands → pairs)."""
+    sigs = attach_signature(docs.select(id_col, text_col), cfg, text_col)
+    bands = emit_bands(sigs, cfg, id_col)
+    return candidate_pairs(bands, cfg, id_col)
+
+
+def fingerprint_candidate_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-overlap candidates via winnowing fingerprints.
+
+    Any two docs sharing a verbatim run ≥ ``winnow_w + shingle_k - 1``
+    chars share a fingerprint, so this lane has perfect candidate recall
+    for the ≥ ``min_substring_overlap`` duplicate kind.  Reuses the same
+    bucket-grouping machinery as LSH banding (a fingerprint IS a bucket),
+    inheriting the size-cap skew guard.
+    """
+    from ..functions.sketch import make_winnow_udf
+
+    udf = make_winnow_udf(cfg.shingle_k, cfg.winnow_w)
+    fps = docs.select(id_col, udf(F.col(text_col)).alias("fps"))
+    buckets = fps.where(F.col("fps").isNotNull()).select(
+        id_col,
+        F.lit(0).alias("band"),
+        F.explode("fps").alias("bucket"),
+    )
+    return candidate_pairs(buckets, cfg, id_col).withColumnRenamed(
+        "band_hits", "fp_hits"
+    )

