@@ -49,11 +49,11 @@ class DedupConfig:
     # substring-dup definition, so candidate recall for that lane is 1.0
     winnow_w: int = 500
     # minimum shared winnow fingerprints for a substring candidate: a
-    # true ≥2000-char overlap shares ≥ floor((2000-(w+k-1))/w)+1 ≈ 3
-    # fingerprints at w=500, so 2 keeps lane recall at 1.0 while pruning
-    # the long tail of single-fingerprint (boilerplate/vocab) collisions
-    # before the expensive LCS verify.
-    min_fp_hits: int = 2
+    # true ≥2000-char overlap is guaranteed to share
+    # floor((2000-(w+k-1))/w)+1 = 3 fingerprints at w=500 — so 3 keeps
+    # lane recall at 1.0 while pruning boilerplate pairs (which share at
+    # most the 2 header/footer fingerprints) before the LCS verify.
+    min_fp_hits: int = 3
 
     # --- hashing seeds for the k-permutation MinHash lanes
     minhash_seed: int = 0x9E3779B9

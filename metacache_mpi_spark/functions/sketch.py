@@ -30,10 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .hashing import (
-    fnv1a64_tokens,
     mueller_hash32,
     shingle_hashes,
     splitmix64,
+    token_poly_hashes,
 )
 
 # --------------------------------------------------------------------------
@@ -69,25 +69,45 @@ def kperm_signature(hashes: np.ndarray, s: int, seed: int) -> np.ndarray | None:
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (majority vote per bit).
 
+    Token hashes come from the vectorized polynomial segment hasher
+    (:func:`token_poly_hashes`); duplicate tokens vote once per
+    occurrence (frequency-weighted, the standard SimHash).
     Returned as a signed int64 bit-pattern (Spark LongType carrier).
     """
-    tokens = [t.encode("utf-8") for t in text.split()]
-    if not tokens:
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    th = token_poly_hashes(data)
+    if th.size == 0:
         return 0
-    th = fnv1a64_tokens(tokens)
     bits = (th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    votes = bits.astype(np.int64).sum(axis=0) * 2 - len(tokens)
+    votes = bits.astype(np.int64).sum(axis=0) * 2 - th.size
     fp = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            fp |= np.uint64(1) << np.uint64(i)
+    one = np.uint64(1)
+    fp = np.bitwise_or.reduce(
+        np.where(votes > 0, one << np.arange(64, dtype=np.uint64), np.uint64(0))
+    )
     return int(fp.astype(np.int64))
+
+
+def sliding_min(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Min of every length-w window, O(n) via block decomposition:
+    prefix-min and suffix-min inside w-sized blocks, window min =
+    min(suffix-min at start, prefix-min at end)."""
+    n = hashes.shape[0]
+    nwin = n - w + 1
+    pad = (-n) % w
+    hp = np.concatenate(
+        [hashes, np.full(pad, np.iinfo(hashes.dtype).max, hashes.dtype)]
+    )
+    blocks = hp.reshape(-1, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[:nwin], pref[w - 1 : w - 1 + nwin])
 
 
 def winnow_fingerprints(hashes: np.ndarray, w: int) -> np.ndarray:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    in every window of ``w`` consecutive shingle hashes select the
-    minimum (rightmost on ties); return the distinct selected values.
+    the distinct per-window minimum hash values over windows of ``w``
+    consecutive shingle hashes.
 
     Guarantee: two texts sharing a verbatim substring of length
     ≥ w + k - 1 chars share at least one fingerprint — the candidate
@@ -95,18 +115,17 @@ def winnow_fingerprints(hashes: np.ndarray, w: int) -> np.ndarray:
     `-align` deep-verify slot, /root/reference/src/classification.cpp:437-477,
     needs candidates too; MetaCache gets them from the MinHash index,
     webtext substring dups need this coarser net).
+
+    Position tie-breaking is irrelevant for value SETS, so the O(n)
+    sliding-min suffices (the O(n·w) positional argmin was the pipeline's
+    compute hotspot at bench scale).
     """
     n = hashes.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.uint32)
     if n <= w:
         return np.array([hashes.min()], dtype=np.uint32)
-    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
-    # rightmost-min: argmin of the reversed window is the first (i.e.
-    # rightmost-in-original) occurrence of the minimum
-    ridx = win[:, ::-1].argmin(axis=1)
-    pos = np.arange(n - w + 1) + (w - 1 - ridx)
-    return np.unique(hashes[np.unique(pos)])
+    return np.unique(sliding_min(hashes, w))
 
 
 def make_winnow_udf(k: int, w: int):
@@ -129,6 +148,50 @@ def make_winnow_udf(k: int, w: int):
 # --------------------------------------------------------------------------
 # pandas UDF factories
 # --------------------------------------------------------------------------
+
+
+def make_sketch_mapper(k: int, s: int, seed: int, w: int):
+    """One-pass sketcher for mapInPandas: (doc_id, text) → (doc_id,
+    signature, simhash, fps).
+
+    The reference fuses window→sketch→insert into a single pass over
+    each sequence (/root/reference/src/sketch_database.h:1079-1097);
+    this is the same fusion — the corpus text is scanned ONCE for all
+    three sketch families, instead of one UDF stage per family.
+    """
+    import pandas as pd
+
+    def _map(batches):
+        for pdf in batches:
+            sig_col, sim_col, fps_col = [], [], []
+            for t in pdf["text"]:
+                if t is None:
+                    sig_col.append(None)
+                    sim_col.append(None)
+                    fps_col.append(None)
+                    continue
+                h = shingle_hashes(t, k)
+                sig = kperm_signature(h, s, seed)
+                sig_col.append(None if sig is None else sig.astype(np.int64).tolist())
+                sim_col.append(simhash64(t))
+                fps_col.append(
+                    winnow_fingerprints(h, w).astype(np.int64).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "signature": pd.Series(sig_col, dtype=object),
+                    "simhash": pd.Series(sim_col, dtype="Int64"),
+                    "fps": pd.Series(fps_col, dtype=object),
+                }
+            )
+
+    return _map
+
+
+SKETCH_SCHEMA = (
+    "doc_id long, signature array<long>, simhash long, fps array<long>"
+)
 
 
 def make_minhash_udf(k: int, s: int, seed: int):

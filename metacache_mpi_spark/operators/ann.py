@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two lanes, mirroring the engine's sketch→probe→verify shape:
+- brute-force cosine top-k (the exactness baseline; X1-style verify),
+- sign-bit LSH bucketing (random-hyperplane family degenerated to axis
+  hyperplanes for oracle determinism) + within-bucket top-k — the scale
+  path: at 10^12 vectors the bucket equi-join replaces the cross join
+  exactly the way LSH banding replaces all-pairs Jaccard.
+
+Determinism contract with the DuckDB oracle: all arithmetic is a
+sequential left-fold over the vector in float64 (Spark ``aggregate`` ≡
+DuckDB's sequential list fold), final scores are fixed-point micros
+(``floor(cos·1e6 + 0.5)``), ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+TOPK = 10
+SIGN_DIMS = 8
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _cos_micro(a: str, b: str):
+    cos = _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    return F.floor(cos * 1000000.0 + 0.5).cast("long")
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = TOPK
+) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of ``query_vec_id``.
+
+    The query vector is a 1-row broadcast — Catalyst turns the cross
+    join into BroadcastNestedLoopJoin with a single build row, so the
+    scan side streams once; fine at any scale (it's a map, not a join).
+    """
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _cos_micro("embedding", "qe").alias("cos_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "label", "cos_micro", "rank")
+    )
+
+
+def _sign_bucket(col: str):
+    """Bucket id from the sign bits of the first SIGN_DIMS components."""
+    terms = None
+    for i in range(SIGN_DIMS):
+        t = F.when(
+            F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        terms = t if terms is None else terms + t
+    return terms.cast("long")
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = TOPK
+) -> DataFrame:
+    """ANN: search only the query's sign-bit bucket, then cosine top-k.
+
+    At scale: bucket is a partition key — the probe touches 1/2^d of
+    the data (partition pruning if the table is written bucketed).
+    """
+    withb = emb.withColumn("bucket", _sign_bucket("embedding"))
+    q = withb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        withb.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            _cos_micro("embedding", "qe").alias("cos_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "bucket", "cos_micro", "rank")
+    )

@@ -89,7 +89,9 @@ def connected_components(
     for _ in range(max_iter):
         e = _small_star(_large_star(_symmetrize(e)))
         if checkpoint:
-            e = e.localCheckpoint(eager=True)
+            # lazy localCheckpoint: materialized by the fingerprint
+            # action below — one Spark job per iteration, not two
+            e = e.localCheckpoint(eager=False)
         fp = _edge_fingerprint(e)
         if fp == prev_fp:
             break

@@ -139,6 +139,38 @@ def lsh_candidate_pairs(
     return candidate_pairs(bands, cfg, id_col)
 
 
+def two_lane_candidate_pairs(
+    rows: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from a UNIFIED bucket table carrying both lanes.
+
+    ``rows`` = (id, band, bucket) where band ≥ 0 marks LSH bands and
+    band = -1 marks winnowing fingerprints.  One groupBy shuffle serves
+    both lanes (the separate-lane path costs two); emits per-lane hit
+    counts and keeps pairs passing either lane's threshold.
+    """
+    buckets = prune_buckets(rows, cfg, id_col)
+    pairs = buckets.select(
+        "band",
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p"),
+    ).select("band", "p.a", "p.b")
+    agg = pairs.groupBy("a", "b").agg(
+        F.sum(F.when(F.col("band") >= 0, 1).otherwise(0)).alias("band_hits"),
+        F.sum(F.when(F.col("band") < 0, 1).otherwise(0)).alias("fp_hits"),
+    )
+    return agg.where(
+        (F.col("band_hits") >= cfg.min_band_hits)
+        | (F.col("fp_hits") >= cfg.min_fp_hits)
+    )
+
+
 def fingerprint_candidate_pairs(
     docs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,

@@ -105,7 +105,9 @@ def minhash_signatures(
     sh = shingles(docs, k)
     laned = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(lanes - 1))).alias("lane"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(lanes - 1).cast("long"))
+        ).alias("lane"),
         "sh",
     )
     h = F.md5(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("sh")))

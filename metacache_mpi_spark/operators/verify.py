@@ -54,6 +54,19 @@ def sketch_intersection(
     return pairs.withColumn(out_col, F.size(F.array_intersect(sk_a, sk_b)))
 
 
+def _pin_udf_parallelism(df: DataFrame) -> DataFrame:
+    """Explicitly repartition before a compute-heavy Python stage.
+
+    AQE coalesces partitions by BYTE size, which under-parallelizes
+    stages whose cost is CPU-per-row (Jaccard/LCS verification) — a
+    47K-pair stage was observed collapsing to ~5 partitions.  An
+    explicit round-robin repartition is exempt from AQE coalescing and
+    spreads pairs evenly regardless of key skew.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(2 * sc.defaultParallelism)
+
+
 def exact_jaccard_pairs(
     pairs_with_text: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
@@ -61,6 +74,7 @@ def exact_jaccard_pairs(
     text_b: str = "text_b",
 ) -> DataFrame:
     """Append exact k-shingle Jaccard per pair (pandas UDF, Arrow)."""
+    pairs_with_text = _pin_udf_parallelism(pairs_with_text)
     k = cfg.shingle_k
 
     @F.pandas_udf("double")
@@ -117,10 +131,15 @@ def verify_pairs(
 # --------------------------------------------------------------------------
 
 
-def _lcs_length(a: bytes, b: bytes) -> int:
+def _lcs_length(a: bytes, b: bytes, gate: int = 0) -> int:
     """Longest common substring length via binary search over length with
-    rolling-hash window sets (verification on hash hit to kill false
-    positives).  Deterministic; O((|a|+|b|) log |a|)."""
+    rolling-hash window sets (byte-verified on hash hit).
+    Deterministic; O((|a|+|b|) log |a|).
+
+    ``gate``: callers that only care whether the LCS reaches ``gate``
+    chars pay a single hash pass for the (overwhelmingly common) "no"
+    case — the search below the gate is skipped and -1 is returned,
+    meaning "< gate, not computed"."""
     lo, hi = 0, min(len(a), len(b))
 
     aa = np.frombuffer(a, dtype=np.uint8)
@@ -141,6 +160,10 @@ def _lcs_length(a: bytes, b: bytes) -> int:
                 return True
         return False
 
+    if gate > 0:
+        if hi < gate or not has_common(gate):
+            return -1
+        lo = gate
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if has_common(mid):
@@ -174,11 +197,17 @@ def substring_overlap_pairs(
             lens = []
             for x, y in zip(pdf["text_a"], pdf["text_b"]):
                 lens.append(
-                    _lcs_length((x or "").encode("utf-8"), (y or "").encode("utf-8"))
+                    _lcs_length(
+                        (x or "").encode("utf-8"),
+                        (y or "").encode("utf-8"),
+                        gate=min_len,
+                    )
                 )
             pdf = pdf.copy()
             pdf["lcs_len"] = pd.Series(lens, index=pdf.index, dtype="int64")
             pdf["substring_dup"] = pdf["lcs_len"] >= min_len
             yield pdf
 
-    return pairs_with_text.mapInPandas(_compute, schema=schema)
+    return _pin_udf_parallelism(pairs_with_text).mapInPandas(
+        _compute, schema=schema
+    )

@@ -30,14 +30,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, DedupConfig
-from ..functions.sketch import make_simhash_udf
+from ..functions.sketch import SKETCH_SCHEMA, make_sketch_mapper
 from ..operators.cc import cluster_assignments
-from ..operators.lsh import (
-    attach_signature,
-    candidate_pairs,
-    emit_bands,
-    fingerprint_candidate_pairs,
-)
+from ..operators.lsh import emit_bands, two_lane_candidate_pairs
 from ..operators.verify import (
     exact_jaccard_pairs,
     join_pair_texts,
@@ -60,9 +55,15 @@ def prepare_docs(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
     df = pages
     if id_col not in df.columns:
         df = df.withColumn(id_col, F.xxhash64("url"))
-    return df.where(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    ).dropDuplicates(["url"])
+    # Column-prune aggressively: the pipeline needs only (id, url, text);
+    # dragging the html binary column through every shuffle would double
+    # scan+shuffle bytes (Catalyst prunes the parquet scan once this
+    # select is in the plan).
+    return (
+        df.select(id_col, "url", "text")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .dropDuplicates(["url"])
+    )
 
 
 def dedup_pipeline(
@@ -85,27 +86,29 @@ def dedup_pipeline(
     docs = prepare_docs(pages, id_col)
 
     def _signatures() -> DataFrame:
-        simhash = make_simhash_udf()
-        sigs = attach_signature(docs.select(id_col, "text"), cfg)
-        return sigs.withColumn("simhash", simhash(F.col("text"))).select(
-            id_col, "signature", "simhash"
+        # single Arrow pass over the corpus computes all three sketch
+        # families (MinHash signature, SimHash, winnow fingerprints) —
+        # the reference's fused window→sketch→insert pass
+        mapper = make_sketch_mapper(
+            cfg.shingle_k, cfg.sketch_size, cfg.minhash_seed, cfg.winnow_w
+        )
+        return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
+            mapper, schema=SKETCH_SCHEMA
         )
 
     signatures = stage("signatures", _signatures)
 
     def _candidates() -> DataFrame:
-        bands = emit_bands(signatures, cfg, id_col)
-        near = candidate_pairs(bands, cfg, id_col).select(
-            "a", "b", F.lit("lsh").alias("lane")
+        # both candidate lanes share one bucket table and one shuffle:
+        # LSH bands (band ≥ 0) + winnow fingerprints (band = -1)
+        bands = emit_bands(signatures, cfg, "doc_id")
+        fps = signatures.where(F.col("fps").isNotNull()).select(
+            "doc_id",
+            F.lit(-1).alias("band"),
+            F.explode("fps").alias("bucket"),
         )
-        sub = (
-            fingerprint_candidate_pairs(docs, cfg, id_col)
-            .where(F.col("fp_hits") >= cfg.min_fp_hits)
-            .select("a", "b", F.lit("fingerprint").alias("lane"))
-        )
-        # a pair can surface in both lanes; keep one row, remember lanes
-        return near.unionByName(sub).groupBy("a", "b").agg(
-            F.collect_set("lane").alias("lanes")
+        return two_lane_candidate_pairs(
+            bands.unionByName(fps), cfg, "doc_id"
         )
 
     candidates = stage("candidates", _candidates)
@@ -123,7 +126,7 @@ def dedup_pipeline(
         # be long-verbatim-overlap dups → LCS pass (off the hot path)
         rest = jac.where(
             (F.col("jaccard") < cfg.jaccard_threshold)
-            & F.array_contains("lanes", "fingerprint")
+            & (F.col("fp_hits") >= cfg.min_fp_hits)
         )
         sub_dups = (
             substring_overlap_pairs(rest, cfg)

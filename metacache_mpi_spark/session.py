@@ -47,7 +47,9 @@ def get_spark(
         # DuckDB oracle comparisons assume UTC-naive timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver result transfer sane for collect-based tests.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap — size it for
+        # 32 concurrent tasks' shuffle+Arrow buffers or GC dominates.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -223,4 +223,7 @@ def load_pages(spark, path: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{path}/pages.parquet")
+    # corpus fixtures are single files = one input split; fan out so the
+    # Arrow UDF sketching stage uses the full executor parallelism
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     return df.withColumn("doc_id", F.xxhash64("url"))

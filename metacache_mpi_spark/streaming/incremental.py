@@ -1,0 +1,124 @@
+"""Incremental near-duplicate detection over arriving page batches.
+
+State (persisted as snapshots, one per batch commit):
+- ``bands``  — (doc_id, band, bucket) rows for every doc seen so far:
+  the resident inverted index (the reference keeps its hash_multimap
+  resident across REPL queries, /root/reference/src/mode_query.cpp:269-315);
+- ``edges``  — verified duplicate pair edges accumulated so far;
+- ``docs``   — (doc_id, url, text) seen so far (needed for verify joins).
+
+Each ``process_batch``:
+1. sketches ONLY the new docs (UDF cost ∝ batch);
+2. candidates = new×new plus new×old band-bucket collisions —
+   the old side is probed via the persisted band table, never re-sketched;
+3. verifies candidates (exact Jaccard) against the doc store;
+4. appends edges and recomputes connected components over the full edge
+   list (edges are tiny relative to the corpus; at 10^12-doc scale this
+   step would re-cluster only affected components).
+
+Invariant (tested): processing a corpus in k batches yields the same
+clusters as one batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..operators.cc import cluster_assignments
+from ..operators.lsh import attach_signature, emit_bands, prune_buckets
+from ..operators.verify import exact_jaccard_pairs, join_pair_texts
+from ..plans.checkpoint import CheckpointManager
+from ..plans.pipeline import prepare_docs
+
+
+class IncrementalDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoints: CheckpointManager,
+        cfg: DedupConfig = DEFAULT_CONFIG,
+    ):
+        self.spark = spark
+        self.ck = checkpoints
+        self.cfg = cfg
+        self.batch_no = self._last_batch() + 1
+
+    def _last_batch(self) -> int:
+        nums = [
+            int(s.name.split("_b")[-1])
+            for s in self.ck.snapshots()
+            if s.name.startswith("docs_b")
+        ]
+        return max(nums, default=-1)
+
+    def _state(self, kind: str) -> DataFrame | None:
+        names = sorted(
+            s.name for s in self.ck.snapshots() if s.name.startswith(f"{kind}_b")
+        )
+        if not names:
+            return None
+        return self.ck.load(names[-1])
+
+    def process_batch(self, pages: DataFrame) -> DataFrame:
+        """Fold a batch of pages into the state; returns the updated
+        (doc_id, cluster_id) assignment over ALL docs seen so far."""
+        cfg, b = self.cfg, self.batch_no
+        old_docs = self._state("docs")
+        old_bands = self._state("bands")
+        old_edges = self._state("edges")
+
+        new_docs = prepare_docs(pages)
+        if old_docs is not None:
+            # urls already ingested are skipped (P11 duplicate-key rule)
+            new_docs = new_docs.join(
+                old_docs.select("url"), "url", "left_anti"
+            )
+        sigs = attach_signature(new_docs.select("doc_id", "text"), cfg)
+        new_bands = emit_bands(sigs, cfg)
+
+        all_docs = (
+            new_docs
+            if old_docs is None
+            else old_docs.unionByName(new_docs)
+        )
+        all_bands = (
+            new_bands if old_bands is None else old_bands.unionByName(new_bands)
+        )
+
+        # candidates touching at least one NEW doc: group the combined
+        # band table, expand pairs, then semi-join on new ids
+        new_ids = new_docs.select(F.col("doc_id").alias("nid"))
+        buckets = prune_buckets(all_bands, cfg)
+        pairs = buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b").distinct()
+        pairs = pairs.join(
+            new_ids,
+            (F.col("a") == F.col("nid")) | (F.col("b") == F.col("nid")),
+            "left_semi",
+        )
+
+        verified = (
+            exact_jaccard_pairs(join_pair_texts(pairs, all_docs), cfg)
+            .where(F.col("jaccard") >= cfg.jaccard_threshold)
+            .select("a", "b")
+        )
+        all_edges = (
+            verified
+            if old_edges is None
+            else old_edges.unionByName(verified).distinct()
+        )
+
+        all_docs = self.ck.save(all_docs, f"docs_b{b}")
+        self.ck.save(all_bands, f"bands_b{b}")
+        all_edges = self.ck.save(all_edges, f"edges_b{b}")
+        clusters = cluster_assignments(all_docs, all_edges)
+        clusters = self.ck.save(clusters, f"clusters_b{b}")
+        self.batch_no += 1
+        return clusters
