@@ -230,6 +230,12 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_cosine_dup_pairs(spark, sf_dir):
+    from metacache_mpi_spark.operators.ann import cosine_dup_pairs
+
+    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_ann_lsh_bucketed(spark, sf_dir):
     from metacache_mpi_spark.operators.ann import lsh_bucketed_topk
 
@@ -258,6 +264,45 @@ def _q_event_cumulative(spark, sf_dir):
     from metacache_mpi_spark.operators.relational import event_type_cumulative
 
     return event_type_cumulative(_t(spark, sf_dir, "events"))
+
+
+def _q_star_join_revenue(spark, sf_dir):
+    from metacache_mpi_spark.operators.relational import star_join_revenue
+
+    return star_join_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_nation_region_rollup(spark, sf_dir):
+    from metacache_mpi_spark.operators.relational import nation_region_rollup
+
+    return nation_region_rollup(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def _q_paired_zip(spark, sf_dir):
+    from metacache_mpi_spark.operators.relational import paired_zip
+
+    return paired_zip(_t(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from metacache_mpi_spark.operators.relational import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def _q_props_extract(spark, sf_dir):
+    from metacache_mpi_spark.operators.relational import props_extract
+
+    return props_extract(_t(spark, sf_dir, "events"))
 
 
 def _q_merge_topk(spark, sf_dir):
@@ -316,12 +361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "ann_lsh_bucketed": _q_ann_lsh_bucketed,
         "tpch_q1": _q_tpch_q1,
         "top_users_per_event_type": _q_top_users,
         "contiguous_range_hits": _q_contig_hits,
         "event_type_cumulative": _q_event_cumulative,
         "merge_topk_sources": _q_merge_topk,
+        "star_join_revenue": _q_star_join_revenue,
+        "nation_region_rollup": _q_nation_region_rollup,
+        "paired_zip_events": _q_paired_zip,
+        "sessionize_events": _q_sessionize,
+        "props_extract": _q_props_extract,
         "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
         "pipeline_clusters": _q_pipeline_clusters,
     }
@@ -430,6 +481,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label, cos_micro, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 10
         """,
+        "embedding_cosine_dup_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   CAST(floor(
+                     list_dot_product(x.emb, y.emb)
+                     / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE CAST(floor(
+                     list_dot_product(x.emb, y.emb)
+                     / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) >= 350000
+        """,
         "ann_lsh_bucketed": """
             WITH wb AS (
               SELECT vec_id, embedding,
@@ -503,6 +567,59 @@ def oracle_sql() -> dict[str, str]:
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS cum_cnt
             FROM counts
+        """,
+        "star_join_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "nation_region_rollup": """
+            SELECT coalesce(r_name, '<all>') AS region_name,
+                   coalesce(n_name, '<all>') AS nation_name,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "paired_zip_events": """
+            WITH a AS (SELECT event_id AS a_event_id,
+                              row_number() OVER (ORDER BY event_id) AS n
+                       FROM events WHERE event_type = 'signup'),
+            b AS (SELECT event_id AS b_event_id,
+                         row_number() OVER (ORDER BY event_id) AS n
+                  FROM events WHERE event_type = 'error')
+            SELECT CAST(a.n AS BIGINT) AS n, a_event_id, b_event_id
+            FROM a JOIN b USING (n)
+        """,
+        "sessionize_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            flagged AS (
+              SELECT user_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            numbered AS (
+              SELECT user_id, us,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS session_no
+              FROM flagged)
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us
+            FROM numbered GROUP BY user_id, session_no
+        """,
+        "props_extract": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_value
+            FROM events
         """,
         "merge_topk_sources": """
             WITH per_shard AS (

@@ -63,6 +63,33 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(emb: DataFrame, tau: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
+
+    Brute-force all-pairs — the exactness baseline for embedding dedup.
+    At 10^12-vector scale the same verify runs after a sign-bucket (or
+    IVF) equi-join prefilter (see :func:`lsh_bucketed_topk`); the
+    all-pairs form exists because the driver oracle needs exact ground
+    truth, mirroring how exact Jaccard backs the LSH text lane.
+    """
+    x = emb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    y = emb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    joined = x.join(y, F.col("a") < F.col("b"))
+    cos = _dot("ea", "eb") / F.sqrt(_dot("ea", "ea") * _dot("eb", "eb"))
+    return (
+        joined.select(
+            "a",
+            "b",
+            F.floor(cos * 1000000.0 + 0.5).cast("long").alias("cos_micro"),
+        )
+        .where(F.col("cos_micro") >= int(tau * 1_000_000))
+    )
+
+
 def _sign_bucket(col: str):
     """Bucket id from the sign bits of the first SIGN_DIMS components."""
     terms = None

@@ -78,23 +78,59 @@ def prune_buckets(
     bands: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
+    oversize_policy: str = "drop",
 ) -> DataFrame:
     """Group band rows into buckets, dropping useless ones.
 
     - size-1 buckets produce no pairs → pruned (the bulk of all buckets);
     - buckets larger than ``max_docs_per_bucket`` are boilerplate /
-      stop-shingle buckets → dropped (overpopulated-feature removal
-      analog, /root/reference/src/sketch_database.h:381-395).
+      stop-shingle buckets → handled per ``oversize_policy``:
+      ``"drop"`` discards them (overpopulated-feature removal analog,
+      /root/reference/src/sketch_database.h:381-395, same recall
+      trade-off as docs/build.txt:46-50); ``"sample"`` keeps a
+      deterministic xxhash-ordered sample of ``max_docs_per_bucket``
+      members (partial retention — the reference's insert-time 254-cap,
+      src/sketch_database.h:1088-1093, keeps-first instead).
+
+    Scale safety: bucket sizes are counted FIRST (map-side partial
+    aggregation — no state blowup on hot keys), and only surviving
+    buckets are collected into arrays.  Collecting before filtering
+    would materialize a mega-hot bucket (a boilerplate shingle present
+    in 10^7 docs) on a single reducer.  This count→broadcast-prune→
+    collect shape is the reference's MPI tree-reduce + Bcast-prune
+    (D3/D4, /root/reference/src/mode_build.cpp:847-1074) as two Spark
+    shuffles.  Salting note: both aggregations here partial-aggregate
+    map-side, and per-group state is bounded by the cap after the
+    semi-join, so explicit key salting is not needed on this path; AQE
+    skew-join splitting covers the residual join skew.
 
     Returns (band, bucket, ids: array<id> sorted) — the "location list".
     """
-    return (
-        bands.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where(
-            (F.size("ids") >= 2) & (F.size("ids") <= cfg.max_docs_per_bucket)
-        )
+    sizes = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    if oversize_policy == "drop":
+        keep = sizes.where(
+            (F.col("n") >= 2) & (F.col("n") <= cfg.max_docs_per_bucket)
+        )
+        kept_rows = bands.join(keep.select("band", "bucket"), ["band", "bucket"])
+        return kept_rows.groupBy("band", "bucket").agg(
+            F.sort_array(F.collect_set(id_col)).alias("ids")
+        )
+    if oversize_policy == "sample":
+        keep = sizes.where(F.col("n") >= 2)
+        kept_rows = bands.join(keep.select("band", "bucket"), ["band", "bucket"])
+        w_rank = F.expr(
+            f"row_number() OVER (PARTITION BY band, bucket "
+            f"ORDER BY xxhash64({id_col}), {id_col})"
+        )
+        sampled = kept_rows.withColumn("rnk", w_rank).where(
+            F.col("rnk") <= cfg.max_docs_per_bucket
+        )
+        return sampled.groupBy("band", "bucket").agg(
+            F.sort_array(F.collect_set(id_col)).alias("ids")
+        )
+    raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
 
 
 def candidate_pairs(

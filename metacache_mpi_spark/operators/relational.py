@@ -96,6 +96,107 @@ def event_type_cumulative(events: DataFrame) -> DataFrame:
     return counts.withColumn("cum_cnt", F.sum("cnt").over(w))
 
 
+def star_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Star join: revenue per nation (J2-style dim joins; Catalyst
+    broadcasts the small dims — the reference replicates its taxa dim
+    on every rank, /root/reference/src/sketch_database.h:545-560)."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(price * (one - disc)) * 10000)
+            .cast("long")
+            .alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def nation_region_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """ROLLUP(region, nation) customer counts — the hierarchical
+    aggregation flavor (A6 abundance-rollup analog on a 2-level dim)."""
+    joined = (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+def paired_zip(events: DataFrame, type_a: str = "signup", type_b: str = "error") -> DataFrame:
+    """J7 paired-read zip analog: nth record of stream A with nth of
+    stream B (reference zips two FASTQ files in lockstep,
+    /root/reference/src/sequence_io.cpp:442-460) — a join on
+    row_number over a deterministic order."""
+    def ranked(t: str, out: str):
+        w = Window.orderBy("event_id")
+        return (
+            events.where(F.col("event_type") == t)
+            .select("event_id")
+            .withColumn("n", F.row_number().over(w))
+            .select(F.col("event_id").alias(out), "n")
+        )
+
+    a = ranked(type_a, "a_event_id")
+    b = ranked(type_b, "b_event_id")
+    return a.join(b, "n").select(
+        F.col("n").cast("long").alias("n"), "a_event_id", "b_event_id"
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per user, a new session starts when the gap from
+    the previous event exceeds ``gap_minutes`` (lag + cumulative sum —
+    the batch form of session windows)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = gap_minutes * 60_000_000
+    with_flag = (
+        events.select("user_id", us.alias("us"))
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull() | ((F.col("us") - F.col("prev")) > gap),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_no", F.sum("new_s").over(w).cast("long"))
+    )
+    return with_flag.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """P8/P9 analog: structured extraction from a semi-structured
+    column (reference parses ids out of FASTA headers,
+    /root/reference/src/sequence_io.cpp:576-719)."""
+    return events.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k_value"),
+    )
+
+
 def merge_topk_sources(
     events: DataFrame, k: int = 5
 ) -> DataFrame:

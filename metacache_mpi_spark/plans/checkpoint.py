@@ -36,6 +36,9 @@ class Snapshot:
     schema: str
     seq: int
     created_unix: float
+    # per-partition lineage + metrics (north rule): row count per output
+    # partition of the snapshot — skew is visible per stage per snapshot
+    partition_rows: list[int] | None = None
 
 
 class CheckpointManager:
@@ -71,9 +74,20 @@ class CheckpointManager:
         """Materialize ``df`` as snapshot ``name`` (overwrites any
         uncommitted leftovers) and return the re-read DataFrame —
         callers continue from the materialized data, cutting lineage."""
+        from pyspark.sql import functions as F
+
         path = os.path.join(self.root, name)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        # one pass collects total + per-partition rows (skew telemetry)
+        per_part = {
+            r["p"]: r["n"]
+            for r in out.groupBy(
+                F.spark_partition_id().alias("p")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_parts = out.rdd.getNumPartitions()
+        partition_rows = [per_part.get(i, 0) for i in range(n_parts)]
         manifest = self._read_manifest()
         manifest["snapshots"] = [
             s for s in manifest["snapshots"] if s["name"] != name
@@ -82,10 +96,11 @@ class CheckpointManager:
             Snapshot(
                 name=name,
                 path=path,
-                rows=out.count(),
+                rows=sum(partition_rows),
                 schema=out.schema.simpleString(),
                 seq=len(manifest["snapshots"]),
                 created_unix=time.time(),
+                partition_rows=partition_rows,
             ).__dict__
         )
         self._write_manifest(manifest)

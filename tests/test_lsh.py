@@ -1,0 +1,103 @@
+"""LSH banding operators: bucket cap policies, pair generation,
+two-lane candidates (bucket_overflow fixture, FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacache_mpi_spark.config import DedupConfig
+from metacache_mpi_spark.operators.lsh import (
+    candidate_pairs,
+    emit_bands,
+    lsh_candidate_pairs,
+    prune_buckets,
+    two_lane_candidate_pairs,
+)
+
+
+@pytest.fixture()
+def band_rows(spark):
+    # bucket A: 3 docs; bucket B: 1 doc (pruned); bucket C: 5 docs (> cap 4)
+    rows = (
+        [(i, 0, 100) for i in (1, 2, 3)]
+        + [(9, 0, 200)]
+        + [(i, 1, 300) for i in (10, 11, 12, 13, 14)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+
+
+def test_bucket_cap_drop(spark, band_rows):
+    cfg = DedupConfig(max_docs_per_bucket=4)
+    got = {
+        (r["band"], r["bucket"]): r["ids"]
+        for r in prune_buckets(band_rows, cfg).collect()
+    }
+    assert got == {(0, 100): [1, 2, 3]}  # singleton + oversize dropped
+
+
+def test_bucket_cap_sample_keeps_capped_subset(spark, band_rows):
+    cfg = DedupConfig(max_docs_per_bucket=4)
+    got = {
+        (r["band"], r["bucket"]): r["ids"]
+        for r in prune_buckets(band_rows, cfg, oversize_policy="sample").collect()
+    }
+    assert got[(0, 100)] == [1, 2, 3]
+    assert len(got[(1, 300)]) == 4  # deterministic sample of the hot bucket
+    assert set(got[(1, 300)]) < {10, 11, 12, 13, 14}
+    again = {
+        (r["band"], r["bucket"]): r["ids"]
+        for r in prune_buckets(
+            band_rows.repartition(5), cfg, oversize_policy="sample"
+        ).collect()
+    }
+    assert again == got  # partitioning-invariant
+
+
+def test_candidate_pairs_counts_band_hits(spark):
+    rows = [(1, 0, 7), (2, 0, 7), (1, 1, 8), (2, 1, 8), (3, 1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    got = {(r["a"], r["b"]): r["band_hits"] for r in candidate_pairs(df).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_two_lane_thresholds(spark):
+    cfg = DedupConfig(min_band_hits=2, min_fp_hits=2)
+    rows = [
+        # pair (1,2): 2 lsh collisions -> passes band lane
+        (1, 0, 7), (2, 0, 7), (1, 1, 8), (2, 1, 8),
+        # pair (3,4): 1 lsh collision only -> fails both
+        (3, 0, 9), (4, 0, 9),
+        # pair (5,6): 2 fingerprint collisions -> passes fp lane
+        (5, -1, 100), (6, -1, 100), (5, -1, 101), (6, -1, 101),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    got = {
+        (r["a"], r["b"]): (r["band_hits"], r["fp_hits"])
+        for r in two_lane_candidate_pairs(df, cfg).collect()
+    }
+    assert got == {(1, 2): (2, 0), (5, 6): (0, 2)}
+
+
+def test_exact_duplicates_always_collide(spark):
+    cfg = DedupConfig()
+    docs = spark.createDataFrame(
+        [(1, "x" * 10 + "the quick brown fox jumps over everything" * 4),
+         (2, "x" * 10 + "the quick brown fox jumps over everything" * 4),
+         (3, "a completely different document about nothing " * 4)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs, cfg).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_emit_bands_shape(spark):
+    cfg = DedupConfig()
+    sigs = spark.createDataFrame(
+        [(1, list(range(16))), (2, None)],
+        "doc_id long, signature array<long>",
+    )
+    rows = emit_bands(sigs, cfg).collect()
+    assert len(rows) == cfg.bands  # null signature emits nothing
+    assert {r["band"] for r in rows} == set(range(cfg.bands))
