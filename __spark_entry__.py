@@ -161,6 +161,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return cluster_assignments(docs, pairs, "doc_id")
 
 
+def _q_cluster_size_histogram(spark, sf_dir):
+    """A5 per-taxon-count analog: docs per duplicate cluster, then
+    clusters per size (histogram of the assignment)."""
+    from pyspark.sql import functions as F
+
+    clusters = _q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 def _q_minhash_signatures(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import minhash_signatures
 
@@ -350,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_band_buckets": _q_lsh_band_buckets,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -403,6 +418,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
             )
             SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        """,
+        "cluster_size_histogram": f"""
+            WITH RECURSIVE {_PAIRS_CTE},
+            sym AS (SELECT a AS u, b AS v FROM jpairs
+                    UNION SELECT b, a FROM jpairs),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+            ),
+            comp AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node),
+            csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+            SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY cluster_size
         """,
         "minhash_signatures": f"""
             WITH {_MINHASH_CTE}

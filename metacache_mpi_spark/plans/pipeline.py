@@ -133,7 +133,25 @@ def dedup_pipeline(
             .where(F.col("substring_dup"))
             .select("a", "b", "jaccard", F.lit("substring").alias("dup_kind"))
         )
-        return near_dups.unionByName(sub_dups)
+        dups = near_dups.unionByName(sub_dups)
+        # annotate with SimHash hamming distance (the second fingerprint
+        # lane; verified pairs are tiny, so two joins against the
+        # signature table are cheap)
+        sa = signatures.select(
+            F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a")
+        )
+        sb = signatures.select(
+            F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b")
+        )
+        return (
+            dups.join(sa, "a", "left")
+            .join(sb, "b", "left")
+            .withColumn(
+                "simhash_hamming",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+            )
+            .drop("sim_a", "sim_b")
+        )
 
     pairs = stage("pairs", _verified)
 

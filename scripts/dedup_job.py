@@ -1,0 +1,65 @@
+"""Production entry point: near-duplicate detection over a pages table.
+
+Launch (the BASELINE.md deployment path)::
+
+    zip -qr /tmp/mcs.zip metacache_mpi_spark
+    spark-submit --master <master> --py-files /tmp/mcs.zip \
+        scripts/dedup_job.py --input <corpus_dir> --checkpoints <ckpt_dir> \
+        [--output <out_dir>] [--generate N]
+
+``--input`` is a directory containing ``pages.parquet`` with columns
+(url, warc_ts, html, text, lang) — Iceberg-shaped; the Parquet reader is
+the sandbox fallback.  ``--generate N`` synthesizes a deterministic
+N-page corpus there first (FIXTURES.md §1).  Re-running with the same
+``--checkpoints`` dir resumes from the last committed snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--checkpoints", required=True)
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.session import get_spark
+    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+
+    if args.generate:
+        write_corpus(args.input, n_pages=args.generate, seed=42)
+
+    spark = get_spark(args.cores, app_name="dedup-job")
+    t0 = time.time()
+    ck = CheckpointManager(spark, args.checkpoints)
+    res = dedup_pipeline(load_pages(spark, args.input), checkpoints=ck)
+    n_docs = res.docs.count()
+    n_pairs = res.pairs.count()
+    if args.output:
+        res.clusters.write.mode("overwrite").parquet(args.output)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "verified_pairs": n_pairs,
+                "docs_per_sec": round(n_docs / dt, 1),
+                "sec": round(dt, 2),
+                "snapshots": [s.name for s in ck.snapshots()],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""FIXTURES.md 'small' scale (5,000 pages): the dup-pair recall ≥ 0.99
+gate at the e2e scale the fixture spec names (tiny covers units)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+
+from .oracle import components
+
+
+@pytest.fixture(scope="module")
+def small(spark, tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("small") / "c")
+    write_corpus(corpus, n_pages=5000, seed=42)
+    pages = load_pages(spark, corpus)
+    res = dedup_pipeline(pages)
+    truth = (
+        spark.read.parquet(f"{corpus}/pages_truth.parquet")
+        .join(pages.select("url", "doc_id"), "url")
+        .select("doc_id", "cluster_id", "kind")
+        .collect()
+    )
+    return res, truth
+
+
+def test_recall_gate_small(small):
+    res, truth = small
+    by_cluster: dict[int, list[int]] = {}
+    for r in truth:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    want = set()
+    for ids in by_cluster.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            want.add((a, b))
+
+    pairs = [(r["a"], r["b"]) for r in res.pairs.collect()]
+    comp = components(pairs)
+    by_comp: dict[int, list[int]] = {}
+    for node, c in comp.items():
+        by_comp.setdefault(c, []).append(node)
+    got = set()
+    for ids in by_comp.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            got.add((a, b))
+
+    recall = len(want & got) / len(want)
+    precision = len(want & got) / max(1, len(got))
+    assert recall >= 0.99, f"recall {recall:.4f}"
+    assert precision >= 0.98, f"precision {precision:.4f}"
