@@ -68,13 +68,49 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _unionfind_local(rows: list, spark) -> DataFrame:
+    """Driver-side union-find for small edge sets — the broadcast-join
+    analog of the large-star/small-star loop: when the (already heavily
+    filtered) verified-pair edge list fits on the driver, one collect +
+    exact union-find beats ~4 distributed iterations × fixed job
+    latency.  Above the threshold the distributed loop takes over, the
+    same way Catalyst swaps broadcast for shuffle joins."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict[int, int] = {}
+    for node in list(parent):
+        r = find(node)
+        roots[r] = min(roots.get(r, r), node)
+    out = [(n, roots[find(n)]) for n in parent]
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint: bool = True,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Edge list (a, b) → assignments (node, component).
 
     Every node that appears in an edge gets a row; component = min id in
     its component.  Callers union in singleton nodes themselves.
+
+    Physical strategy is size-adaptive: ≤ ``local_threshold`` distinct
+    edges resolve on the driver (exact union-find, one collect);
+    larger inputs run the distributed large-star/small-star loop.
+    Set ``local_threshold=0`` to force the distributed path.
     """
     spark = edges.sparkSession
     e = (
@@ -82,6 +118,12 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    if local_threshold > 0:
+        head = e.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            if not head:
+                return spark.createDataFrame([], "node long, component long")
+            return _unionfind_local(head, spark)
     if e.isEmpty():
         return spark.createDataFrame([], "node long, component long")
 

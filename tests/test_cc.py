@@ -7,10 +7,11 @@ from metacache_mpi_spark.operators.cc import cluster_assignments, connected_comp
 from .oracle import components
 
 
-def _run(spark, edges):
+def _run(spark, edges, local_threshold=0):
     df = spark.createDataFrame(edges, "a long, b long")
     got = {
-        r["node"]: r["component"] for r in connected_components(df).collect()
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=local_threshold).collect()
     }
     want = components(edges)
     assert got == want
@@ -63,3 +64,17 @@ def test_cluster_assignments_singletons(spark):
 def test_cc_empty_edges(spark):
     df = spark.createDataFrame([], "a long, b long")
     assert connected_components(df).count() == 0
+
+
+def test_local_and_distributed_paths_agree(spark):
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (100, 3)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    loc = {
+        (r["node"], r["component"])
+        for r in connected_components(df, local_threshold=10**6).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert loc == dist
