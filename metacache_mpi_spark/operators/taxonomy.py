@@ -1,0 +1,230 @@
+"""Taxonomy: hierarchy dimension + LCA-voting classification.
+
+Reference semantics re-expressed (no code ported):
+- NCBI dump parsing (S10): ``nodes.dmp`` / ``names.dmp`` are
+  ``\\t|\\t``-delimited (/root/reference/src/taxonomy_io.cpp:56-185).
+- lineage walk (G1) and ranked lineage (G2): follow parent ids to the
+  root, project onto the fixed rank ladder
+  (/root/reference/src/taxonomy.h:601-625,570-597).
+- LCA / ranked LCA (G3/G4): first common element of two lineages
+  (/root/reference/src/taxonomy.h:504-537).
+- LCA-voting classification (A4,
+  /root/reference/src/classification.cpp:235-265): start from the best
+  candidate; every candidate with
+  ``hits >= (best_hits - hits_min) * hits_diff_fraction`` folds into a
+  running ranked LCA; result is null when the fold rises above
+  ``highest_rank``.
+- per-taxon counts (A5) and hierarchical abundance (A6,
+  /root/reference/src/classification.cpp:362-428).
+
+The taxonomy is a SMALL dimension (the reference replicates it on every
+MPI rank, src/sketch_database.h:545-560); here it lives on the driver
+and rides into UDFs as a broadcast variable.  Classification itself is
+distributed — the reference's rank-0-only finalize bottleneck
+(SURVEY.md §3.3) is gone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# compact rank ladder, leaf→root (subset of the reference's 21 ranks,
+# src/taxonomy.h:47-96; extend freely — positions, not names, matter)
+RANKS = [
+    "sequence",
+    "species",
+    "genus",
+    "family",
+    "order",
+    "class",
+    "phylum",
+    "kingdom",
+    "domain",
+    "root",
+]
+RANK_POS = {r: i for i, r in enumerate(RANKS)}
+
+
+def parse_nodes_dmp(spark: SparkSession, path: str) -> DataFrame:
+    """nodes.dmp → (taxid, parent, rank)."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\t\|\t?")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("taxid"),
+        parts.getItem(1).cast("long").alias("parent"),
+        F.trim(parts.getItem(2)).alias("rank"),
+    ).where(F.col("taxid").isNotNull())
+
+
+def parse_names_dmp(spark: SparkSession, path: str, name_class: str = "scientific name") -> DataFrame:
+    """names.dmp → (taxid, name) keeping one name class."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\t\|\t?")
+    return (
+        raw.select(
+            parts.getItem(0).cast("long").alias("taxid"),
+            F.trim(parts.getItem(1)).alias("name"),
+            F.trim(F.regexp_replace(parts.getItem(3), r"\t\|$", "")).alias("name_class"),
+        )
+        .where(F.col("name_class") == name_class)
+        .select("taxid", "name")
+    )
+
+
+@dataclass
+class Taxonomy:
+    """Driver-side hierarchy with precomputed ranked lineages."""
+
+    parent: dict[int, int]
+    rank: dict[int, str]
+    name: dict[int, str] = field(default_factory=dict)
+    _lineage_cache: dict[int, tuple[int, ...]] = field(default_factory=dict)
+
+    @classmethod
+    def from_dataframe(cls, nodes: DataFrame) -> "Taxonomy":
+        t = cls(parent={}, rank={}, name={})
+        cols = nodes.columns
+        for r in nodes.collect():
+            t.parent[r["taxid"]] = r["parent"]
+            t.rank[r["taxid"]] = r["rank"]
+            if "name" in cols and r["name"] is not None:
+                t.name[r["taxid"]] = r["name"]
+        return t
+
+    # --- G1: full lineage walk (cycle-safe: stops at fixpoint/root)
+    def lineage(self, taxid: int) -> tuple[int, ...]:
+        if taxid in self._lineage_cache:
+            return self._lineage_cache[taxid]
+        out = []
+        seen = set()
+        t = taxid
+        while t in self.parent and t not in seen:
+            out.append(t)
+            seen.add(t)
+            p = self.parent[t]
+            if p == t:
+                break
+            t = p
+        res = tuple(out)
+        self._lineage_cache[taxid] = res
+        return res
+
+    # --- G2: ranked lineage (one slot per RANKS position)
+    def ranked_lineage(self, taxid: int) -> list[int | None]:
+        slots: list[int | None] = [None] * len(RANKS)
+        for t in self.lineage(taxid):
+            pos = RANK_POS.get(self.rank.get(t, ""), None)
+            if pos is not None and slots[pos] is None:
+                slots[pos] = t
+        return slots
+
+    # --- G3: LCA (first common element of the two lineages)
+    def lca(self, a: int, b: int) -> int | None:
+        la, lb = self.lineage(a), set(self.lineage(b))
+        for t in la:
+            if t in lb:
+                return t
+        return None
+
+    # --- G4: next ranked ancestor at-or-above a rank
+    def ancestor_at_rank(self, taxid: int, rank: str) -> int | None:
+        want = RANK_POS[rank]
+        for t in self.lineage(taxid):
+            pos = RANK_POS.get(self.rank.get(t, ""), -1)
+            if pos >= want:
+                return t
+        return None
+
+    def rank_pos(self, taxid: int) -> int:
+        return RANK_POS.get(self.rank.get(taxid, ""), len(RANKS))
+
+
+def classify_lca(
+    candidates: DataFrame,
+    taxonomy: Taxonomy,
+    target_taxid: dict[int, int],
+    hits_min: int = 1,
+    hits_diff_fraction: float = 0.8,
+    highest_rank: str = "domain",
+) -> DataFrame:
+    """A4 LCA-voting over per-query candidates (qid, tgt, hits, rank).
+
+    Distributed: grouped Arrow UDF per query; taxonomy + target→taxid
+    map ride as broadcast variables.
+    """
+    spark = candidates.sparkSession
+    b_tax = spark.sparkContext.broadcast(taxonomy)
+    b_map = spark.sparkContext.broadcast(target_taxid)
+    highest = RANK_POS[highest_rank]
+
+    def _classify(pdf: pd.DataFrame) -> pd.DataFrame:
+        tax: Taxonomy = b_tax.value
+        tmap = b_map.value
+        pdf = pdf.sort_values(["hits", "tgt"], ascending=[False, True])
+        best = int(pdf["hits"].iloc[0])
+        threshold = max(0.0, (best - hits_min) * hits_diff_fraction)
+        result: int | None = None
+        for _, row in pdf.iterrows():
+            if row["hits"] < threshold:
+                break
+            t = tmap.get(int(row["tgt"]))
+            if t is None:
+                continue
+            result = t if result is None else tax.lca(result, t)
+            if result is not None and tax.rank_pos(result) > highest:
+                result = None
+                break
+        return pd.DataFrame(
+            {"qid": [int(pdf["qid"].iloc[0])],
+             "taxid": pd.Series([result], dtype="Int64")}
+        )
+
+    return candidates.groupBy("qid").applyInPandas(
+        _classify, schema="qid long, taxid long"
+    )
+
+
+def taxon_counts(assignments: DataFrame) -> DataFrame:
+    """A5: reads per assigned taxon."""
+    return (
+        assignments.where(F.col("taxid").isNotNull())
+        .groupBy("taxid")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+
+
+def estimate_abundance(
+    counts: list[tuple[int, int]], taxonomy: Taxonomy, rank: str
+) -> dict[int, float]:
+    """A6: lift counts assigned above ``rank`` down to rank-level taxa,
+    distributing proportionally to the rank-level counts below each
+    ancestor (driver-side — the dim is tiny, as in the reference's
+    single-threaded estimate, /root/reference/src/classification.cpp:362-428).
+    """
+    want = RANK_POS[rank]
+    at_rank: dict[int, float] = {}
+    above: list[tuple[int, int]] = []
+    for taxid, n in counts:
+        pos = taxonomy.rank_pos(taxid)
+        if pos <= want:
+            anc = taxonomy.ancestor_at_rank(taxid, rank)
+            if anc is not None:
+                at_rank[anc] = at_rank.get(anc, 0.0) + n
+            continue
+        above.append((taxid, n))
+    for taxid, n in above:
+        # children at rank under this ancestor, weighted by their counts
+        members = {
+            t: c
+            for t, c in at_rank.items()
+            if taxid in taxonomy.lineage(t)
+        }
+        total = sum(members.values())
+        if total == 0:
+            continue
+        for t, c in members.items():
+            at_rank[t] += n * (c / total)
+    return at_rank

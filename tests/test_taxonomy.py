@@ -1,0 +1,128 @@
+"""Taxonomy hierarchy + LCA-voting classification (G1-G4, A4-A6, S10)
+vs literal oracles of /root/reference/src/taxonomy.h + classification.cpp
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from metacache_mpi_spark.operators.taxonomy import (
+    Taxonomy,
+    classify_lca,
+    estimate_abundance,
+    parse_names_dmp,
+    parse_nodes_dmp,
+    taxon_counts,
+)
+
+#        1 root
+#        2 domain
+#     3 phylum
+#    4 genus        8 genus
+#  5,6 species      9 species
+#  (7 species under 6? no — keep flat)
+NODES = {
+    1: (1, "root"),
+    2: (1, "domain"),
+    3: (2, "phylum"),
+    4: (3, "genus"),
+    8: (3, "genus"),
+    5: (4, "species"),
+    6: (4, "species"),
+    9: (8, "species"),
+}
+
+
+@pytest.fixture(scope="module")
+def tax():
+    return Taxonomy(
+        parent={t: p for t, (p, _) in NODES.items()},
+        rank={t: r for t, (_, r) in NODES.items()},
+    )
+
+
+def test_lineage_and_ranked(tax):
+    assert tax.lineage(5) == (5, 4, 3, 2, 1)
+    rl = tax.ranked_lineage(5)
+    from metacache_mpi_spark.operators.taxonomy import RANK_POS
+
+    assert rl[RANK_POS["species"]] == 5
+    assert rl[RANK_POS["genus"]] == 4
+    assert rl[RANK_POS["phylum"]] == 3
+    assert rl[RANK_POS["family"]] is None
+
+
+def test_lca(tax):
+    assert tax.lca(5, 6) == 4      # same genus
+    assert tax.lca(5, 9) == 3      # cross-genus -> phylum
+    assert tax.lca(5, 5) == 5
+    assert tax.ancestor_at_rank(5, "genus") == 4
+    assert tax.ancestor_at_rank(5, "phylum") == 3
+
+
+def test_classify_lca_agreement_and_fold(spark, tax):
+    tmap = {10: 5, 11: 6, 12: 9}
+    # q0: both candidates same genus -> genus 4
+    # q1: single strong candidate -> species 5
+    # q2: cross-phylum... cross-genus fold -> phylum 3 (<= domain, kept)
+    cands = spark.createDataFrame(
+        [
+            (0, 10, 10, 0, 1), (0, 11, 9, 0, 2),
+            (1, 10, 12, 0, 1), (1, 12, 2, 0, 2),   # 2 < threshold -> ignored
+            (2, 10, 8, 0, 1), (2, 12, 8, 0, 2),
+        ],
+        "qid long, tgt long, hits long, win_beg long, rank int",
+    )
+    got = {
+        r["qid"]: r["taxid"]
+        for r in classify_lca(cands, tax, tmap, hits_min=4,
+                              hits_diff_fraction=0.8).collect()
+    }
+    # q1 threshold = (12-4)*0.8 = 6.4 -> candidate with hits=2 excluded
+    assert got == {0: 4, 1: 5, 2: 3}
+
+
+def test_classify_above_highest_rank_unclassified(spark, tax):
+    # force fold to root (above highest_rank=phylum) -> null
+    tax2 = Taxonomy(parent=dict(tax.parent), rank=dict(tax.rank))
+    tax2.parent[42] = 1
+    tax2.rank[42] = "domain"
+    tmap = {10: 5, 13: 42}
+    cands = spark.createDataFrame(
+        [(7, 10, 8, 0, 1), (7, 13, 8, 0, 2)],
+        "qid long, tgt long, hits long, win_beg long, rank int",
+    )
+    got = classify_lca(cands, tax2, tmap, hits_min=1,
+                       hits_diff_fraction=0.5, highest_rank="phylum").collect()
+    assert got[0]["taxid"] is None
+
+
+def test_taxon_counts_and_abundance(spark, tax):
+    assigns = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 6), (3, 4), (4, 9), (5, None)],
+        "qid long, taxid long",
+    )
+    counts = {r["taxid"]: r["n_queries"] for r in taxon_counts(assigns).collect()}
+    assert counts == {5: 2, 6: 1, 4: 1, 9: 1}
+    ab = estimate_abundance(list(counts.items()), tax, "species")
+    # genus-4 count (1) redistributed 2:1 between species 5 and 6
+    assert ab[5] == pytest.approx(2 + 2 / 3)
+    assert ab[6] == pytest.approx(1 + 1 / 3)
+    assert ab[9] == pytest.approx(1.0)
+
+
+def test_parse_dmp_files(spark, tmp_path):
+    nodes = tmp_path / "nodes.dmp"
+    nodes.write_text(
+        "1\t|\t1\t|\troot\t|\n2\t|\t1\t|\tdomain\t|\n5\t|\t2\t|\tspecies\t|\n"
+    )
+    names = tmp_path / "names.dmp"
+    names.write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "5\t|\tEscherichia demo\t|\t\t|\tscientific name\t|\n"
+        "5\t|\tE. demo\t|\t\t|\tsynonym\t|\n"
+    )
+    nd = {r["taxid"]: (r["parent"], r["rank"]) for r in parse_nodes_dmp(spark, str(nodes)).collect()}
+    assert nd == {1: (1, "root"), 2: (1, "domain"), 5: (2, "species")}
+    nm = {r["taxid"]: r["name"] for r in parse_names_dmp(spark, str(names)).collect()}
+    assert nm == {1: "root", 5: "Escherichia demo"}
