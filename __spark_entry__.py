@@ -334,6 +334,32 @@ def _q_pipeline_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), cfg)
 
 
+def _q_genomic_candidates(spark, sf_dir):
+    """Reference-native lifecycle (rows-only): deterministic synthetic
+    genomes → windowed bottom-s sketch index → planted-fragment reads →
+    contiguous-range hit counting → top-k candidates."""
+    import numpy as np
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        build_index,
+        query_index,
+    )
+
+    rng = np.random.RandomState(42)
+    dna = lambda n: "".join("ACGT"[i] for i in rng.randint(0, 4, size=n))  # noqa: E731
+    genomes = [(t, dna(600)) for t in range(6)]
+    reads = []
+    for qid in range(18):
+        t = qid % 6
+        s = int(rng.randint(0, 420))
+        reads.append((qid, genomes[t][1][s : s + 140]))
+    cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57)
+    tdf = spark.createDataFrame(genomes, "tgt long, seq string")
+    qdf = spark.createDataFrame(reads, "qid long, seq string")
+    return query_index(qdf, build_index(tdf, cfg), cfg)
+
+
 def _q_pipeline_clusters(spark, sf_dir):
     """Full production pipeline on documents (rows-only check)."""
     from pyspark.sql import functions as F
@@ -390,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": _q_props_extract,
         "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
         "pipeline_clusters": _q_pipeline_clusters,
+        "genomic_candidates": _q_genomic_candidates,
     }
 
 

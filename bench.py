@@ -43,8 +43,13 @@ HEADLINE = [
 ]
 
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "50000"))
-SKETCH_REPLICATE = 6  # sketch-scaling input = SCALING_PAGES × this
-CORES_LOW, CORES_HIGH = 8, 32
+SKETCH_REPLICATE = 4  # sketch-scaling input = SCALING_PAGES × this
+# N → 4N window: 4 → 16. At local[32] the JVM's 32 task threads PLUS 32
+# Python UDF workers oversubscribe the VM's 32 shared vCPUs (measured
+# 3× per-item slowdown in Python stages), so 8→32 measures contention,
+# not the engine. 4→16 keeps both levels under-subscribed; the
+# hardware-calibration section of BASELINE.md quantifies the VM ceiling.
+CORES_LOW, CORES_HIGH = 4, 16
 
 
 def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
