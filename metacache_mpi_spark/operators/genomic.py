@@ -97,6 +97,42 @@ def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> Dat
     )
 
 
+def remove_ambiguous_features(
+    index: DataFrame,
+    target_taxon: DataFrame,
+    max_ambig: int,
+) -> DataFrame:
+    """P14 (/root/reference/src/sketch_database.h:428-470): drop features
+    whose locations span more than ``max_ambig`` DISTINCT taxa — the
+    taxonomic-ambiguity variant of overpopulated-feature removal.
+
+    ``target_taxon``: (tgt, taxid) dim — broadcast by Catalyst.
+    """
+    with_tax = index.join(F.broadcast(target_taxon), "tgt")
+    ambig = (
+        with_tax.groupBy("feature")
+        .agg(F.countDistinct("taxid").alias("n_taxa"))
+        .where(F.col("n_taxa") > max_ambig)
+        .select("feature")
+    )
+    return index.join(ambig, "feature", "left_anti")
+
+
+def dump_feature_map(index: DataFrame) -> DataFrame:
+    """`info featuremap` analog (/root/reference/src/mode_info.cpp:105-129):
+    one sorted row per feature with its full location list — the golden
+    dump used for index diffing."""
+    return (
+        index.groupBy("feature")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tgt", "win"))
+            ).alias("locations")
+        )
+        .orderBy("feature")
+    )
+
+
 def query_index(
     queries: DataFrame,
     index: DataFrame,

@@ -187,6 +187,59 @@ def classify_lca(
     )
 
 
+def resolve_taxids(
+    targets: DataFrame,
+    mapping: DataFrame,
+    accession_col: str = "accession",
+) -> DataFrame:
+    """J4/J5: resolve target accessions to taxids with the reference's
+    fallback chain (/root/reference/src/mode_build.cpp:174-238,
+    src/sketch_database.h:631-639): exact accession.version match, then
+    version-stripped prefix match — a prefix/theta join normalized into
+    two equi joins + coalesce.
+
+    ``mapping``: (accession, accession_version, taxid) — the
+    accession2taxid table shape.
+    """
+    acc = F.col(accession_col)
+    base = F.regexp_replace(acc, r"\.\d+$", "")
+    t = targets.withColumn("_acc_base", base)
+    by_ver = mapping.select(
+        F.col("accession_version").alias(accession_col),
+        F.col("taxid").alias("_tax_ver"),
+    )
+    by_acc = mapping.select(
+        F.col("accession").alias("_acc_base"),
+        F.col("taxid").alias("_tax_base"),
+    )
+    return (
+        t.join(by_ver, accession_col, "left")
+        .join(by_acc, "_acc_base", "left")
+        .withColumn("taxid", F.coalesce("_tax_ver", "_tax_base"))
+        .drop("_acc_base", "_tax_ver", "_tax_base")
+    )
+
+
+def exclude_clade(
+    candidates: DataFrame,
+    taxonomy: Taxonomy,
+    target_taxid: dict[int, int],
+    exclude_taxid: int,
+) -> DataFrame:
+    """P15 clade-exclusion anti-filter
+    (/root/reference/src/classification.cpp:141-157): drop candidate
+    hits whose target lies inside the excluded clade (leave-one-clade-
+    out evaluation)."""
+    inside = {
+        tgt
+        for tgt, tax in target_taxid.items()
+        if exclude_taxid in taxonomy.lineage(tax)
+    }
+    if not inside:
+        return candidates
+    return candidates.where(~F.col("tgt").isin(list(inside)))
+
+
 def taxon_counts(assignments: DataFrame) -> DataFrame:
     """A5: reads per assigned taxon."""
     return (
