@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _ntz_epoch_us(col: str):
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-independent
+    (timestampdiff over NTZ values — no session-TZ reinterpretation)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
 def tpch_q1(lineitem: DataFrame) -> DataFrame:
     """Pricing summary report (TPC-H Q1 shape) with exact decimal sums,
     emitted as fixed-point BIGINTs (SURVEY.md A5/A11 analog)."""
@@ -65,9 +73,10 @@ def contiguous_range_hits(
     """A1 analog (/root/reference/src/candidates.h:118-180): per user,
     sliding count of events within a trailing time range; emit each
     user's best window (max hits, earliest on ties)."""
-    # ts arrives as TIMESTAMP_NTZ from parquet; session TZ is pinned to
-    # UTC so the cast is wall-clock-identity (== DuckDB epoch_us).
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # ts arrives as TIMESTAMP_NTZ from parquet; derive epoch micros with
+    # pure NTZ arithmetic so the result is independent of the session
+    # timezone (the driver's session may not pin UTC) == DuckDB epoch_us.
+    ts_us = _ntz_epoch_us("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy("us")
@@ -165,7 +174,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per user, a new session starts when the gap from
     the previous event exceeds ``gap_minutes`` (lag + cumulative sum —
     the batch form of session windows)."""
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = _ntz_epoch_us("ts")
     w = Window.partitionBy("user_id").orderBy("us")
     gap = gap_minutes * 60_000_000
     with_flag = (
