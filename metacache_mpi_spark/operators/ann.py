@@ -55,12 +55,18 @@ def cosine_topk(
             _cos_micro("embedding", "qe").alias("cos_micro"),
         )
     )
+    return _ranked_topk(scored, k, ["vec_id", "label", "cos_micro"])
+
+
+def _ranked_topk(scored: DataFrame, k: int, cols: list[str]) -> DataFrame:
+    """Global top-k with a rank column, scale-correct: orderBy+limit
+    compiles to TakeOrderedAndProject (distributed per-partition top-k +
+    k-row merge), and the rank window then runs over only k rows.  A
+    bare global row_number window would funnel ALL rows through one
+    partition."""
+    top = scored.orderBy(F.desc("cos_micro"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "label", "cos_micro", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select(*cols, "rank")
 
 
 def cosine_dup_pairs(emb: DataFrame, tau: float = 0.35) -> DataFrame:
@@ -122,9 +128,4 @@ def lsh_bucketed_topk(
             _cos_micro("embedding", "qe").alias("cos_micro"),
         )
     )
-    w = Window.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "bucket", "cos_micro", "rank")
-    )
+    return _ranked_topk(scored, k, ["vec_id", "bucket", "cos_micro"])
