@@ -30,15 +30,20 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect strictly-larger neighbors to
-    min(N(u) ∪ {u}).  Input must be symmetric."""
+    min(N(u) ∪ {u}).  Input must be symmetric.
+
+    State-bounded formulation: the per-node minimum is a partial-
+    aggregating ``min`` (no per-key list state), re-attached to the edge
+    list by a join — a hub node of a 10^7-member component costs a
+    skewed-join row set (AQE splits it), never an in-memory array.
+    """
     nbr_min = edges.groupBy("a").agg(
-        F.least(F.min("b"), F.first("a")).alias("m"),
-        F.collect_set("b").alias("nbrs"),
+        F.least(F.min("b"), F.first("a")).alias("m")
     )
     return (
-        nbr_min.select("a", "m", F.explode("nbrs").alias("v"))
-        .where(F.col("v") > F.col("a"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        edges.join(nbr_min, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -46,18 +51,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each node u over edges pointing to ≤-neighbors: connect all of
-    N≤(u) ∪ {u} to its minimum."""
+    N≤(u) ∪ {u} to its minimum.  Same bounded-state min+join shape."""
     # orient edges (big → small)
     e = edges.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).where(F.col("a") != F.col("b"))
-    grouped = e.groupBy("a").agg(
-        F.min("b").alias("m"), F.collect_set("b").alias("nbrs")
+    m = e.groupBy("a").agg(F.min("b").alias("m"))
+    nbr_links = (
+        e.join(m, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
-    relink = grouped.select(
-        "a", "m", F.explode(F.array_union("nbrs", F.array("a"))).alias("v")
-    ).where(F.col("v") != F.col("m"))
-    return relink.select(F.col("v").alias("a"), F.col("m").alias("b")).distinct()
+    self_links = m.where(F.col("a") != F.col("m")).select(
+        "a", F.col("m").alias("b")
+    )
+    return nbr_links.union(self_links).distinct()
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:

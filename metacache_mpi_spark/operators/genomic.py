@@ -83,18 +83,31 @@ def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> Dat
     entirely (D3/D4 global count + prune).
     """
     rows = _sketch_rows(targets, cfg, "tgt")
+    counts = rows.groupBy("feature").agg(F.count(F.lit(1)).alias("n"))
     if cfg.remove_overpopulated:
-        counts = rows.groupBy("feature").agg(F.count(F.lit(1)).alias("n"))
         keep = counts.where(F.col("n") <= cfg.max_locs_per_feature)
         return rows.join(keep.select("feature"), "feature").select(
             "feature", "tgt", "win"
         )
+    # cap: only oversize features pay the per-feature sort window — the
+    # bulk bypasses it entirely, and no mega-hot feature funnels through
+    # a single task before being counted (same count-first discipline as
+    # prune_buckets)
+    small = rows.join(
+        counts.where(F.col("n") <= cfg.max_locs_per_feature).select("feature"),
+        "feature",
+    ).select("feature", "tgt", "win")
+    big = rows.join(
+        counts.where(F.col("n") > cfg.max_locs_per_feature).select("feature"),
+        "feature",
+    )
     w = Window.partitionBy("feature").orderBy("tgt", "win")
-    return (
-        rows.withColumn("rn", F.row_number().over(w))
+    big_capped = (
+        big.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= cfg.max_locs_per_feature)
         .select("feature", "tgt", "win")
     )
+    return small.unionByName(big_capped)
 
 
 def remove_ambiguous_features(
