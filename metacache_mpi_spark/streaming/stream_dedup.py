@@ -1,0 +1,62 @@
+"""Structured Streaming wrapper over the incremental dedup engine.
+
+The reference has no event-time streaming (SURVEY.md §2.5); what it has
+is a resident-index micro-batch loop.  This wrapper gives that loop a
+``readStream`` front end: a file-source stream of page batches is fed
+through ``foreachBatch`` into :class:`IncrementalDedup`, whose
+snapshot state provides exactly-once-per-url semantics across batches
+(duplicate urls are anti-joined away) and crash resumability (the
+snapshot manifest commits atomically per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..plans.checkpoint import CheckpointManager
+from .incremental import IncrementalDedup
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampNTZType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    stream_checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Start a streaming query deduplicating parquet page files as they
+    arrive in ``input_dir``.  Returns the StreamingQuery; callers stop
+    it (or use ``processAllAvailable`` in tests)."""
+    engine = IncrementalDedup(
+        spark, CheckpointManager(spark, checkpoint_dir), cfg
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.process_batch(batch_df)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if stream_checkpoint_dir:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    return writer.start()
