@@ -503,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 \\n\\t]')) AS BIGINT) AS n_bpe_pieces,
                    CAST(length(text) AS BIGINT) AS n_chars_text
             FROM documents
         """,

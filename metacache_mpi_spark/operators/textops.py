@@ -71,7 +71,10 @@ def ngram_jaccard_pairs(
     The brute-force dedup baseline (shingle-level equi join); the LSH
     path below approximates exactly this at scale.
     """
-    disc = discriminative_shingles(docs, k, cap)
+    # the discriminative-shingle subtree is referenced four times below
+    # (sizes, keep-join, both self-join sides) — materialize it once
+    # instead of recomputing the explode+distinct chain per reference
+    disc = discriminative_shingles(docs, k, cap).localCheckpoint(eager=False)
     sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = disc.alias("x")
     y = disc.alias("y")
@@ -255,11 +258,20 @@ def _occurrences(col, pat: str):
     ).cast("long")
 
 
+# BPE-ish word-piece pattern: letter runs, digit runs, or single
+# non-alphanumeric marks — a rough proxy for subword token counts
+BPE_PATTERN = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 \\n\\t]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars_text): single-space tokenization."""
+    """(doc_id, n_tokens, n_bpe_pieces, n_chars_text): whitespace
+    tokenization plus a BPE-ish regex piece count."""
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_bpe_pieces"),
         F.length("text").cast("long").alias("n_chars_text"),
     )
 
