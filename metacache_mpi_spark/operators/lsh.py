@@ -230,6 +230,11 @@ def fingerprint_candidate_pairs(
         F.lit(0).alias("band"),
         F.explode("fps").alias("bucket"),
     )
-    return candidate_pairs(buckets, cfg, id_col).withColumnRenamed(
-        "band_hits", "fp_hits"
+    # candidate_pairs applies min_band_hits (1); this lane's boilerplate
+    # pruning contract (config.py min_fp_hits) is the stronger threshold
+    # — apply it here too, matching the pipeline's two-lane path
+    return (
+        candidate_pairs(buckets, cfg, id_col)
+        .where(F.col("band_hits") >= cfg.min_fp_hits)
+        .withColumnRenamed("band_hits", "fp_hits")
     )

@@ -9,11 +9,11 @@ Reference semantics re-expressed (no code ported):
 - LCA / ranked LCA (G3/G4): first common element of two lineages
   (/root/reference/src/taxonomy.h:504-537).
 - LCA-voting classification (A4,
-  /root/reference/src/classification.cpp:235-265): start from the best
-  candidate; every candidate with
-  ``hits >= (best_hits - hits_min) * hits_diff_fraction`` folds into a
-  running ranked LCA; result is null when the fold rises above
-  ``highest_rank``.
+  /root/reference/src/classification.cpp:235-265): unclassified when the
+  best candidate has ``hits < hits_min``; otherwise the best candidate
+  seeds a running RANKED LCA and every following candidate with
+  ``hits > (best_hits - hits_min) * hits_diff_fraction`` (strict) folds
+  in; result is null when the fold rises above ``highest_rank``.
 - per-taxon counts (A5) and hierarchical abundance (A6,
   /root/reference/src/classification.cpp:362-428).
 
@@ -129,6 +129,17 @@ class Taxonomy:
                 return t
         return None
 
+    # --- G4: ranked LCA — first common RANKED-lineage slot, leaf→root
+    # (/root/reference/src/taxonomy.h:529-537): unlike ``lca``, an
+    # unranked common ancestor never surfaces; the fold lands on the
+    # next ranked slot both lineages share.
+    def ranked_lca(self, a: int, b: int) -> int | None:
+        la, lb = self.ranked_lineage(a), self.ranked_lineage(b)
+        for ta, tb in zip(la, lb):
+            if ta is not None and ta == tb:
+                return ta
+        return None
+
     # --- G4: next ranked ancestor at-or-above a rank
     def ancestor_at_rank(self, taxid: int, rank: str) -> int | None:
         want = RANK_POS[rank]
@@ -161,25 +172,51 @@ def classify_lca(
     highest = RANK_POS[highest_rank]
 
     def _classify(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Transcribes /root/reference/src/classification.cpp:235-265:
+        - best candidate below hitsMin → unclassified;
+        - the best candidate seeds the LCA unconditionally; later
+          candidates fold in only while hits > threshold (STRICT), where
+          threshold = (best - hitsMin) * hitsDiffFraction if best >
+          hitsMin else 0 — iteration stops at the first miss (candidates
+          are hits-descending);
+        - the fold is the RANKED LCA (taxonomy.h ranked_lca), so an
+          unranked common ancestor resolves to the next ranked slot
+          instead of spuriously unclassifying;
+        - a fold above highestRank (or an empty ranked LCA) →
+          unclassified."""
         tax: Taxonomy = b_tax.value
         tmap = b_map.value
+        qid = int(pdf["qid"].iloc[0])
         pdf = pdf.sort_values(["hits", "tgt"], ascending=[False, True])
-        best = int(pdf["hits"].iloc[0])
-        threshold = max(0.0, (best - hits_min) * hits_diff_fraction)
-        result: int | None = None
-        for _, row in pdf.iterrows():
-            if row["hits"] < threshold:
+        unclassified = pd.DataFrame(
+            {"qid": [qid], "taxid": pd.Series([None], dtype="Int64")}
+        )
+        # candidates without a resolvable taxon are never inserted into
+        # the candidate list (candidates.h insert(): !cand.tax → no-op)
+        cands = [
+            (int(h), tmap[int(t)])
+            for h, t in zip(pdf["hits"], pdf["tgt"])
+            if int(t) in tmap
+        ]
+        if not cands:
+            return unclassified
+        best = cands[0][0]
+        if best < hits_min:
+            return unclassified
+        threshold = (
+            (best - hits_min) * hits_diff_fraction if best > hits_min else 0.0
+        )
+        result: int | None = cands[0][1]
+        for hits, t in cands[1:]:
+            if hits <= threshold:
                 break
-            t = tmap.get(int(row["tgt"]))
-            if t is None:
-                continue
-            result = t if result is None else tax.lca(result, t)
-            if result is not None and tax.rank_pos(result) > highest:
-                result = None
-                break
+            result = tax.ranked_lca(result, t)
+            if result is None or tax.rank_pos(result) > highest:
+                return unclassified
+        if tax.rank_pos(result) > highest:
+            return unclassified
         return pd.DataFrame(
-            {"qid": [int(pdf["qid"].iloc[0])],
-             "taxid": pd.Series([result], dtype="Int64")}
+            {"qid": [qid], "taxid": pd.Series([result], dtype="Int64")}
         )
 
     return candidates.groupBy("qid").applyInPandas(

@@ -49,6 +49,8 @@ class CheckpointManager:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
+        # staged-but-uncommitted snapshots: name -> (path, schema, rows/part)
+        self._staged: dict[str, tuple[str, str, list[int]]] = {}
 
     # -- manifest ----------------------------------------------------------
     def _read_manifest(self) -> dict:
@@ -70,10 +72,13 @@ class CheckpointManager:
         return any(s.name == name for s in self.snapshots())
 
     # -- save / load -------------------------------------------------------
-    def save(self, df: DataFrame, name: str) -> DataFrame:
-        """Materialize ``df`` as snapshot ``name`` (overwrites any
-        uncommitted leftovers) and return the re-read DataFrame —
-        callers continue from the materialized data, cutting lineage."""
+    def stage_write(self, df: DataFrame, name: str) -> DataFrame:
+        """Phase 1 of a (possibly multi-snapshot) commit: write the
+        Parquet data and return the re-read DataFrame, WITHOUT touching
+        the manifest.  Until :meth:`commit` runs, the snapshot does not
+        exist as far as resume is concerned — a crash between writes of
+        a multi-snapshot batch leaves no partial batch behind (the
+        Iceberg multi-table-transaction analog)."""
         from pyspark.sql import functions as F
 
         path = os.path.join(self.root, name)
@@ -88,22 +93,37 @@ class CheckpointManager:
         }
         n_parts = out.rdd.getNumPartitions()
         partition_rows = [per_part.get(i, 0) for i in range(n_parts)]
+        self._staged[name] = (path, out.schema.simpleString(), partition_rows)
+        return out
+
+    def commit(self, names: list[str]) -> None:
+        """Phase 2: commit previously staged snapshots in ONE atomic
+        manifest update (all-or-nothing across ``names``)."""
         manifest = self._read_manifest()
         manifest["snapshots"] = [
-            s for s in manifest["snapshots"] if s["name"] != name
+            s for s in manifest["snapshots"] if s["name"] not in names
         ]
-        manifest["snapshots"].append(
-            Snapshot(
-                name=name,
-                path=path,
-                rows=sum(partition_rows),
-                schema=out.schema.simpleString(),
-                seq=len(manifest["snapshots"]),
-                created_unix=time.time(),
-                partition_rows=partition_rows,
-            ).__dict__
-        )
+        for name in names:
+            path, schema, partition_rows = self._staged.pop(name)
+            manifest["snapshots"].append(
+                Snapshot(
+                    name=name,
+                    path=path,
+                    rows=sum(partition_rows),
+                    schema=schema,
+                    seq=len(manifest["snapshots"]),
+                    created_unix=time.time(),
+                    partition_rows=partition_rows,
+                ).__dict__
+            )
         self._write_manifest(manifest)
+
+    def save(self, df: DataFrame, name: str) -> DataFrame:
+        """Materialize ``df`` as snapshot ``name`` (overwrites any
+        uncommitted leftovers) and return the re-read DataFrame —
+        callers continue from the materialized data, cutting lineage."""
+        out = self.stage_write(df, name)
+        self.commit([name])
         return out
 
     def load(self, name: str) -> DataFrame:

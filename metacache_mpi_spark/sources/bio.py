@@ -12,13 +12,20 @@ Reference semantics re-expressed (no code ported):
 - format dispatch (S5): by extension, content-sniff fallback
   (/root/reference/src/sequence_io.cpp:534-571).
 
-Implementation notes (scale): FASTA uses the DataFrame text reader with
-``lineSep='>'`` — records split at scan time, no global ordering needed;
-record index is assigned per (file, offset-order) which is deterministic
-because each record carries its source file + position.  FASTQ needs
-line quadruples, which requires a global per-file line index —
-``zipWithIndex`` (one extra pass) is the honest cost; files are
-processed per-partition otherwise.
+Implementation notes (scale + determinism): both readers use the
+DataFrame text source with ``wholetext`` — one row per FILE — and split
+records JVM-side (``split``/``posexplode``), so the per-file record
+index is the array position: byte-offset-exact, matching the
+reference's strictly serial per-file sequence index
+(src/sequence_io.h:55-61).  This is deliberate: Spark orders
+non-bucketed file SPLITS by size, not offset, so any splits-based
+reader (``lineSep``/``text``) can scramble record_idx on multi-split
+files, corrupting target ids and paired lockstep.  The unit of
+parallelism is therefore the FILE — identical to the reference, whose
+readers are sequential per file with parallelism across files; at
+cluster scale genomic inputs arrive as many files (one per
+assembly/run), so this parallelizes where the reference does.  No RDD
+lambdas, no per-row Python anywhere on this path.
 """
 
 from __future__ import annotations
@@ -26,38 +33,45 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
+
+
+def _whole_files(spark: SparkSession, path: str) -> DataFrame:
+    """(file, value): one row per input file, full text."""
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
 
 
 def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     """FASTA → (file, record_idx, header, seq).
 
-    ``record_idx`` is 0-based in file order (the reference's sequence
-    index used for target ids, src/sequence_io.h:55-61).
+    ``record_idx`` is 0-based in byte-offset order within each file (the
+    reference's sequence index used for target ids,
+    src/sequence_io.h:55-61) — exact because records are split from the
+    whole file text, where array position IS file order.
     """
-    raw = (
-        spark.read.option("lineSep", ">")
-        .text(path)
-        .select(F.input_file_name().alias("file"), "value")
-        .where(F.length(F.trim("value")) > 0)
-        # monotonically_increasing_id preserves within-file record order
-        # (text splits are offset-ordered); row_number over it gives the
-        # reference's 0-based per-file record index (O4 determinism)
-        .withColumn("mono", F.monotonically_increasing_id())
+    recs = (
+        _whole_files(spark, path)
+        .select(
+            "file",
+            F.posexplode(F.split("value", ">")).alias("pos", "rec"),
+        )
+        .where(F.length(F.trim("rec")) > 0)
     )
-    header = F.trim(F.substring_index("value", "\n", 1))
+    header = F.trim(F.substring_index("rec", "\n", 1))
     body = F.expr(
-        "substring(value, length(substring_index(value, '\\n', 1)) + 2)"
+        "substring(rec, length(substring_index(rec, '\\n', 1)) + 2)"
     )
     seq = F.upper(F.regexp_replace(body, "[\\s]", ""))
-    w = Window.partitionBy("file").orderBy("mono")
+    # pos counts split slots (slot 0 is the pre-'>' prologue, dropped as
+    # empty) — renumber surviving records densely per file; array
+    # positions are already file-ordered, so this is a per-file window
+    # over a within-file-computed order, not a global sort
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("file").orderBy("pos")
     return (
-        raw.select(
-            "file",
-            "mono",
-            header.alias("header"),
-            seq.alias("seq"),
-        )
+        recs.select("file", "pos", header.alias("header"), seq.alias("seq"))
         .where(F.length("seq") > 0)
         .withColumn("record_idx", (F.row_number().over(w) - 1).cast("long"))
         .select("file", "record_idx", "header", "seq")
@@ -65,38 +79,26 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_fastq(spark: SparkSession, path: str) -> DataFrame:
-    """FASTQ → (file, record_idx, header, seq, qual) via per-file line
-    quadruples."""
-    lines = (
-        spark.read.text(path)
-        .select(F.input_file_name().alias("file"), "value")
-        .rdd.map(lambda r: (r["file"], r["value"]))
-        .zipWithIndex()
-    )
+    """FASTQ → (file, record_idx, header, seq, qual).
 
-    def to_row(t):
-        (file, value), idx = t
-        return (file, idx, value)
-
-    df = spark.createDataFrame(
-        lines.map(to_row), "file string, line_no long, value string"
+    Strict 4-line records, grouped JVM-side: the whole-file line array
+    is chunked into quadruples with a ``transform(sequence(...))``
+    expression — no shuffle, no Python, no RDD.
+    """
+    lines = F.expr("filter(split(value, '\\r?\\n'), x -> length(x) > 0)")
+    quads = F.expr(
+        "transform(sequence(0, int(size(lines) / 4) - 1), i -> struct("
+        "  CAST(i AS BIGINT) AS record_idx,"
+        "  regexp_replace(lines[4 * i], '^@', '') AS header,"
+        "  upper(lines[4 * i + 1]) AS seq,"
+        "  lines[4 * i + 3] AS qual))"
     )
-    w = Window.partitionBy("file").orderBy("line_no")
-    df = df.withColumn("rn", F.row_number().over(w) - 1)
-    rec = df.withColumn("record_idx", (F.col("rn") / 4).cast("long")).withColumn(
-        "slot", F.pmod("rn", F.lit(4))
-    )
-    pivoted = (
-        rec.groupBy("file", "record_idx")
-        .pivot("slot", [0, 1, 2, 3])
-        .agg(F.first("value"))
-    )
-    return pivoted.select(
-        "file",
-        "record_idx",
-        F.regexp_replace(F.col("0"), "^@", "").alias("header"),
-        F.upper("1").alias("seq"),
-        F.col("3").alias("qual"),
+    return (
+        _whole_files(spark, path)
+        .select("file", lines.alias("lines"))
+        .where(F.size("lines") >= 4)
+        .select("file", F.explode(quads).alias("r"))
+        .select("file", "r.record_idx", "r.header", "r.seq", "r.qual")
     )
 
 
@@ -155,3 +157,38 @@ def read_sequences(spark: SparkSession, path: str, fmt: str = "auto") -> DataFra
     if fmt == "fastq":
         return read_fastq(spark, path)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def taxid_from_header(header_col: str = "header"):
+    """P9: extract a ground-truth taxid from a sequence header.
+
+    The reference scans headers for ``taxid|<n>`` / ``kraken:taxid|<n>``
+    markers (/root/reference/src/classification.cpp:77-105 ground-truth
+    chain).  Returns a Column (nullable long)."""
+    return F.regexp_extract(
+        F.col(header_col), r"taxid\|(\d+)", 1
+    ).cast("long")
+
+
+def accession_from_header(header_col: str = "header"):
+    """P8-adjacent: first accession-shaped token of the header
+    (/root/reference/src/sequence_io.cpp:391-401 extract_accession
+    semantics: accession[.version] token)."""
+    return F.regexp_extract(
+        F.col(header_col), r"([A-Z]{1,4}_?\d{4,}(?:\.\d+)?)", 1
+    )
+
+
+def read_accession2taxid(spark: SparkSession, path: str) -> DataFrame:
+    """S11: NCBI accession2taxid TSV → (accession, accession_version,
+    taxid).  Header line ``accession\taccession.version\ttaxid\tgi`` is
+    skipped by type-coercion (its taxid is non-numeric)."""
+    raw = spark.read.option("sep", "\t").csv(path)
+    return (
+        raw.select(
+            F.col("_c0").alias("accession"),
+            F.col("_c1").alias("accession_version"),
+            F.col("_c2").cast("long").alias("taxid"),
+        )
+        .where(F.col("taxid").isNotNull())
+    )

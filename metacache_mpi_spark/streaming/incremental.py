@@ -44,21 +44,33 @@ class IncrementalDedup:
         self.cfg = cfg
         self.batch_no = self._last_batch() + 1
 
+    _KINDS = ("docs", "bands", "edges", "clusters")
+
     def _last_batch(self) -> int:
-        nums = [
+        """Highest batch number with ALL four snapshots committed.
+        Per-batch commits are atomic (one manifest update for all four,
+        plans/checkpoint.py commit()), so an incomplete batch can only
+        come from state written by older code — it is ignored and the
+        batch is reprocessed, preserving kill-and-resume == single-run."""
+        nums = {
             int(s.name.split("_b")[-1])
             for s in self.ck.snapshots()
             if s.name.startswith("docs_b")
+        }
+        complete = [
+            n
+            for n in nums
+            if all(self.ck.has(f"{k}_b{n}") for k in self._KINDS)
         ]
-        return max(nums, default=-1)
+        return max(complete, default=-1)
 
     def _state(self, kind: str) -> DataFrame | None:
-        names = sorted(
-            s.name for s in self.ck.snapshots() if s.name.startswith(f"{kind}_b")
-        )
-        if not names:
+        """State as of the last COMPLETE batch, selected numerically —
+        lexicographic name sort would pick 'docs_b9' over 'docs_b10'."""
+        last = self.batch_no - 1
+        if last < 0:
             return None
-        return self.ck.load(names[-1])
+        return self.ck.load(f"{kind}_b{last}")
 
     def process_batch(self, pages: DataFrame) -> DataFrame:
         """Fold a batch of pages into the state; returns the updated
@@ -115,10 +127,15 @@ class IncrementalDedup:
             else old_edges.unionByName(verified).distinct()
         )
 
-        all_docs = self.ck.save(all_docs, f"docs_b{b}")
-        self.ck.save(all_bands, f"bands_b{b}")
-        all_edges = self.ck.save(all_edges, f"edges_b{b}")
+        # two-phase commit: stage all four snapshots (Parquet writes),
+        # then ONE atomic manifest update — a crash mid-batch leaves no
+        # docs without their band rows (which would silently exempt them
+        # from future duplicate probes)
+        all_docs = self.ck.stage_write(all_docs, f"docs_b{b}")
+        self.ck.stage_write(all_bands, f"bands_b{b}")
+        all_edges = self.ck.stage_write(all_edges, f"edges_b{b}")
         clusters = cluster_assignments(all_docs, all_edges)
-        clusters = self.ck.save(clusters, f"clusters_b{b}")
+        clusters = self.ck.stage_write(clusters, f"clusters_b{b}")
+        self.ck.commit([f"{k}_b{b}" for k in self._KINDS])
         self.batch_no += 1
         return clusters

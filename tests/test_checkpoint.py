@@ -54,3 +54,19 @@ def test_resume_after_partial_crash(spark, tiny_corpus, tmp_path):
 
     resumed = dedup_pipeline(pages, checkpoints=CheckpointManager(spark, ckdir))
     assert _clusters(resumed) == want
+
+
+def test_multi_snapshot_commit_is_atomic(spark, tmp_path):
+    """stage_write leaves no manifest entry until commit(); commit()
+    lands all names in one manifest update."""
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    a = spark.range(3).toDF("x")
+    b = spark.range(5).toDF("y")
+    ck.stage_write(a, "s_a")
+    ck.stage_write(b, "s_b")
+    assert not ck.has("s_a") and not ck.has("s_b")  # crash here -> no batch
+    ck.commit(["s_a", "s_b"])
+    assert ck.has("s_a") and ck.has("s_b")
+    assert ck.load("s_b").count() == 5

@@ -45,3 +45,24 @@ def test_duplicate_url_across_batches_ignored(spark, tiny_corpus, tmp_path):
     c1 = inc.process_batch(pages)
     c2 = inc.process_batch(pages)  # same urls again -> all skipped
     assert c1.count() == c2.count() == 50
+
+
+def test_state_selection_numeric_and_complete(spark, tmp_path):
+    """Regression: snapshot selection must be numeric (docs_b10 > docs_b9,
+    though lexicographically smaller) and skip incomplete batches."""
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    for b in (9, 10):
+        marker = spark.createDataFrame([(b,)], "marker long")
+        for kind in ("docs", "bands", "edges", "clusters"):
+            ck.stage_write(marker, f"{kind}_b{b}")
+        ck.commit([f"{k}_b{b}" for k in ("docs", "bands", "edges", "clusters")])
+    # batch 11 is INCOMPLETE (docs only, simulating old-code partial state)
+    ck.save(spark.createDataFrame([(11,)], "marker long"), "docs_b11")
+
+    inc = IncrementalDedup(spark, ck)
+    assert inc.batch_no == 11  # resumes after b10, reprocessing b11
+    (row,) = inc._state("docs").collect()
+    assert row["marker"] == 10  # not b9 (lexicographic), not b11 (partial)

@@ -101,3 +101,45 @@ def test_emit_bands_shape(spark):
     rows = emit_bands(sigs, cfg).collect()
     assert len(rows) == cfg.bands  # null signature emits nothing
     assert {r["band"] for r in rows} == set(range(cfg.bands))
+
+
+def test_fingerprint_lane_applies_min_fp_hits(spark):
+    """Regression: the standalone winnow lane must enforce min_fp_hits
+    (config.py boilerplate pruning), not candidate_pairs' min_band_hits=1."""
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.operators.lsh import fingerprint_candidate_pairs
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+
+    def words(n):
+        return " ".join(
+            "".join(chr(97 + c) for c in rng.randint(0, 26, size=6))
+            for _ in range(n)
+        )
+
+    shared = words(250)  # ~1750 chars of verbatim overlap
+    short = shared[:40]  # < winnow_w + k - 1: no guaranteed shared fp
+    docs = spark.createDataFrame(
+        [
+            (1, words(30) + " " + shared + " " + words(30)),
+            (2, words(35) + " " + shared + " " + words(25)),
+            (3, words(40) + " " + short + " " + words(200)),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = DedupConfig(shingle_k=8, winnow_w=50, min_fp_hits=3)
+    got = fingerprint_candidate_pairs(docs, cfg).collect()
+    assert all(r["fp_hits"] >= cfg.min_fp_hits for r in got)
+    assert {(r["a"], r["b"]) for r in got} == {(1, 2)}
+
+
+def test_sources_have_no_rdd_usage():
+    """Scale contract: no per-row Python / RDD lambdas in any source."""
+    import pathlib
+
+    src_dir = pathlib.Path("metacache_mpi_spark/sources")
+    for py in src_dir.glob("*.py"):
+        text = py.read_text()
+        assert ".rdd" not in text, f"{py} uses the RDD API"

@@ -126,3 +126,48 @@ def test_parse_dmp_files(spark, tmp_path):
     assert nd == {1: (1, "root"), 2: (1, "domain"), 5: (2, "species")}
     nm = {r["taxid"]: r["name"] for r in parse_names_dmp(spark, str(names)).collect()}
     assert nm == {1: "root", 5: "Escherichia demo"}
+
+
+def test_classify_reference_rules(spark, tax):
+    """Literal transcription of classification.cpp:239-262: (1) best
+    hits < hitsMin -> unclassified; (2) the include threshold is STRICT
+    (hits > threshold); (3) the fold is the RANKED lca."""
+    tmap = {50: 5, 60: 6, 90: 9}
+    # (1) best candidate below hitsMin -> unclassified
+    cands = spark.createDataFrame([(1, 50, 2)], "qid long, tgt long, hits long")
+    (row,) = classify_lca(cands, tax, tmap, hits_min=3).collect()
+    assert row["taxid"] is None
+    # (2) threshold = (best - hitsMin) * fraction = (10-2)*0.5 = 4:
+    # second candidate with hits == 4 is NOT included (strict >), so the
+    # result stays at species 5, not genus lca(5,6)=4
+    cands = spark.createDataFrame(
+        [(2, 50, 10), (2, 60, 4)], "qid long, tgt long, hits long"
+    )
+    (row,) = classify_lca(
+        cands, tax, tmap, hits_min=2, hits_diff_fraction=0.5
+    ).collect()
+    assert row["taxid"] == 5
+    # ... and with hits == 5 (> threshold) it IS included -> genus 4
+    cands = spark.createDataFrame(
+        [(3, 50, 10), (3, 60, 5)], "qid long, tgt long, hits long"
+    )
+    (row,) = classify_lca(
+        cands, tax, tmap, hits_min=2, hits_diff_fraction=0.5
+    ).collect()
+    assert row["taxid"] == 4
+
+
+def test_classify_ranked_lca_skips_unranked(spark):
+    """An unranked first common ancestor must resolve to the next RANKED
+    ancestor (taxonomy.h ranked_lca), not spuriously unclassify."""
+    # 5,6 -> unranked clade 4 -> genus 3 -> root 1
+    t = Taxonomy(
+        parent={1: 1, 3: 1, 4: 3, 5: 4, 6: 4},
+        rank={1: "root", 3: "genus", 4: "clade", 5: "species", 6: "species"},
+    )
+    assert t.ranked_lca(5, 6) == 3  # full lca would be the unranked 4
+    cands = spark.createDataFrame(
+        [(1, 50, 10), (1, 60, 10)], "qid long, tgt long, hits long"
+    )
+    (row,) = classify_lca(cands, t, {50: 5, 60: 6}, hits_min=1).collect()
+    assert row["taxid"] == 3
