@@ -143,7 +143,13 @@ def _q_exact_dedup_keep_first(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # shuffle key is md5(text), NOT the full text: at corpus scale the
+    # exchange must not carry document bodies as grouping keys
+    return (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
@@ -205,6 +211,15 @@ def _q_simhash_dup_pairs(spark, sf_dir):
     return simhash_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _q_simhash_banded_pairs(spark, sf_dir):
+    """Production SimHash lane: banded equi-join (no cross join); with
+    bands > max_hamming the result is EXACTLY the brute-force pair set,
+    so the oracle is the brute SQL."""
+    from metacache_mpi_spark.operators.textops import simhash_banded_pairs
+
+    return simhash_banded_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _q_winnow_stats(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import winnow_fingerprint_stats
 
@@ -254,6 +269,57 @@ def _q_ann_lsh_bucketed(spark, sf_dir):
     from metacache_mpi_spark.operators.ann import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_lsh_dup_pairs(spark, sf_dir):
+    """Production embedding-dedup lane: sign-LSH banding + exact-cosine
+    verify (recall vs the brute lane gated in pytest)."""
+    from metacache_mpi_spark.operators.ann import sign_banded_dup_pairs
+
+    return sign_banded_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_lang_confusion_stats(spark, sf_dir):
+    """A10 confusion statistics as a first-class operator, applied to
+    the lang-ID heuristic's predictions vs the table's truth labels."""
+    from metacache_mpi_spark.operators.evaluate import confusion_stats
+    from metacache_mpi_spark.operators.textops import lang_id
+
+    return confusion_stats(
+        lang_id(_t(spark, sf_dir, "documents")), "lang", "pred_lang"
+    )
+
+
+def _q_value_moments(spark, sf_dir):
+    from metacache_mpi_spark.operators.relational import value_moments
+
+    return value_moments(_t(spark, sf_dir, "events"))
+
+
+def _q_matches_per_target(spark, sf_dir):
+    """A7 matches-per-target inversion over the events analog: query =
+    user, target = event_type, window = activity minute; candidates =
+    per-(user, target) ranges with ≥5 total events."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        matches_per_target,
+    )
+    from metacache_mpi_spark.operators.relational import _ntz_epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    matches = ev.select(
+        F.col("user_id").alias("qid"),
+        F.col("event_type").alias("tgt"),
+        F.floor(_ntz_epoch_us("ts") / 60000000.0).cast("long").alias("win"),
+    )
+    cands = matches.groupBy("qid", "tgt").agg(
+        F.min("win").alias("win_beg"), F.count(F.lit(1)).alias("hits")
+    )
+    cfg = GenomicConfig(num_windows=10)
+    out = matches_per_target(matches, cands, cfg, min_hits_per_candidate=5)
+    return out.drop("windows")
 
 
 def _q_tpch_q1(spark, sf_dir):
@@ -360,6 +426,110 @@ def _q_genomic_candidates(spark, sf_dir):
     return query_index(qdf, build_index(tdf, cfg), cfg)
 
 
+def _genomic_fixture(spark):
+    """Deterministic synthetic genomes + taxonomy shared by the genomic
+    contract entries."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    dna = lambda n: "".join("ACGT"[i] for i in rng.randint(0, 4, size=n))  # noqa: E731
+    genomes = [(t, dna(600)) for t in range(6)]
+    return rng, genomes
+
+
+def _q_genomic_candidates_paired(spark, sf_dir):
+    """Paired-end lifecycle (rows-only): both mates' matches accumulate
+    into ONE candidate set per query; the window span derives from the
+    combined read length (classification.cpp:217-219)."""
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        build_index,
+        query_index_paired,
+    )
+
+    rng, genomes = _genomic_fixture(spark)
+    reads = []
+    for qid in range(18):
+        t = qid % 6
+        s = int(rng.randint(0, 300))
+        insert = int(rng.randint(160, 220))
+        seq = genomes[t][1]
+        reads.append((qid, seq[s : s + 100], seq[s + insert : s + insert + 100]))
+    cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57)
+    tdf = spark.createDataFrame(genomes, "tgt long, seq string")
+    qdf = spark.createDataFrame(reads, "qid long, seq1 string, seq2 string")
+    return query_index_paired(qdf, build_index(tdf, cfg), cfg)
+
+
+def _q_genomic_candidates_merged(spark, sf_dir):
+    """A3 merge-below-rank (rows-only): candidates merged at genus level
+    before top-k (candidates.h:242-283)."""
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        build_index,
+        merge_candidates_below_rank,
+        probe_matches,
+        _top_candidates,
+    )
+    from metacache_mpi_spark.operators.taxonomy import Taxonomy
+
+    rng, genomes = _genomic_fixture(spark)
+    reads = []
+    for qid in range(18):
+        t = qid % 6
+        s = int(rng.randint(0, 420))
+        reads.append((qid, genomes[t][1][s : s + 140]))
+    cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57,
+                        max_candidates=4)
+    tdf = spark.createDataFrame(genomes, "tgt long, seq string")
+    qdf = spark.createDataFrame(reads, "qid long, seq string")
+    # taxonomy: targets 0-2 -> species 10-12 under genus 100;
+    # targets 3-5 -> species 13-15 under genus 101; root 1
+    tax = Taxonomy(
+        parent={1: 1, 100: 1, 101: 1, 10: 100, 11: 100, 12: 100,
+                13: 101, 14: 101, 15: 101},
+        rank={1: "root", 100: "genus", 101: "genus",
+              **{t: "species" for t in range(10, 16)}},
+    )
+    target_taxid = {t: 10 + t for t in range(6)}
+    matches = probe_matches(qdf, build_index(tdf, cfg), cfg)
+    # per-target best ranges (pre-top-k), then genus-level merge
+    per_target = _top_candidates(matches, cfg)
+    return merge_candidates_below_rank(
+        per_target.select("qid", "tgt", "hits", "win_beg"),
+        tax, target_taxid, "genus", cfg,
+    )
+
+
+def _q_classification_rank_stats(spark, sf_dir):
+    """A9/A10 per-rank sensitivity/precision (rows-only): the
+    rank-cumulative counters of classification_statistics.h:91-224 over
+    a deterministic synthetic assignment set."""
+    from metacache_mpi_spark.operators.evaluate import (
+        per_rank_stats,
+        rank_positions,
+    )
+    from metacache_mpi_spark.operators.taxonomy import Taxonomy
+
+    tax = Taxonomy(
+        parent={1: 1, 2: 1, 3: 2, 4: 3, 8: 3, 5: 4, 6: 4, 9: 8},
+        rank={1: "root", 2: "domain", 3: "phylum", 4: "genus",
+              8: "genus", 5: "species", 6: "species", 9: "species"},
+    )
+    rows = [
+        (0, 5, 5),        # correct at species
+        (1, 6, 5),        # same genus -> correct at genus, wrong below
+        (2, 9, 5),        # cross genus -> correct at phylum
+        (3, None, 5),     # unclassified, truth known
+        (4, 5, None),     # classified, truth unknown
+        (5, 4, 5),        # assigned at genus, truth species
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, taxid long, truth_taxid long"
+    )
+    return per_rank_stats(rank_positions(df, tax))
+
+
 def _q_pipeline_clusters(spark, sf_dir):
     """Full production pipeline on documents (rows-only check)."""
     from pyspark.sql import functions as F
@@ -396,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "simhash_banded_pairs": _q_simhash_banded_pairs,
         "winnow_fingerprint_stats": _q_winnow_stats,
         "stop_shingle_survivors": _q_stop_shingle_survivors,
         "token_stats": _q_token_stats,
@@ -404,6 +575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "ann_lsh_bucketed": _q_ann_lsh_bucketed,
+        "ann_lsh_dup_pairs": _q_ann_lsh_dup_pairs,
+        "lang_confusion_stats": _q_lang_confusion_stats,
+        "value_moments": _q_value_moments,
+        "matches_per_target": _q_matches_per_target,
         "tpch_q1": _q_tpch_q1,
         "top_users_per_event_type": _q_top_users,
         "contiguous_range_hits": _q_contig_hits,
@@ -417,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
         "pipeline_clusters": _q_pipeline_clusters,
         "genomic_candidates": _q_genomic_candidates,
+        "genomic_candidates_paired": _q_genomic_candidates_paired,
+        "genomic_candidates_merged": _q_genomic_candidates_merged,
+        "classification_rank_stats": _q_classification_rank_stats,
     }
 
 
@@ -427,7 +605,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
         """,
         "exact_dedup_keep_first": """
-            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_PAIRS_CTE}
@@ -479,6 +657,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, simhash FROM fp
         """,
         "simhash_dup_pairs": f"""
+            WITH {_simhash_votes_sql()}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        """,
+        # the banded lane must reproduce the brute-force pair set exactly
+        # (pigeonhole: 4 bands > 3 bit flips), so its oracle IS the brute SQL
+        "simhash_banded_pairs": f"""
             WITH {_simhash_votes_sql()}
             SELECT x.doc_id AS a, y.doc_id AS b,
                    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
@@ -577,6 +764,135 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored)
             SELECT vec_id, bucket, cos_micro, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "ann_lsh_dup_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            bd AS (SELECT vec_id, emb, unnest(range(0, 16)) AS band FROM e),
+            bb AS (SELECT vec_id, band,
+                          (CASE WHEN emb[CAST(band * 2 + 1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN emb[CAST(band * 2 + 2 AS INT)] > 0 THEN 2 ELSE 0 END) AS bband
+                   FROM bd),
+            cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                     FROM bb x JOIN bb y
+                       ON x.band = y.band AND x.bband = y.bband
+                      AND x.vec_id < y.vec_id)
+            SELECT a, b,
+                   CAST(floor(
+                     list_dot_product(ea.emb, eb.emb)
+                     / sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+            FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+            WHERE CAST(floor(
+                     list_dot_product(ea.emb, eb.emb)
+                     / sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) >= 350000
+        """,
+        "lang_confusion_stats": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS en_score,
+                     {_occ(' der ')} + {_occ(' und ')} + {_occ(' die ')} AS de_score,
+                     {_occ(' el ')} + {_occ(' la ')} + {_occ(' que ')} AS es_score
+              FROM documents),
+            lab AS (SELECT lang AS truth,
+                           CASE WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+                                WHEN de_score >= es_score THEN 'de'
+                                ELSE 'es' END AS pred
+                    FROM s),
+            sup AS (SELECT truth AS cls, count(*) AS support FROM lab GROUP BY truth),
+            prd AS (SELECT pred AS cls, count(*) AS predicted FROM lab GROUP BY pred),
+            tpc AS (SELECT truth AS cls, count(*) AS tp FROM lab WHERE truth = pred GROUP BY truth),
+            j AS (SELECT coalesce(sup.cls, prd.cls) AS cls,
+                         coalesce(support, 0) AS support,
+                         coalesce(predicted, 0) AS predicted,
+                         coalesce(tp, 0) AS tp
+                  FROM sup FULL OUTER JOIN prd ON sup.cls = prd.cls
+                  LEFT JOIN tpc ON coalesce(sup.cls, prd.cls) = tpc.cls)
+            SELECT cls, CAST(support AS BIGINT) AS support,
+                   CAST(predicted AS BIGINT) AS predicted,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(predicted - tp AS BIGINT) AS fp,
+                   CAST(support - tp AS BIGINT) AS fn,
+                   CAST(CASE WHEN support > 0 THEN floor(tp * 1000000.0 / support) ELSE 0 END AS BIGINT) AS sensitivity_micro,
+                   CAST(CASE WHEN predicted > 0 THEN floor(tp * 1000000.0 / predicted) ELSE 0 END AS BIGINT) AS precision_micro
+            FROM j
+        """,
+        "value_moments": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+                       FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(v_c) AS BIGINT) AS sum_c,
+                   CAST(sum(v_c * v_c) AS BIGINT) AS sum_sq_c,
+                   min(v_c) AS min_c, max(v_c) AS max_c
+            FROM v GROUP BY event_type
+        """,
+        "matches_per_target": """
+            WITH m AS (SELECT user_id AS qid, event_type AS tgt,
+                              CAST(floor(epoch_us(ts) / 60000000.0) AS BIGINT) AS win
+                       FROM events),
+            c AS (SELECT qid, tgt, min(win) AS beg FROM m GROUP BY qid, tgt
+                  HAVING count(*) >= 5),
+            r AS (SELECT m.qid, m.tgt, m.win FROM m JOIN c USING (qid, tgt)
+                  WHERE m.win >= c.beg AND m.win <= c.beg + 9),
+            pw AS (SELECT tgt, qid, win, count(*) AS whits
+                   FROM r GROUP BY tgt, qid, win),
+            pe AS (SELECT tgt, qid, min(win) AS win_first, max(win) AS win_last,
+                          CAST(count(*) AS BIGINT) AS n_windows,
+                          CAST(sum(whits) AS BIGINT) AS total_hits
+                   FROM pw GROUP BY tgt, qid)
+            SELECT tgt,
+                   CAST(row_number() OVER (PARTITION BY tgt
+                                           ORDER BY win_first, win_last, qid) AS BIGINT) AS pos,
+                   qid, win_first, win_last, n_windows, total_hits
+            FROM pe
+        """,
+        "classification_rank_stats": """
+            WITH lin(taxid, pos, anc) AS (VALUES
+              (5,1,5),(5,2,4),(5,6,3),(5,8,2),(5,9,1),
+              (6,1,6),(6,2,4),(6,6,3),(6,8,2),(6,9,1),
+              (9,1,9),(9,2,8),(9,6,3),(9,8,2),(9,9,1),
+              (4,2,4),(4,6,3),(4,8,2),(4,9,1)),
+            q(qid, pred, truth) AS (VALUES
+              (0,5,5),(1,6,5),(2,9,5),(3,NULL,5),(4,5,NULL),(5,4,5)),
+            rp(taxid, rpos) AS (VALUES (5,1),(6,1),(9,1),(4,2)),
+            lca AS (SELECT q2.qid, min(la.pos) AS cpos
+                    FROM q q2
+                    JOIN lin la ON la.taxid = q2.pred
+                    JOIN lin lb ON lb.taxid = q2.truth
+                              AND lb.pos = la.pos AND lb.anc = la.anc
+                    GROUP BY q2.qid),
+            pos AS (SELECT q.qid,
+                           coalesce(ap.rpos, 10) AS assigned_pos,
+                           coalesce(kp.rpos, 10) AS known_pos,
+                           greatest(coalesce(lca.cpos, 10),
+                                    coalesce(ap.rpos, 10),
+                                    coalesce(kp.rpos, 10)) AS correct_pos
+                    FROM q LEFT JOIN rp ap ON ap.taxid = q.pred
+                           LEFT JOIN rp kp ON kp.taxid = q.truth
+                           LEFT JOIN lca ON lca.qid = q.qid),
+            ranks(rpos, rank) AS (VALUES
+              (0,'sequence'),(1,'species'),(2,'genus'),(3,'family'),
+              (4,'order'),(5,'class'),(6,'phylum'),(7,'kingdom'),
+              (8,'domain'),(9,'root')),
+            agg AS (SELECT ranks.rank, ranks.rpos,
+                           count(*) AS total,
+                           sum(CASE WHEN assigned_pos <= ranks.rpos THEN 1 ELSE 0 END) AS assigned,
+                           sum(CASE WHEN known_pos <= ranks.rpos THEN 1 ELSE 0 END) AS known,
+                           sum(CASE WHEN known_pos < 10 AND correct_pos <= ranks.rpos THEN 1 ELSE 0 END) AS correct,
+                           sum(CASE WHEN known_pos < 10 AND correct_pos > known_pos
+                                         AND correct_pos > assigned_pos
+                                         AND ranks.rpos < correct_pos THEN 1 ELSE 0 END) AS wrong
+                    FROM pos, ranks GROUP BY ranks.rank, ranks.rpos)
+            SELECT rank, CAST(rpos AS INT) AS rank_pos,
+                   CAST(total AS BIGINT) AS total,
+                   CAST(assigned AS BIGINT) AS assigned,
+                   CAST(known AS BIGINT) AS known,
+                   CAST(correct AS BIGINT) AS correct,
+                   CAST(wrong AS BIGINT) AS wrong,
+                   CAST(CASE WHEN known > 0 THEN floor(correct * 1000000.0 / known) ELSE 0 END AS BIGINT) AS sensitivity_micro,
+                   CAST(CASE WHEN correct + wrong > 0 THEN floor(correct * 1000000.0 / (correct + wrong)) ELSE 0 END AS BIGINT) AS precision_micro
+            FROM agg
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

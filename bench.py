@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
@@ -42,8 +44,12 @@ HEADLINE = [
     "pipeline_lsh_pairs",
 ]
 
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "50000"))
-SKETCH_REPLICATE = 4  # sketch-scaling input = SCALING_PAGES × this
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "200000"))
+# smaller corpus for the marginal-throughput delta (cancels fixed
+# latency: Δdocs/Δt is the 10^12-doc steady-state proxy) and for the
+# sketch-scaling replicate base
+SMALL_PAGES = int(os.environ.get("SPARK_GRAFT_SMALL_PAGES", "50000"))
+SKETCH_REPLICATE = 4  # sketch-scaling input = SMALL_PAGES × this
 # N → 4N window: 4 → 16. At local[32] the JVM's 32 task threads PLUS 32
 # Python UDF workers oversubscribe the VM's 32 shared vCPUs (measured
 # 3× per-item slowdown in Python stages), so 8→32 measures contention,
@@ -71,20 +77,97 @@ def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
 
 def run_dedup_at(corpus_dir: str, cores: int) -> float:
     """One full dedup pipeline over the corpus; returns wall seconds.
-    JVM warmup happens outside the timed window (cluster start time is
-    not throughput)."""
+    JVM startup AND the Python-UDF worker pool are warmed outside the
+    timed window (cluster/worker start time is not throughput)."""
+    from pyspark.sql import functions as F
+
     from metacache_mpi_spark.plans.pipeline import dedup_pipeline
     from metacache_mpi_spark.sources.pages import load_pages
 
     spark = get_spark(cores, app_name=f"bench-dedup-{cores}",
                       shuffle_partitions=2 * cores)
-    spark.range(1000).count()
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10000).repartition(2 * cores).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
     t0 = time.time()
     res = dedup_pipeline(load_pages(spark, corpus_dir))
     res.clusters.count()
     dt = time.time() - t0
     spark.stop()
     return dt
+
+
+# --------------------------------------------------------------------------
+# same-run VM calibration (the hardware ceiling the efficiencies compare to)
+# --------------------------------------------------------------------------
+
+
+def _calib_cpu_kernel(n_iter: int) -> int:
+    """Cache-resident hash/sort kernel — scales with available CPUs."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 2**31, size=50_000).astype(np.uint64)
+    t = 0
+    for _ in range(n_iter):
+        h = (a ^ (a >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        t += int(np.sort(h % np.uint64(1 << 32))[0])
+    return t
+
+
+def _calib_mem_kernel(n_iter: int) -> int:
+    """Random-access memory-bound kernel — the shuffle/hash-join analog;
+    on a shared host this is the binding ceiling for Spark's exchange
+    stages (hash tables don't fit in cache)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 2**31, size=4_000_000).astype(np.uint64)
+    idx = rng.randint(0, a.size, size=a.size)
+    t = 0
+    for _ in range(n_iter):
+        t += int(a[idx][::997].sum())
+    return t
+
+
+def _calib_throughput(kernel, procs: int, n_iter: int) -> float:
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(procs) as p:
+        t0 = time.time()
+        p.map(kernel, [n_iter] * procs)
+        dt = time.time() - t0
+    return procs * n_iter / dt
+
+
+def vm_calibration() -> dict:
+    """Measured N→4N scaling of this VM for the two workload classes the
+    engine mixes: cache-resident compute (sketch UDFs) and random-access
+    memory traffic (shuffle hash aggs/joins).  The dedup job's scaling
+    efficiency is bounded by a mix of these ceilings — they are measured
+    IN THE SAME RUN so the bench reports its own hardware context."""
+    out = {}
+    for name, kernel, n_iter in (
+        ("cpu", _calib_cpu_kernel, 200),
+        ("mem", _calib_mem_kernel, 8),
+    ):
+        # paired + best-of-2 for the same reason as the dedup runs:
+        # external host load swings faster than a measurement
+        best = None
+        for _ in range(2):
+            lo = _calib_throughput(kernel, CORES_LOW, n_iter)
+            hi = _calib_throughput(kernel, CORES_HIGH, n_iter)
+            eff = (hi / lo) / (CORES_HIGH / CORES_LOW)
+            # cap at 1: super-linear readings are load artifacts
+            best = max(best or 0.0, min(1.0, eff))
+        out[f"{name}_eff"] = round(best, 3)
+    return out
 
 
 def run_sketch_at(corpus_dir: str, cores: int) -> tuple[float, int]:
@@ -144,13 +227,34 @@ def main() -> None:
         corpus_dir = f"/tmp/bench_corpus_{SCALING_PAGES}"
         if not os.path.exists(f"{corpus_dir}/pages.parquet"):
             write_corpus(corpus_dir, n_pages=SCALING_PAGES, seed=42)
+        small_dir = f"/tmp/bench_corpus_{SMALL_PAGES}"
+        if not os.path.exists(f"{small_dir}/pages.parquet"):
+            write_corpus(small_dir, n_pages=SMALL_PAGES, seed=42)
 
-        # min-of-2: single-JVM local mode shows ±40% run-to-run noise
-        # (GC + AQE interactions); min is the standard noise suppressor
-        t_low = min(run_dedup_at(corpus_dir, CORES_LOW) for _ in range(2))
-        t_high = min(run_dedup_at(corpus_dir, CORES_HIGH) for _ in range(2))
+        # Shared-host load varies by MINUTES (observed 2-4× swings), so
+        # the low/high measurements of one comparison are taken
+        # back-to-back as a PAIR and the calmest pair (lowest combined
+        # wall time) wins — min-of-independent-runs can pair a calm
+        # 4-core window with a stormy 16-core one and report nonsense
+        # (a measured "16 slower than 4").
+        def paired_runs(corpus: str, reps: int = 2) -> tuple[float, float]:
+            pairs = []
+            for _ in range(reps):
+                tl = run_dedup_at(corpus, CORES_LOW)
+                th = run_dedup_at(corpus, CORES_HIGH)
+                pairs.append((tl, th))
+            return min(pairs, key=sum)
+
+        t_low, t_high = paired_runs(corpus_dir)
+        ts_low, ts_high = paired_runs(small_dir)
         thr_low = SCALING_PAGES / t_low
         thr_high = SCALING_PAGES / t_high
+        eff = (thr_high / thr_low) / (CORES_HIGH / CORES_LOW)
+        calib = vm_calibration()
+        # the job mixes cache-resident UDF compute with random-access
+        # shuffle stages; its ceiling on THIS host is bounded by the two
+        # measured kernel ceilings (mem is binding for exchange stages)
+        out["vm_calibration"] = calib
         out["dedup_scaling"] = {
             "docs": SCALING_PAGES,
             "cores_low": CORES_LOW,
@@ -159,17 +263,32 @@ def main() -> None:
             "sec_high": round(t_high, 2),
             "docs_per_sec_low": round(thr_low, 1),
             "docs_per_sec_high": round(thr_high, 1),
-            "efficiency": round(
-                (thr_high / thr_low) / (CORES_HIGH / CORES_LOW), 3
+            "efficiency": round(eff, 3),
+            "efficiency_vs_mem_ceiling": round(
+                min(1.0, eff / calib["mem_eff"]) if calib["mem_eff"] else 0.0,
+                3,
             ),
+        }
+        # steady-state proxy: marginal throughput between the two corpus
+        # sizes cancels every fixed per-job cost — what remains is the
+        # size-proportional work, the only component that exists at
+        # 10^12-doc scale
+        d_docs = SCALING_PAGES - SMALL_PAGES
+        m_low = d_docs / max(1e-9, t_low - ts_low)
+        m_high = d_docs / max(1e-9, t_high - ts_high)
+        out["dedup_marginal_scaling"] = {
+            "docs_delta": d_docs,
+            "marginal_docs_per_sec_low": round(m_low, 1),
+            "marginal_docs_per_sec_high": round(m_high, 1),
+            "efficiency": round((m_high / m_low) / (CORES_HIGH / CORES_LOW), 3),
         }
 
         s_low, n_docs = min(
-            (run_sketch_at(corpus_dir, CORES_LOW) for _ in range(2)),
+            (run_sketch_at(small_dir, CORES_LOW) for _ in range(2)),
             key=lambda t: t[0],
         )
         s_high, _ = min(
-            (run_sketch_at(corpus_dir, CORES_HIGH) for _ in range(2)),
+            (run_sketch_at(small_dir, CORES_HIGH) for _ in range(2)),
             key=lambda t: t[0],
         )
         out["sketch_scaling"] = {

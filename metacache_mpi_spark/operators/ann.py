@@ -96,6 +96,68 @@ def cosine_dup_pairs(emb: DataFrame, tau: float = 0.35) -> DataFrame:
     )
 
 
+def sign_banded_dup_pairs(
+    emb: DataFrame,
+    tau: float = 0.35,
+    bands: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Production embedding-dedup lane: random-hyperplane (sign-bit) LSH
+    banding + exact-cosine verify — replaces the all-pairs theta join of
+    :func:`cosine_dup_pairs` with a band-bucket equi join, exactly the
+    move LSH banding makes for the text lane.
+
+    Band b's key is the sign pattern of components
+    ``[b*rows_per_band, (b+1)*rows_per_band)`` (axis hyperplanes for
+    oracle determinism; at production scale use random projections).
+    Candidates collide in ≥1 band; every candidate is then verified with
+    the exact fixed-point cosine, so precision is 1.0 — recall is the
+    banding hit rate: P(sign match per dim) = 1 - θ/π, so with 16 bands
+    × 2 rows a τ=0.35 borderline pair is missed with probability
+    (1 - 0.377)^16 ≈ 5e-4 (gated ≥0.99 in pytest vs the brute lane).
+
+    Scale: the banded join shuffles (band, bits) keys — 4^bands-ary
+    buckets; boilerplate/zero-ish vectors that pile into one bucket are
+    the same skew the LSH bucket cap handles (AQE skew split backstops).
+    """
+    nbits = bands * rows_per_band
+    bit_exprs = []
+    for b in range(bands):
+        bits = None
+        for r in range(rows_per_band):
+            t = F.when(
+                F.element_at("embedding", b * rows_per_band + r + 1) > 0,
+                F.lit(1 << r),
+            ).otherwise(F.lit(0))
+            bits = t if bits is None else bits + t
+        bit_exprs.append(bits.cast("long"))
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*bit_exprs)).alias("band", "bband"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, ["band", "bband"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    verified = cand.join(ea, "a").join(eb, "b")
+    cos = _dot("ea", "eb") / F.sqrt(_dot("ea", "ea") * _dot("eb", "eb"))
+    return (
+        verified.select(
+            "a",
+            "b",
+            F.floor(cos * 1000000.0 + 0.5).cast("long").alias("cos_micro"),
+        )
+        .where(F.col("cos_micro") >= int(tau * 1_000_000))
+    )
+
+
 def _sign_bucket(col: str):
     """Bucket id from the sign bits of the first SIGN_DIMS components."""
     terms = None

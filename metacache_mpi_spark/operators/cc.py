@@ -100,7 +100,16 @@ def _unionfind_local(rows: list, spark) -> DataFrame:
     for node in list(parent):
         r = find(node)
         roots[r] = min(roots.get(r, r), node)
-    out = [(n, roots[find(n)]) for n in parent]
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "node": list(parent),
+            "component": [roots[find(n)] for n in parent],
+        }
+    )
+    # pandas input → Arrow-batched transfer (a tuple list serializes
+    # row-at-a-time through py4j pickling — measured seconds at 50k rows)
     return spark.createDataFrame(out, "node long, component long")
 
 
@@ -125,15 +134,19 @@ def connected_components(
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .persist()  # consumed by the probe count, then collect OR loop
     )
-    if local_threshold > 0:
-        head = e.limit(local_threshold + 1).collect()
-        if len(head) <= local_threshold:
-            if not head:
-                return spark.createDataFrame([], "node long, component long")
-            return _unionfind_local(head, spark)
-    if e.isEmpty():
+    # size probe: a COUNT, not limit(n).collect() — CollectLimit scans
+    # partitions incrementally (1, then scaleUpFactor more, ...), and on
+    # top of an expensive upstream chain each retry re-executes that
+    # chain; count() materializes everything once with full parallelism
+    # (and populates the caller's persist() cache), after which the
+    # small-case collect is a cheap cached re-scan.
+    n_edges = e.count()
+    if n_edges == 0:
         return spark.createDataFrame([], "node long, component long")
+    if 0 < local_threshold and n_edges <= local_threshold:
+        return _unionfind_local(e.collect(), spark)
 
     prev_fp = None
     for _ in range(max_iter):

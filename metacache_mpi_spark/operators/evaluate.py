@@ -1,0 +1,205 @@
+"""Evaluation operators: confusion statistics + per-rank classification
+statistics — first-class DataFrame restatements of the reference's
+evaluation mode (``-precision`` / ``-taxon-coverage``).
+
+- :func:`confusion_stats` — per-class TP/FP/FN + sensitivity/precision
+  (/root/reference/src/stat_confusion.h:37-130): one groupBy-count per
+  axis, joined; all counting is conditional aggregation, fully
+  SQL-expressible (the driver oracle mirrors it).
+- :func:`pair_recall` — set-level recall/precision of a predicted pair
+  list vs a ground-truth pair list (the dup-pair ≥0.99 gate's engine).
+- :func:`rank_positions` + :func:`per_rank_stats` — the reference's
+  rank-cumulative counters (A9,
+  /root/reference/src/classification_statistics.h:91-224): per query,
+  the lowest rank assigned / known / correct feeds cumulative
+  assigned/known/correct/wrong counts per rank, from which
+  sensitivity(r) = correct(r)/known(r) and
+  precision(r) = correct(r)/(correct(r)+wrong(r)).
+
+All heavy inputs stay distributed; only the taxonomy dimension rides as
+a broadcast (the reference replicates it per rank likewise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .taxonomy import RANKS, Taxonomy
+
+# sentinel position for "no rank" — above root
+NONE_POS = len(RANKS)
+
+
+def confusion_stats(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class confusion counts over (truth, pred) label pairs.
+
+    Returns (cls, support, predicted, tp, fp, fn, sensitivity_micro,
+    precision_micro); sensitivity = tp/support, precision = tp/predicted
+    (fixed-point micros, 0 when the denominator is 0 — the reference's
+    guarded ratios, classification_statistics.h:205-215).
+    """
+    t = F.col(truth_col)
+    p = F.col(pred_col)
+    labeled = df.select(t.alias("truth"), p.alias("pred"))
+    support = labeled.groupBy(F.col("truth").alias("cls")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    predicted = labeled.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("predicted")
+    )
+    tp = (
+        labeled.where(F.col("truth") == F.col("pred"))
+        .groupBy(F.col("truth").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    joined = (
+        support.join(predicted, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.floor(F.col(num) * 1000000.0 / F.col(den))
+    ).otherwise(F.lit(0)).cast("long")
+    return joined.select(
+        "cls",
+        "support",
+        "predicted",
+        "tp",
+        (F.col("predicted") - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
+        ratio("tp", "support").alias("sensitivity_micro"),
+        ratio("tp", "predicted").alias("precision_micro"),
+    )
+
+
+def pair_recall(pred_pairs: DataFrame, truth_pairs: DataFrame) -> dict:
+    """Set recall/precision of predicted (a, b) pairs vs ground truth.
+
+    Distributed: two anti/semi joins + counts; returns a small dict
+    (tp, fn, fp, recall, precision) — the dup-pair ≥0.99 recall gate.
+    Both inputs are canonicalized to a < b before comparison.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+
+    p, t = canon(pred_pairs), canon(truth_pairs)
+    tp = p.join(t, ["a", "b"], "left_semi").count()
+    fn = t.join(p, ["a", "b"], "left_anti").count()
+    fp = p.join(t, ["a", "b"], "left_anti").count()
+    return {
+        "tp": tp,
+        "fn": fn,
+        "fp": fp,
+        "recall": tp / (tp + fn) if tp + fn else 1.0,
+        "precision": tp / (tp + fp) if tp + fp else 1.0,
+    }
+
+
+def rank_positions(
+    assignments_with_truth: DataFrame,
+    taxonomy: Taxonomy,
+) -> DataFrame:
+    """(qid, taxid, truth_taxid) → (qid, assigned_pos, known_pos,
+    correct_pos): the three per-query rank positions feeding the
+    reference's counters (classification_statistics.h:91-120):
+
+    - assigned_pos — rank of the assignment (NONE_POS if unclassified);
+    - known_pos    — rank of the ground truth (NONE_POS if unknown);
+    - correct_pos  — rank of ranked_lca(assigned, truth), clamped to be
+      no more specific than either input rank (the reference's
+      plausibility clamp).
+    """
+    spark = assignments_with_truth.sparkSession
+    b_tax = spark.sparkContext.broadcast(taxonomy)
+
+    import pandas as pd
+
+    def _pos(batches):
+        tax: Taxonomy = b_tax.value
+        for pdf in batches:
+            a_pos, k_pos, c_pos = [], [], []
+            for pred, truth in zip(pdf["taxid"], pdf["truth_taxid"]):
+                ap = NONE_POS if pd.isna(pred) else tax.rank_pos(int(pred))
+                kp = NONE_POS if pd.isna(truth) else tax.rank_pos(int(truth))
+                if pd.isna(pred) or pd.isna(truth):
+                    cp = NONE_POS
+                else:
+                    lca = tax.ranked_lca(int(pred), int(truth))
+                    cp = NONE_POS if lca is None else tax.rank_pos(lca)
+                cp = max(cp, ap, kp)  # plausibility clamp
+                a_pos.append(ap)
+                k_pos.append(kp)
+                c_pos.append(cp)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "assigned_pos": pd.Series(a_pos, dtype="int32"),
+                    "known_pos": pd.Series(k_pos, dtype="int32"),
+                    "correct_pos": pd.Series(c_pos, dtype="int32"),
+                }
+            )
+
+    return assignments_with_truth.select(
+        "qid", "taxid", "truth_taxid"
+    ).mapInPandas(
+        _pos,
+        schema="qid long, assigned_pos int, known_pos int, correct_pos int",
+    )
+
+
+def per_rank_stats(pos_df: DataFrame) -> DataFrame:
+    """Rank-cumulative counters + sensitivity/precision per rank.
+
+    Transcribes classification_statistics.h:91-224: a query counts as
+    assigned/known/correct at every rank ≥ its per-query position, and
+    as wrong at every rank BELOW its correct position when the correct
+    rank is strictly above both the known and assigned ranks.
+    """
+    spark = pos_df.sparkSession
+    ranks = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(RANKS)], "pos int, rank string"
+    )
+    # tiny dim × per-query rows: broadcast cross join, conditional sums
+    crossed = pos_df.crossJoin(F.broadcast(ranks))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    r = F.col("pos")
+    agg = crossed.groupBy("pos", "rank").agg(
+        F.count(F.lit(1)).alias("total"),
+        cnt(F.col("assigned_pos") <= r).alias("assigned"),
+        cnt(F.col("known_pos") <= r).alias("known"),
+        cnt(
+            (F.col("known_pos") < NONE_POS) & (F.col("correct_pos") <= r)
+        ).alias("correct"),
+        cnt(
+            (F.col("known_pos") < NONE_POS)
+            & (F.col("correct_pos") > F.col("known_pos"))
+            & (F.col("correct_pos") > F.col("assigned_pos"))
+            & (r < F.col("correct_pos"))
+        ).alias("wrong"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * 1000000.0 / den)
+    ).otherwise(F.lit(0)).cast("long")
+    return agg.select(
+        "rank",
+        F.col("pos").alias("rank_pos"),
+        "total",
+        "assigned",
+        "known",
+        "correct",
+        "wrong",
+        ratio(F.col("correct"), F.col("known")).alias("sensitivity_micro"),
+        ratio(
+            F.col("correct"), F.col("correct") + F.col("wrong")
+        ).alias("precision_micro"),
+    )

@@ -84,21 +84,27 @@ def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> Dat
     """
     rows = _sketch_rows(targets, cfg, "tgt")
     counts = rows.groupBy("feature").agg(F.count(F.lit(1)).alias("n"))
+    # feature-count sets scale with the index — shuffle join, never a
+    # broadcast build (see prune_buckets)
     if cfg.remove_overpopulated:
         keep = counts.where(F.col("n") <= cfg.max_locs_per_feature)
-        return rows.join(keep.select("feature"), "feature").select(
-            "feature", "tgt", "win"
-        )
+        return rows.join(
+            keep.select("feature").hint("shuffle_hash"), "feature"
+        ).select("feature", "tgt", "win")
     # cap: only oversize features pay the per-feature sort window — the
     # bulk bypasses it entirely, and no mega-hot feature funnels through
     # a single task before being counted (same count-first discipline as
     # prune_buckets)
     small = rows.join(
-        counts.where(F.col("n") <= cfg.max_locs_per_feature).select("feature"),
+        counts.where(F.col("n") <= cfg.max_locs_per_feature)
+        .select("feature")
+        .hint("shuffle_hash"),
         "feature",
     ).select("feature", "tgt", "win")
     big = rows.join(
-        counts.where(F.col("n") > cfg.max_locs_per_feature).select("feature"),
+        counts.where(F.col("n") > cfg.max_locs_per_feature)
+        .select("feature")
+        .hint("shuffle_hash"),
         "feature",
     )
     w = Window.partitionBy("feature").orderBy("tgt", "win")
@@ -146,32 +152,72 @@ def dump_feature_map(index: DataFrame) -> DataFrame:
     )
 
 
-def query_index(
+def probe_matches(
     queries: DataFrame,
     index: DataFrame,
     cfg: GenomicConfig = GenomicConfig(),
 ) -> DataFrame:
-    """queries(qid, seq) × index → top-k candidates per query:
-    (qid, tgt, hits, win_beg) with hits ≥ hitsMin.
+    """J1: queries(qid, seq) × index → raw matches (qid, tgt, win) — the
+    hash-multimap probe (accumulate_matches,
+    /root/reference/src/sketch_database.h:804-833) as an equi join."""
+    qrows = _sketch_rows(queries, cfg, "qid").withColumnRenamed(
+        "win", "qwin"
+    )
+    return qrows.join(index, "feature").select(
+        "qid", "tgt", F.col("win").cast("long").alias("win")
+    )
+
+
+def _top_candidates(
+    matches: DataFrame, cfg: GenomicConfig, num_windows=None
+) -> DataFrame:
+    """matches (qid, tgt, win) → top-k candidates per query (A1 + A2).
 
     hits = the best contiguous window-range count: for each target
     window w holding ≥1 match, the number of matches in
-    [w, w + num_windows - 1] (A1); best range per (qid, tgt), then
-    top-k targets per qid ordered by hits desc (tie: tgt asc).
+    [w, w + num_windows - 1] (A1, /root/reference/src/candidates.h:118-180);
+    best range per (qid, tgt), then top-k targets per qid ordered by
+    hits desc (tie: tgt asc) with the hitsMin threshold (P12).
+
+    ``num_windows`` may be a per-row Column (paired-end mode derives it
+    from read lengths, classification.cpp:217-219) — a Column bound is
+    not expressible as a ``rangeBetween`` frame, so the windowed sum
+    becomes a bounded-range self join on (qid, tgt): per-(qid, tgt)
+    match lists are tiny (≤ windows per read), so the join fan-out is
+    bounded the way the reference's per-query candidate scan is.
     """
-    qrows = _sketch_rows(queries, cfg, "qid").withColumnRenamed("win", "qwin")
-    # J1: the index probe — plain equi join on feature
-    matches = qrows.join(index, "feature").select(
-        "qid", "tgt", F.col("win").cast("long").alias("win")
-    )
-    per_win = matches.groupBy("qid", "tgt", "win").agg(
-        F.count(F.lit(1)).alias("whits")
-    )
-    # A1: range frame over window ids
-    span = Window.partitionBy("qid", "tgt").orderBy("win").rangeBetween(
-        0, cfg.num_windows - 1
-    )
-    ranged = per_win.withColumn("hits", F.sum("whits").over(span))
+    if num_windows is None:
+        per_win = matches.groupBy("qid", "tgt", "win").agg(
+            F.count(F.lit(1)).alias("whits")
+        )
+        # constant span → native range frame (single shuffle, no join)
+        span = Window.partitionBy("qid", "tgt").orderBy("win").rangeBetween(
+            0, cfg.num_windows - 1
+        )
+        ranged = per_win.withColumn("hits", F.sum("whits").over(span))
+    else:
+        # the span column is functionally dependent on qid — carry it
+        # through the per-window aggregation with first()
+        nw = matches.groupBy("qid", "tgt", "win").agg(
+            F.count(F.lit(1)).alias("whits"),
+            F.first(num_windows).alias("nw"),
+        )
+        s, e = nw.alias("s"), nw.alias("e")
+        ranged = (
+            s.join(
+                e,
+                (F.col("s.qid") == F.col("e.qid"))
+                & (F.col("s.tgt") == F.col("e.tgt"))
+                & (F.col("e.win") >= F.col("s.win"))
+                & (F.col("e.win") <= F.col("s.win") + F.col("s.nw") - 1),
+            )
+            .groupBy(
+                F.col("s.qid").alias("qid"),
+                F.col("s.tgt").alias("tgt"),
+                F.col("s.win").alias("win"),
+            )
+            .agg(F.sum("e.whits").alias("hits"))
+        )
     best = Window.partitionBy("qid", "tgt").orderBy(
         F.desc("hits"), F.asc("win")
     )
@@ -180,7 +226,6 @@ def query_index(
         .where(F.col("rn") == 1)
         .select("qid", "tgt", "hits", F.col("win").alias("win_beg"))
     )
-    # A2: top-k candidates per query, P12: hitsMin threshold
     topk = Window.partitionBy("qid").orderBy(F.desc("hits"), F.asc("tgt"))
     return (
         per_target.withColumn("rank", F.row_number().over(topk))
@@ -189,4 +234,170 @@ def query_index(
             & (F.col("hits") >= cfg.hits_min_effective)
         )
         .select("qid", "tgt", "hits", "win_beg", "rank")
+    )
+
+
+def query_index(
+    queries: DataFrame,
+    index: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+) -> DataFrame:
+    """queries(qid, seq) × index → top-k candidates per query:
+    (qid, tgt, hits, win_beg) with hits ≥ hitsMin (J1 + A1 + A2 + P12)."""
+    return _top_candidates(probe_matches(queries, index, cfg), cfg)
+
+
+def query_index_paired(
+    queries: DataFrame,
+    index: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+    insert_size_max: int = 0,
+) -> DataFrame:
+    """Paired-end query lifecycle: queries(qid, seq1, seq2) → top-k
+    candidates with BOTH mates' matches accumulated into one candidate
+    set per query before window-range counting.
+
+    Reference semantics: matches from seq1 and seq2 are merged into one
+    sorted location list per query (/root/reference/src/querying.h:49-75;
+    sketch_database.h:804-833 called once per mate), and the A1 window
+    span derives from read + insert size:
+    ``num_windows = 2 + max(|seq1|+|seq2|, insertSizeMax) / winstride``
+    (/root/reference/src/classification.cpp:217-219).  CLI evidence:
+    ``-pairfiles`` (script/ft/QueryGeneric_FT.sh:115).
+    """
+    mates = queries.select(
+        "qid", F.col("seq1").alias("seq")
+    ).unionByName(queries.select("qid", F.col("seq2").alias("seq")))
+    matches = probe_matches(mates, index, cfg)
+    # per-query window span from total read length (reference formula)
+    span = queries.select(
+        "qid",
+        (
+            F.lit(2)
+            + F.floor(
+                F.greatest(
+                    F.length("seq1") + F.length("seq2"),
+                    F.lit(insert_size_max),
+                )
+                / cfg.winstride
+            )
+        ).cast("long").alias("nw_q"),
+    )
+    matches = matches.join(F.broadcast(span), "qid")
+    return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
+
+
+def merge_candidates_below_rank(
+    per_target: DataFrame,
+    taxonomy,
+    target_taxid: dict[int, int],
+    lowest_rank: str,
+    cfg: GenomicConfig = GenomicConfig(),
+) -> DataFrame:
+    """A3 merge-below-rank (/root/reference/src/candidates.h:242-283):
+    with ``-lowest <rank>`` above sequence level, each candidate's taxon
+    is lifted to its ancestor at that rank BEFORE insertion, and a taxon
+    already in the list only updates if the new candidate has MORE hits
+    — i.e. max-hits per distinct merged taxon, then top-k by hits.
+
+    ``per_target``: (qid, tgt, hits, win_beg) pre-top-k rows (the
+    per-target best ranges).  Returns (qid, taxid, hits, rank).
+    """
+    merged_map = {
+        tgt: taxonomy.ancestor_at_rank(tax, lowest_rank) or tax
+        for tgt, tax in target_taxid.items()
+    }
+    spark = per_target.sparkSession
+    dim = spark.createDataFrame(
+        [(t, m) for t, m in merged_map.items()], "tgt long, taxid long"
+    )
+    lifted = per_target.join(F.broadcast(dim), "tgt")
+    # max-hits per (query, merged taxon); deterministic tie-break
+    best = Window.partitionBy("qid", "taxid").orderBy(
+        F.desc("hits"), F.asc("win_beg"), F.asc("tgt")
+    )
+    per_taxon = (
+        lifted.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select("qid", "taxid", "hits")
+    )
+    topk = Window.partitionBy("qid").orderBy(F.desc("hits"), F.asc("taxid"))
+    return (
+        per_taxon.withColumn("rank", F.row_number().over(topk))
+        .where(
+            (F.col("rank") <= cfg.max_candidates)
+            & (F.col("hits") >= cfg.hits_min_effective)
+        )
+        .select("qid", "taxid", "hits", "rank")
+    )
+
+
+def matches_per_target(
+    matches: DataFrame,
+    candidates: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+    min_hits_per_candidate: int = 0,
+) -> DataFrame:
+    """A7 matches-per-target inversion (`-targets` output mode,
+    /root/reference/src/matches_per_target.h:111-155): per target, the
+    candidate queries that hit it, each with its per-window match counts
+    inside the candidate's window range, ordered by the reference's sort
+    rule (first window, last window, query id — :172-184).
+
+    Returns (tgt, pos, qid, win_first, win_last, n_windows, total_hits,
+    windows) where ``windows`` is the sorted (win, hits) struct list and
+    ``pos`` is the rank of the entry in the target's sorted list.
+    """
+    cand = candidates.where(
+        F.col("hits") >= min_hits_per_candidate
+    ).select(
+        "qid",
+        "tgt",
+        F.col("win_beg").alias("_beg"),
+        (F.col("win_beg") + cfg.num_windows - 1).alias("_end"),
+    )
+    in_range = matches.join(cand, ["qid", "tgt"]).where(
+        (F.col("win") >= F.col("_beg")) & (F.col("win") <= F.col("_end"))
+    )
+    per_win = in_range.groupBy("tgt", "qid", "win").agg(
+        F.count(F.lit(1)).alias("whits")
+    )
+    per_entry = per_win.groupBy("tgt", "qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("win", "whits"))
+        ).alias("windows")
+    )
+    per_entry = per_entry.select(
+        "tgt",
+        "qid",
+        F.col("windows")[0]["win"].alias("win_first"),
+        F.element_at("windows", -1)["win"].alias("win_last"),
+        F.size("windows").cast("long").alias("n_windows"),
+        F.aggregate(
+            "windows", F.lit(0).cast("long"), lambda acc, x: acc + x["whits"]
+        ).alias("total_hits"),
+        "windows",
+    )
+    order = Window.partitionBy("tgt").orderBy(
+        "win_first", "win_last", "qid"
+    )
+    return per_entry.withColumn(
+        "pos", F.row_number().over(order).cast("long")
+    ).select(
+        "tgt", "pos", "qid", "win_first", "win_last", "n_windows",
+        "total_hits", "windows",
+    )
+
+
+def window_char_range(win_col, cfg: GenomicConfig = GenomicConfig()):
+    """W4: window id → (char_beg, char_end) character range of the
+    window within its target sequence (the reference reports candidate
+    positions in characters: win * stride .. + winlen,
+    /root/reference/src/candidates.h:90-101 pos semantics).
+    Returns a struct Column."""
+    w = F.col(win_col) if isinstance(win_col, str) else win_col
+    beg = (w * cfg.winstride).cast("long")
+    return F.struct(
+        beg.alias("char_beg"),
+        (beg + cfg.winlen - 1).alias("char_end"),
     )

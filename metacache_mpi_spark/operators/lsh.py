@@ -109,17 +109,29 @@ def prune_buckets(
     sizes = bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # the surviving-bucket set grows WITH the corpus (≈ one row per
+    # duplicate group) — never a broadcast dim.  Hint shuffle_hash so
+    # AQE doesn't "optimize" it into a broadcast build (measured: tens
+    # of executor-CPU-seconds building 1M-row broadcast relations, worse
+    # at higher core counts); the shuffle join also reuses the exchange
+    # the sizes aggregation just produced on the same key.
     if oversize_policy == "drop":
         keep = sizes.where(
             (F.col("n") >= 2) & (F.col("n") <= cfg.max_docs_per_bucket)
         )
-        kept_rows = bands.join(keep.select("band", "bucket"), ["band", "bucket"])
+        kept_rows = bands.join(
+            keep.select("band", "bucket").hint("shuffle_hash"),
+            ["band", "bucket"],
+        )
         return kept_rows.groupBy("band", "bucket").agg(
             F.sort_array(F.collect_set(id_col)).alias("ids")
         )
     if oversize_policy == "sample":
         keep = sizes.where(F.col("n") >= 2)
-        kept_rows = bands.join(keep.select("band", "bucket"), ["band", "bucket"])
+        kept_rows = bands.join(
+            keep.select("band", "bucket").hint("shuffle_hash"),
+            ["band", "bucket"],
+        )
         w_rank = F.expr(
             f"row_number() OVER (PARTITION BY band, bucket "
             f"ORDER BY xxhash64({id_col}), {id_col})"

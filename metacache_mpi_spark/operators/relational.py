@@ -224,3 +224,28 @@ def merge_topk_sources(
         .where(F.col("rank") <= k)
         .select("user_id", "event_type", "hits", "rank")
     )
+
+
+def value_moments(events: DataFrame) -> DataFrame:
+    """A11 moments accumulator (the reference's timer/statistics
+    combine, /root/reference/src/stat_combined.h moments semantics):
+    one-pass distributed (n, sum, sum-of-squares, min, max) per group —
+    mean/variance derive from these exactly, and partial aggregation
+    makes the combine associative the way the reference's accumulator
+    merge is.
+
+    Fixed-point discipline: ``value`` is folded at cent precision so
+    both engines aggregate exact BIGINTs (no float-sum divergence).
+    """
+    v_c = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        events.select("event_type", v_c.alias("v_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_c").alias("sum_c"),
+            F.sum(F.col("v_c") * F.col("v_c")).alias("sum_sq_c"),
+            F.min("v_c").alias("min_c"),
+            F.max("v_c").alias("max_c"),
+        )
+    )

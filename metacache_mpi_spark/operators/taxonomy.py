@@ -257,6 +257,58 @@ def resolve_taxids(
     )
 
 
+def resolve_ground_truth(
+    queries: DataFrame,
+    mapping: DataFrame | None = None,
+    header_col: str = "header",
+) -> DataFrame:
+    """J6 ground-truth resolution chain
+    (/root/reference/src/classification.cpp:111-131): per query header,
+    try in order (1) explicit ``taxid|N`` token, (2) accession.version
+    match against the accession2taxid mapping, (3) version-stripped
+    accession match, (4) ``gi|N`` number match — first hit wins, as a
+    left-join + coalesce chain (no per-row Python).
+
+    ``mapping``: (accession, accession_version, taxid[, gi]) or None
+    (header-token strategies only). Adds ``truth_taxid``.
+    """
+    from ..sources.bio import accession_from_header, taxid_from_header
+
+    df = queries.withColumn("_tx_hdr", taxid_from_header(header_col))
+    if mapping is None:
+        return df.withColumn("truth_taxid", F.col("_tx_hdr")).drop("_tx_hdr")
+    acc = accession_from_header(header_col)
+    df = df.withColumn("_acc", acc).withColumn(
+        "_acc_base", F.regexp_replace(acc, r"\.\d+$", "")
+    ).withColumn(
+        "_gi",
+        F.nullif(
+            F.regexp_extract(F.col(header_col), r"gi\|(\d+)", 1), F.lit("")
+        ).cast("long"),
+    )
+    by_ver = mapping.select(
+        F.col("accession_version").alias("_acc"),
+        F.col("taxid").alias("_tx_ver"),
+    )
+    by_acc = mapping.select(
+        F.col("accession").alias("_acc_base"),
+        F.col("taxid").alias("_tx_base"),
+    )
+    out = df.join(by_ver, "_acc", "left").join(by_acc, "_acc_base", "left")
+    if "gi" in mapping.columns:
+        by_gi = mapping.select(
+            F.col("gi").cast("long").alias("_gi"),
+            F.col("taxid").alias("_tx_gi"),
+        )
+        out = out.join(by_gi, "_gi", "left")
+    else:
+        out = out.withColumn("_tx_gi", F.lit(None).cast("long"))
+    return out.withColumn(
+        "truth_taxid",
+        F.coalesce("_tx_hdr", "_tx_ver", "_tx_base", "_tx_gi"),
+    ).drop("_tx_hdr", "_acc", "_acc_base", "_gi", "_tx_ver", "_tx_base", "_tx_gi")
+
+
 def exclude_clade(
     candidates: DataFrame,
     taxonomy: Taxonomy,

@@ -57,7 +57,9 @@ def discriminative_shingles(
         .where(F.col("df") <= cap)
         .select("sh")
     )
-    return sh.join(keep, "sh")
+    # the surviving-shingle set scales with the corpus — shuffle join,
+    # not a broadcast build (see prune_buckets scale note)
+    return sh.join(keep.hint("shuffle_hash"), "sh")
 
 
 def ngram_jaccard_pairs(
@@ -211,6 +213,60 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ham,
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_banded_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Production SimHash near-dup lane: banded equi-join, no cross join.
+
+    Pigeonhole guarantee: two fingerprints within ``max_hamming`` bit
+    flips must agree on ≥1 of ``bands`` disjoint bit-bands whenever
+    ``bands > max_hamming`` — so with the default 4 bands this returns
+    EXACTLY the pairs of :func:`simhash_dup_pairs` (its oracle) while
+    replacing the O(n²) cross join with one band-bucket shuffle — the
+    same banding move the reference's hash multimap makes for k-mer
+    sketches (/root/reference/src/sketch_database.h:201-206).
+
+    At 10^12-doc scale: use the 64-bit pipeline fingerprint
+    (``fingerprints=(doc_id, simhash)``, bits=64) — 16-bit bands give
+    65k buckets per band; hot buckets (boilerplate fingerprints) are the
+    same skew the LSH lane's bucket cap handles, and the post-join
+    hamming filter keeps the output exact.
+    """
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    fp = fingerprints if fingerprints is not None else simhash16(docs)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> shiftright(simhash, b * {band_bits}) & {mask}L)"
+            )
+        ).alias("band", "bband"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    ham = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    ).alias("hamming")
+    return (
+        x.join(y, ["band", "bband"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            ham,
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

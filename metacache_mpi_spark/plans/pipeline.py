@@ -77,13 +77,33 @@ def dedup_pipeline(
 
     def stage(name: str, compute):
         if checkpoints is not None:
+            # resumable mode: every stage is a committed snapshot
             return checkpoints.get_or_compute(name, compute)
-        # No snapshot store: still materialize each stage once —
-        # downstream stages (and the iterative CC loop) must not re-run
-        # the UDF-heavy upstream lineage on every action.
-        return compute().localCheckpoint(eager=True)
+        # No snapshot store: pin multiply-consumed subtrees with
+        # persist() — populated on first materialization, reused by later
+        # consumers (including the iterative CC loop, which must never
+        # re-run the UDF-heavy sketch lineage) — and schedule ZERO extra
+        # jobs: the whole candidates→verify chain stays fused into the
+        # first caller action.  NOT localCheckpoint: that calls .rdd,
+        # and under AQE the RDD conversion eagerly executes every
+        # upstream shuffle stage on the driver's calling thread
+        # (measured 17 s of serialized stage execution at 50k docs) —
+        # round 1 paid one such materialization per stage, capping
+        # full-job scaling at ~0.4.
+        return compute().persist()
 
     docs = prepare_docs(pages, id_col)
+    if checkpoints is None:
+        # consumed by the sketch pass, BOTH sides of the verify text join
+        # and the final cluster join — cache instead of re-scanning +
+        # re-deduplicating.  The cache must be POPULATED before the main
+        # job: its consumer stages have no dependency edges between them,
+        # so the scheduler launches them concurrently against a cold
+        # cache and each re-scans the corpus (measured: 3× full parquet
+        # scans + 2× dedup shuffles at 200k docs).  One count() action
+        # materializes the subtree once, fully parallel.
+        docs = docs.persist()
+        docs.count()
 
     def _signatures() -> DataFrame:
         # single Arrow pass over the corpus computes all three sketch
@@ -111,11 +131,16 @@ def dedup_pipeline(
             bands.unionByName(fps), cfg, "doc_id"
         )
 
-    candidates = stage("candidates", _candidates)
+    if checkpoints is not None:
+        candidates = stage("candidates", _candidates)
+    else:
+        # single consumer (verify) → stay fused, no pin needed
+        candidates = _candidates()
 
     def _verified() -> DataFrame:
-        with_text = join_pair_texts(candidates, docs, id_col, "text")
-        jac = exact_jaccard_pairs(with_text, cfg)
+        jac = exact_jaccard_pairs(
+            join_pair_texts(candidates, docs, id_col, "text"), cfg
+        )
         near_dups = jac.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
             "a",
             "b",
@@ -158,7 +183,11 @@ def dedup_pipeline(
     def _clusters() -> DataFrame:
         return cluster_assignments(docs, pairs, id_col)
 
-    clusters = stage("clusters", _clusters)
+    if checkpoints is not None:
+        clusters = stage("clusters", _clusters)
+    else:
+        # single consumer (the caller's action) → no pin
+        clusters = _clusters()
 
     return DedupResult(
         docs=docs,

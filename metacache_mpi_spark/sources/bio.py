@@ -164,9 +164,10 @@ def taxid_from_header(header_col: str = "header"):
 
     The reference scans headers for ``taxid|<n>`` / ``kraken:taxid|<n>``
     markers (/root/reference/src/classification.cpp:77-105 ground-truth
-    chain).  Returns a Column (nullable long)."""
-    return F.regexp_extract(
-        F.col(header_col), r"taxid\|(\d+)", 1
+    chain).  Returns a Column (nullable long).  ``regexp_extract``
+    yields '' on no match, which ANSI cast rejects — nullif first."""
+    return F.nullif(
+        F.regexp_extract(F.col(header_col), r"taxid\|(\d+)", 1), F.lit("")
     ).cast("long")
 
 

@@ -43,21 +43,29 @@ def _truth_pairs(truth_rows):
     return out
 
 
-def test_dup_pair_recall_gate(result):
+def test_dup_pair_recall_gate(result, spark):
+    """Recall computed through the first-class evaluation operator
+    (pair_recall), not ad-hoc set arithmetic."""
+    from metacache_mpi_spark.operators.evaluate import pair_recall
+
     _, pairs, _, truth_rows = result
     want = _truth_pairs(truth_rows)
     got = {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in pairs}
     # transitive closure of found pairs also recovers planted pairs
     comp = components([(a, b) for a, b in got])
-    got_closure = set()
     by_comp: dict[int, list[int]] = {}
     for node, c in comp.items():
         by_comp.setdefault(c, []).append(node)
-    for ids in by_comp.values():
-        for a, b in itertools.combinations(sorted(ids), 2):
-            got_closure.add((a, b))
-    recall = len(want & got_closure) / len(want)
-    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+    got_closure = {
+        (a, b)
+        for ids in by_comp.values()
+        for a, b in itertools.combinations(sorted(ids), 2)
+    }
+    stats = pair_recall(
+        spark.createDataFrame(list(got_closure), "a long, b long"),
+        spark.createDataFrame(list(want), "a long, b long"),
+    )
+    assert stats["recall"] >= 0.99, f"dup-pair recall {stats['recall']:.4f} < 0.99"
 
 
 def test_boilerplate_precision_guard(result):

@@ -48,7 +48,13 @@ def test_recall_gate_small(small):
         for a, b in itertools.combinations(sorted(ids), 2):
             got.add((a, b))
 
-    recall = len(want & got) / len(want)
-    precision = len(want & got) / max(1, len(got))
-    assert recall >= 0.99, f"recall {recall:.4f}"
-    assert precision >= 0.98, f"precision {precision:.4f}"
+    # gate through the first-class evaluation operator
+    from metacache_mpi_spark.operators.evaluate import pair_recall
+
+    spark = res.clusters.sparkSession
+    stats = pair_recall(
+        spark.createDataFrame(list(got), "a long, b long"),
+        spark.createDataFrame(list(want), "a long, b long"),
+    )
+    assert stats["recall"] >= 0.99, f"recall {stats['recall']:.4f}"
+    assert stats["precision"] >= 0.98, f"precision {stats['precision']:.4f}"
