@@ -41,6 +41,17 @@ class DedupConfig:
     # --- candidate thresholds (ref: hitsMin = sketchLen/3 deduced,
     # /root/reference/src/mode_query.cpp:247-260)
     min_band_hits: int = 1
+    # JVM-side signature-estimate prefilter before text verification:
+    # a candidate pair must share ≥ this many MinHash lanes (the
+    # reference's hitsMin-on-sketch-hits discipline re-applied to the
+    # webtext lane; s//4 is conservative vs the reference's s/3).
+    # E[shared lanes] = J·s, so at s=16 a true J=0.6 pair fails
+    # P(Binom(16,0.6) ≤ 3) ≈ 9e-4 — inside the ≥0.99 recall budget —
+    # while a boilerplate J≈0.1 collision survives only with p≈0.007:
+    # ~99% of false candidates never reach the per-pair text verify.
+    # Fingerprint-lane candidates bypass (substring dups have low
+    # Jaccard by design).  0 disables.
+    min_sig_lanes: int = 4
 
     # --- suffix/substring verify pass
     min_substring_overlap: int = 2000  # chars (FIXTURES.md 'substring' kind)

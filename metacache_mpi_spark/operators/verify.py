@@ -93,6 +93,48 @@ def exact_jaccard_pairs(
     return pairs_with_text.withColumn("jaccard", _jac(F.col(text_a), F.col(text_b)))
 
 
+def prefilter_candidates(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Signature-estimate prefilter (lane 1 of the verify ladder) as a
+    CANDIDATE GATE: drop band-collision pairs sharing fewer than
+    ``cfg.min_sig_lanes`` MinHash lanes before any text is shipped or
+    hashed.  This is the reference's ``hitsMin = sketch/3`` sketch-hit
+    threshold (/root/reference/src/mode_query.cpp:247-260) applied to
+    the webtext lane: one band collision (2 equal lanes) is a candidate,
+    but classification demands more sketch agreement.  Entirely JVM-side
+    (two small joins on the 16-long signature arrays + a zip_with
+    count); fingerprint-lane candidates (``fp_hits ≥ min_fp_hits``)
+    bypass — substring duplicates have low Jaccard by design.
+    """
+    if cfg.min_sig_lanes <= 0:
+        return candidates
+    sa = signatures.select(
+        F.col(id_col).alias("a"), F.col(sig_col).alias("_sig_a")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("b"), F.col(sig_col).alias("_sig_b")
+    )
+    est_lanes = F.expr(
+        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))"
+    )
+    fp_ok = (
+        F.col("fp_hits") >= cfg.min_fp_hits
+        if "fp_hits" in candidates.columns
+        else F.lit(False)
+    )
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .where(fp_ok | (est_lanes >= cfg.min_sig_lanes))
+        .drop("_sig_a", "_sig_b")
+    )
+
+
 def join_pair_texts(
     pairs: DataFrame,
     docs: DataFrame,

@@ -36,6 +36,7 @@ from ..operators.lsh import emit_bands, two_lane_candidate_pairs
 from ..operators.verify import (
     exact_jaccard_pairs,
     join_pair_texts,
+    prefilter_candidates,
     substring_overlap_pairs,
 )
 from .checkpoint import CheckpointManager
@@ -138,8 +139,12 @@ def dedup_pipeline(
         candidates = _candidates()
 
     def _verified() -> DataFrame:
+        # JVM signature-estimate gate first (the reference's hitsMin
+        # sketch threshold): ~99% of boilerplate one-band collisions
+        # never reach the per-pair text verify
+        gated = prefilter_candidates(candidates, signatures, cfg, "doc_id")
         jac = exact_jaccard_pairs(
-            join_pair_texts(candidates, docs, id_col, "text"), cfg
+            join_pair_texts(gated, docs, id_col, "text"), cfg
         )
         near_dups = jac.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
             "a",

@@ -12,5 +12,10 @@ from a Structured Streaming source.
 """
 
 from .incremental import IncrementalDedup
+from .stateful import streaming_exact_dedup, windowed_page_stats
 
-__all__ = ["IncrementalDedup"]
+__all__ = [
+    "IncrementalDedup",
+    "streaming_exact_dedup",
+    "windowed_page_stats",
+]

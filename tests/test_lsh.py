@@ -143,3 +143,28 @@ def test_sources_have_no_rdd_usage():
     for py in src_dir.glob("*.py"):
         text = py.read_text()
         assert ".rdd" not in text, f"{py} uses the RDD API"
+
+
+def test_prefilter_candidates_gate(spark):
+    """hitsMin sketch-gate: pairs sharing < min_sig_lanes lanes are
+    dropped JVM-side; fingerprint-lane candidates bypass."""
+    from metacache_mpi_spark.operators.verify import prefilter_candidates
+
+    sigs = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4, 5, 6, 7, 8]),
+            (2, [1, 2, 3, 4, 50, 60, 70, 80]),  # shares 4 lanes with 1
+            (3, [1, 2, 30, 40, 50, 60, 70, 80]),  # shares 2 lanes with 1
+        ],
+        "doc_id long, signature array<long>",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2, 1, 0), (1, 3, 1, 0), (1, 3, 0, 5)],
+        "a long, b long, band_hits long, fp_hits long",
+    )
+    cfg = DedupConfig(min_sig_lanes=4, min_fp_hits=3)
+    got = {(r["a"], r["b"], r["fp_hits"])
+           for r in prefilter_candidates(cands, sigs, cfg).collect()}
+    # (1,2): 4 shared lanes -> kept; (1,3) band-only: 2 lanes -> dropped;
+    # (1,3) fp-lane (fp_hits=5 >= 3) -> bypasses the gate
+    assert got == {(1, 2, 0), (1, 3, 5)}

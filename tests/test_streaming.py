@@ -66,3 +66,94 @@ def test_stream_matches_batch(spark, tmp_path):
     ids = [r["doc_id"] for r in load_pages(spark, str(corpus_dir)).select("doc_id").collect()]
     want = {(i, comp.get(i, i)) for i in ids}
     assert got == want
+
+
+def test_stateful_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-fingerprint state survives batches —
+    a text first seen in batch 1 flags its batch-2 twin as duplicate."""
+    from metacache_mpi_spark.streaming.stateful import (
+        DEDUP_OUTPUT_SCHEMA,
+        streaming_exact_dedup,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "url string, text string"
+        ).coalesce(1).write.parquet(str(in_dir / name))
+
+    write_batch("b0", [("u1", "alpha text"), ("u2", "beta text")])
+    write_batch("b1", [("u3", "alpha text"), ("u4", "gamma text")])
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["url"]: r for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert len(rows) == 4
+    dups = {u for u, r in rows.items() if r["is_duplicate"]}
+    assert dups == {"u3"} or dups == {"u1"}  # one of the alpha pair
+    alpha_first = rows["u3"]["first_url"] if "u3" in dups else rows["u1"]["first_url"]
+    assert rows["u1"]["fp"] == rows["u3"]["fp"]
+    assert alpha_first in ("u1", "u3")
+    assert not rows["u2"]["is_duplicate"] and not rows["u4"]["is_duplicate"]
+
+
+def test_windowed_page_stats_watermark(spark, tmp_path):
+    """Watermarked windowed agg emits per-window counts."""
+    import datetime as dt
+
+    from metacache_mpi_spark.streaming.stateful import windowed_page_stats
+
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, "a"), ("u2", t0 + dt.timedelta(seconds=30), "a"),
+        ("u3", t0 + dt.timedelta(minutes=1, seconds=10), "b"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "b0"))
+    # a later batch advances the watermark past the first windows' end,
+    # closing them (append mode only emits CLOSED windows)
+    spark.createDataFrame(
+        [("u9", t0 + dt.timedelta(minutes=10), "z")],
+        "url string, warc_ts timestamp_ntz, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp_ntz, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    q = (
+        windowed_page_stats(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"].minute, r["n_pages"], r["n_distinct_fp"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # the 00:10 event moved the watermark to 00:08, closing both early
+    # windows; the 00:10 window itself stays open (not emitted)
+    assert got == {(0, 2, 1), (1, 1, 1)}
