@@ -287,6 +287,49 @@ def query_index_paired(
     return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
 
 
+def merge_query_results(
+    shard_results: list[DataFrame],
+    cfg: GenomicConfig = GenomicConfig(),
+) -> DataFrame:
+    """S12/J8 merge mode (/root/reference/src/mode_merge.cpp:209-264):
+    re-aggregate per-shard top-k candidate lists into the global top-k.
+
+    The reference shards its DB by target across MPI ranks and each
+    rank answers queries against its shard; the merge step unions the
+    per-shard candidate lists, keeps the best range per (qid, tgt) and
+    re-applies the top-k + hitsMin rule.  Because features are
+    target-partitioned, merging per-shard results is EXACTLY equivalent
+    to querying one global index (tested in test_reference_ops) — the
+    correctness backbone of the distributed design.
+
+    ``shard_results``: outputs of :func:`query_index` (qid, tgt, hits,
+    win_beg, rank) — shard-local ranks are discarded and recomputed.
+    """
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select("qid", "tgt", "hits", "win_beg") for s in shard_results],
+    )
+    best = Window.partitionBy("qid", "tgt").orderBy(
+        F.desc("hits"), F.asc("win_beg")
+    )
+    per_target = (
+        u.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select("qid", "tgt", "hits", "win_beg")
+    )
+    topk = Window.partitionBy("qid").orderBy(F.desc("hits"), F.asc("tgt"))
+    return (
+        per_target.withColumn("rank", F.row_number().over(topk))
+        .where(
+            (F.col("rank") <= cfg.max_candidates)
+            & (F.col("hits") >= cfg.hits_min_effective)
+        )
+        .select("qid", "tgt", "hits", "win_beg", "rank")
+    )
+
+
 def merge_candidates_below_rank(
     per_target: DataFrame,
     taxonomy,

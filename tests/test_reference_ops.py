@@ -426,3 +426,32 @@ def test_annotate_with_taxid(spark):
     assert got[2] == "NC_999999.9|taxid|555|old marker"
     assert got[3] == "no id here at all"
     assert got[4] == "AB_123456.2|taxid|0|unmapped acc"
+
+
+def test_sharded_query_merge_equals_global_index(spark, paired_corpus):
+    """The reference's distributed model: DB sharded by target across
+    ranks, per-shard query + merge == one global index query
+    (mode_merge.cpp:209-264). Features are target-partitioned, so the
+    equivalence is exact."""
+    from metacache_mpi_spark.operators.genomic import merge_query_results
+
+    targets, queries = paired_corpus
+    single = [(q, s1) for q, s1, _ in queries]
+    qdf = spark.createDataFrame(single, "qid long, seq string")
+    cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57,
+                        max_candidates=3)
+
+    tdf = spark.createDataFrame(targets, "tgt long, seq string")
+    global_res = query_index(qdf, build_index(tdf, cfg), cfg)
+
+    shards = [targets[:2], targets[2:4], targets[4:]]
+    shard_results = []
+    for sh in shards:
+        sdf = spark.createDataFrame(sh, "tgt long, seq string")
+        shard_results.append(query_index(qdf, build_index(sdf, cfg), cfg))
+    merged = merge_query_results(shard_results, cfg)
+
+    key = lambda rows: sorted(  # noqa: E731
+        (r["qid"], r["tgt"], r["hits"], r["win_beg"], r["rank"]) for r in rows
+    )
+    assert key(merged.collect()) == key(global_res.collect())
