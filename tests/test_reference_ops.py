@@ -455,3 +455,25 @@ def test_sharded_query_merge_equals_global_index(spark, paired_corpus):
         (r["qid"], r["tgt"], r["hits"], r["win_beg"], r["rank"]) for r in rows
     )
     assert key(merged.collect()) == key(global_res.collect())
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (sample-trained k-means + nprobe probe) recall@10 vs the
+    brute cosine lane; probing all lists must reproduce it exactly."""
+    from metacache_mpi_spark.operators.ann import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    brute = [r["vec_id"] for r in cosine_topk(emb).collect()]
+    ivf = [r["vec_id"] for r in
+           ivf_topk(emb, n_centroids=8, nprobe=3, centroids=cents).collect()]
+    recall = len(set(brute) & set(ivf)) / len(brute)
+    assert recall >= 0.8, f"ivf recall@10 {recall}"
+    # probing every list == brute (exactness sanity)
+    full = [r["vec_id"] for r in
+            ivf_topk(emb, n_centroids=8, nprobe=8, centroids=cents).collect()]
+    assert full == brute
