@@ -273,10 +273,14 @@ def _q_ann_lsh_bucketed(spark, sf_dir):
 
 def _q_ann_lsh_dup_pairs(spark, sf_dir):
     """Production embedding-dedup lane: sign-LSH banding + exact-cosine
-    verify (recall vs the brute lane gated in pytest)."""
+    verify (recall vs the brute lane gated in pytest).  Band geometry is
+    pinned to 16×2 to mirror the DuckDB oracle exactly (the operator
+    auto-sizes from τ when unpinned)."""
     from metacache_mpi_spark.operators.ann import sign_banded_dup_pairs
 
-    return sign_banded_dup_pairs(_t(spark, sf_dir, "embeddings"))
+    return sign_banded_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), bands=16, rows_per_band=2
+    )
 
 
 def _q_lang_confusion_stats(spark, sf_dir):
@@ -469,7 +473,7 @@ def _q_genomic_candidates_merged(spark, sf_dir):
         build_index,
         merge_candidates_below_rank,
         probe_matches,
-        _top_candidates,
+        _per_target_best,
     )
     from metacache_mpi_spark.operators.taxonomy import Taxonomy
 
@@ -493,11 +497,11 @@ def _q_genomic_candidates_merged(spark, sf_dir):
     )
     target_taxid = {t: 10 + t for t in range(6)}
     matches = probe_matches(qdf, build_index(tdf, cfg), cfg)
-    # per-target best ranges (pre-top-k), then genus-level merge
-    per_target = _top_candidates(matches, cfg)
+    # UNTRUNCATED per-target best ranges (the reference lifts taxa at
+    # insert time, before its bounded candidate list), then genus merge
+    per_target = _per_target_best(matches, cfg)
     return merge_candidates_below_rank(
-        per_target.select("qid", "tgt", "hits", "win_beg"),
-        tax, target_taxid, "genus", cfg,
+        per_target, tax, target_taxid, "genus", cfg,
     )
 
 

@@ -274,14 +274,25 @@ def main() -> None:
         # size-proportional work, the only component that exists at
         # 10^12-doc scale
         d_docs = SCALING_PAGES - SMALL_PAGES
-        m_low = d_docs / max(1e-9, t_low - ts_low)
-        m_high = d_docs / max(1e-9, t_high - ts_high)
-        out["dedup_marginal_scaling"] = {
-            "docs_delta": d_docs,
-            "marginal_docs_per_sec_low": round(m_low, 1),
-            "marginal_docs_per_sec_high": round(m_high, 1),
-            "efficiency": round((m_high / m_low) / (CORES_HIGH / CORES_LOW), 3),
-        }
+        dt_low, dt_high = t_low - ts_low, t_high - ts_high
+        if dt_low > 2.0 and dt_high > 2.0:
+            m_low, m_high = d_docs / dt_low, d_docs / dt_high
+            out["dedup_marginal_scaling"] = {
+                "docs_delta": d_docs,
+                "marginal_docs_per_sec_low": round(m_low, 1),
+                "marginal_docs_per_sec_high": round(m_high, 1),
+                "efficiency": round(
+                    (m_high / m_low) / (CORES_HIGH / CORES_LOW), 3
+                ),
+            }
+        else:
+            # the two corpus sizes were measured in incompatible load
+            # windows (small ran slower than large) — flag, don't emit
+            # a nonsense division
+            out["dedup_marginal_scaling"] = {
+                "docs_delta": d_docs,
+                "invalid_window": True,
+            }
 
         s_low, n_docs = min(
             (run_sketch_at(small_dir, CORES_LOW) for _ in range(2)),

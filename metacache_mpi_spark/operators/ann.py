@@ -98,11 +98,50 @@ def cosine_dup_pairs(emb: DataFrame, tau: float = 0.35) -> DataFrame:
     )
 
 
+def sign_band_params(
+    tau: float,
+    dims: int = 64,
+    target_recall: float = 0.99,
+) -> tuple[int, int]:
+    """Size (bands, rows_per_band) for sign-LSH at similarity ``tau``:
+    pick the DEEPEST band (max selectivity, rows ∝ -log of background
+    pass rate) whose band count for ``target_recall`` still fits in
+    ``dims`` disjoint sign bits.  P(sign bit agrees) = 1 - arccos(τ)/π.
+
+    Selectivity truth (do not hide it): when τ sits close to the
+    background similarity mass (e.g. τ=0.35 vs a background tail
+    touching 0.349), EVERY LSH family needs near-total recall of
+    near-background pairs, so the sizing degenerates to shallow bands
+    that pass most of the background — candidate generation cannot be
+    selective across a razor-thin margin, with this or any banding.
+    With a realistic margin (near-dup τ ≥ ~0.8) the same sizing yields
+    deep bands that prune the background by orders of magnitude
+    (test_reference_ops gates both regimes).
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, tau))) / math.pi
+    best: tuple[int, int] | None = None
+    for r in range(1, dims + 1):
+        q = p**r
+        if not 0.0 < q < 1.0:
+            continue
+        b = int(math.ceil(math.log(1 - target_recall) / math.log(1 - q)))
+        if b * r <= dims:
+            best = (b, r)  # deeper rows win (scanned ascending)
+    if best is None:
+        # even r=1 can't reach the recall within dims → use all dims as
+        # 1-bit bands (max recall available from axis hyperplanes)
+        best = (dims, 1)
+    return best
+
+
 def sign_banded_dup_pairs(
     emb: DataFrame,
     tau: float = 0.35,
-    bands: int = 16,
-    rows_per_band: int = 2,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dims: int = 64,
 ) -> DataFrame:
     """Production embedding-dedup lane: random-hyperplane (sign-bit) LSH
     banding + exact-cosine verify — replaces the all-pairs theta join of
@@ -113,16 +152,16 @@ def sign_banded_dup_pairs(
     ``[b*rows_per_band, (b+1)*rows_per_band)`` (axis hyperplanes for
     oracle determinism; at production scale use random projections).
     Candidates collide in ≥1 band; every candidate is then verified with
-    the exact fixed-point cosine, so precision is 1.0 — recall is the
-    banding hit rate: P(sign match per dim) = 1 - θ/π, so with 16 bands
-    × 2 rows a τ=0.35 borderline pair is missed with probability
-    (1 - 0.377)^16 ≈ 5e-4 (gated ≥0.99 in pytest vs the brute lane).
-
-    Scale: the banded join shuffles (band, bits) keys — 4^bands-ary
-    buckets; boilerplate/zero-ish vectors that pile into one bucket are
-    the same skew the LSH bucket cap handles (AQE skew split backstops).
+    the exact fixed-point cosine, so precision is 1.0; recall is the
+    banding hit rate, sized by :func:`sign_band_params` when bands/rows
+    are not given.  See that function's docstring for the selectivity
+    regimes — at thin margins (τ≈ the background tail) banding
+    legitimately degenerates toward all-pairs and only the exact verify
+    does the work; at near-dup margins (τ ≥ ~0.8) deep bands prune the
+    background by orders of magnitude (both regimes pytest-gated).
     """
-    nbits = bands * rows_per_band
+    if bands is None or rows_per_band is None:
+        bands, rows_per_band = sign_band_params(tau, dims)
     bit_exprs = []
     for b in range(bands):
         bits = None

@@ -144,10 +144,16 @@ def connected_components(
     # small-case collect is a cheap cached re-scan.
     n_edges = e.count()
     if n_edges == 0:
+        e.unpersist()
         return spark.createDataFrame([], "node long, component long")
     if 0 < local_threshold and n_edges <= local_threshold:
-        return _unionfind_local(e.collect(), spark)
+        rows = e.collect()
+        # release the probe cache — one leaked entry per micro-batch
+        # otherwise (streaming runs this once per batch)
+        e.unpersist()
+        return _unionfind_local(rows, spark)
 
+    e0 = e  # the persisted probe input; released after the loop
     prev_fp = None
     for _ in range(max_iter):
         e = _small_star(_large_star(_symmetrize(e)))
@@ -160,6 +166,7 @@ def connected_components(
             break
         prev_fp = fp
 
+    e0.unpersist()
     # Converged state is a forest of stars (v → root). Every non-root
     # node has exactly one outgoing edge to its root.
     assign = e.select(F.col("a").alias("node"), F.col("b").alias("component"))

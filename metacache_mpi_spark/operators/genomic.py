@@ -168,10 +168,11 @@ def probe_matches(
     )
 
 
-def _top_candidates(
+def _per_target_best(
     matches: DataFrame, cfg: GenomicConfig, num_windows=None
 ) -> DataFrame:
-    """matches (qid, tgt, win) → top-k candidates per query (A1 + A2).
+    """matches (qid, tgt, win) → UNTRUNCATED per-target best ranges
+    (qid, tgt, hits, win_beg) — the A1 stage before any top-k.
 
     hits = the best contiguous window-range count: for each target
     window w holding ≥1 match, the number of matches in
@@ -221,11 +222,16 @@ def _top_candidates(
     best = Window.partitionBy("qid", "tgt").orderBy(
         F.desc("hits"), F.asc("win")
     )
-    per_target = (
+    return (
         ranged.withColumn("rn", F.row_number().over(best))
         .where(F.col("rn") == 1)
         .select("qid", "tgt", "hits", F.col("win").alias("win_beg"))
     )
+
+
+def _apply_topk(per_target: DataFrame, cfg: GenomicConfig) -> DataFrame:
+    """A2 + P12 over per-target rows: top-k per query by (hits desc,
+    tgt asc), hitsMin threshold."""
     topk = Window.partitionBy("qid").orderBy(F.desc("hits"), F.asc("tgt"))
     return (
         per_target.withColumn("rank", F.row_number().over(topk))
@@ -235,6 +241,13 @@ def _top_candidates(
         )
         .select("qid", "tgt", "hits", "win_beg", "rank")
     )
+
+
+def _top_candidates(
+    matches: DataFrame, cfg: GenomicConfig, num_windows=None
+) -> DataFrame:
+    """matches → top-k candidates (A1 + A2 + P12)."""
+    return _apply_topk(_per_target_best(matches, cfg, num_windows), cfg)
 
 
 def query_index(
@@ -343,8 +356,12 @@ def merge_candidates_below_rank(
     already in the list only updates if the new candidate has MORE hits
     — i.e. max-hits per distinct merged taxon, then top-k by hits.
 
-    ``per_target``: (qid, tgt, hits, win_beg) pre-top-k rows (the
-    per-target best ranges).  Returns (qid, taxid, hits, rank).
+    ``per_target``: (qid, tgt, hits, win_beg) **pre-top-k** rows — the
+    output of :func:`_per_target_best`, NOT of :func:`query_index`.
+    The reference lifts at insert time, before its bounded candidate
+    list is maintained, so a genus whose best target ranks below the
+    per-target top-k must still be able to merge in; feeding truncated
+    rows here would silently drop it.  Returns (qid, taxid, hits, rank).
     """
     merged_map = {
         tgt: taxonomy.ancestor_at_rank(tax, lowest_rank) or tax

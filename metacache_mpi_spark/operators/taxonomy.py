@@ -263,14 +263,16 @@ def resolve_ground_truth(
     header_col: str = "header",
 ) -> DataFrame:
     """J6 ground-truth resolution chain
-    (/root/reference/src/classification.cpp:111-131): per query header,
-    try in order (1) explicit ``taxid|N`` token, (2) accession.version
-    match against the accession2taxid mapping, (3) version-stripped
-    accession match, (4) ``gi|N`` number match — first hit wins, as a
-    left-join + coalesce chain (no per-row Python).
+    (/root/reference/src/classification.cpp:109-131 ``ground_truth``):
+    per query header, try in the REFERENCE'S order — (1) accession.version
+    match, (2) version-stripped accession match, (3) explicit ``taxid|N``
+    header token, (4) ``gi|N`` number against the mapping (the stand-in
+    for the reference's full-header-name DB lookup; gi is the 4th column
+    of the accession2taxid format) — first hit wins, as a left-join +
+    coalesce chain (no per-row Python).
 
     ``mapping``: (accession, accession_version, taxid[, gi]) or None
-    (header-token strategies only). Adds ``truth_taxid``.
+    (header-token strategy only). Adds ``truth_taxid``.
     """
     from ..sources.bio import accession_from_header, taxid_from_header
 
@@ -305,7 +307,7 @@ def resolve_ground_truth(
         out = out.withColumn("_tx_gi", F.lit(None).cast("long"))
     return out.withColumn(
         "truth_taxid",
-        F.coalesce("_tx_hdr", "_tx_ver", "_tx_base", "_tx_gi"),
+        F.coalesce("_tx_ver", "_tx_base", "_tx_hdr", "_tx_gi"),
     ).drop("_tx_hdr", "_acc", "_acc_base", "_gi", "_tx_ver", "_tx_base", "_tx_gi")
 
 

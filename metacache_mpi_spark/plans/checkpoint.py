@@ -99,6 +99,11 @@ class CheckpointManager:
     def commit(self, names: list[str]) -> None:
         """Phase 2: commit previously staged snapshots in ONE atomic
         manifest update (all-or-nothing across ``names``)."""
+        missing = [n for n in names if n not in self._staged]
+        if missing:
+            # validate BEFORE popping anything — a partial pop would
+            # discard staged metadata while committing nothing
+            raise KeyError(f"snapshots never staged: {missing}")
         manifest = self._read_manifest()
         manifest["snapshots"] = [
             s for s in manifest["snapshots"] if s["name"] not in names

@@ -50,6 +50,16 @@ class DedupResult:
     clusters: DataFrame    # (doc_id, cluster_id)
     metrics: dict = field(default_factory=dict)
 
+    def unpersist(self) -> None:
+        """Release the pipeline's pinned subtrees — call when done
+        consuming the result in a long-lived session (each pipeline
+        invocation otherwise leaves docs/signatures/pairs cached)."""
+        for df in (self.docs, self.signatures, self.pairs):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — not persisted (ckpt mode)
+                pass
+
 
 def prepare_docs(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """P11: drop empty texts and duplicate urls; ensure a numeric id."""

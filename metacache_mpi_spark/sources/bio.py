@@ -78,6 +78,42 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_fasta_splittable(spark: SparkSession, path: str) -> DataFrame:
+    """FASTA for HUGE single files → (file, rec_id, header, seq).
+
+    The wholetext reader above is byte-offset-exact but bounded by the
+    JVM's ~2 GiB single-string limit and serializes each file through
+    one task.  This variant splits records at scan time
+    (``lineSep='>'``), so a multi-GiB concatenated FASTA streams through
+    many input splits in parallel — but Spark orders non-bucketed splits
+    by size, not offset, so NO positional index exists.  Instead of a
+    scrambled ``record_idx``, records get a content-addressed
+    ``rec_id = xxhash64(file, header, seq)`` — stable under any
+    partitioning, collision-safe at 64 bits for any real corpus, and
+    exactly how the webtext graft keys documents (xxhash64(url)).
+    Use :func:`read_fasta` when positional ids / paired lockstep are
+    required (reference target-id semantics); use this reader for bulk
+    index builds over large references.
+    """
+    raw = (
+        spark.read.option("lineSep", ">")
+        .text(path)
+        .select(F.input_file_name().alias("file"), "value")
+        .where(F.length(F.trim("value")) > 0)
+    )
+    header = F.trim(F.substring_index("value", "\n", 1))
+    body = F.expr(
+        "substring(value, length(substring_index(value, '\\n', 1)) + 2)"
+    )
+    seq = F.upper(F.regexp_replace(body, "[\\s]", ""))
+    return (
+        raw.select("file", header.alias("header"), seq.alias("seq"))
+        .where(F.length("seq") > 0)
+        .withColumn("rec_id", F.xxhash64("file", "header", "seq"))
+        .select("file", "rec_id", "header", "seq")
+    )
+
+
 def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     """FASTQ → (file, record_idx, header, seq, qual).
 
@@ -182,14 +218,16 @@ def accession_from_header(header_col: str = "header"):
 
 def read_accession2taxid(spark: SparkSession, path: str) -> DataFrame:
     """S11: NCBI accession2taxid TSV → (accession, accession_version,
-    taxid).  Header line ``accession\taccession.version\ttaxid\tgi`` is
-    skipped by type-coercion (its taxid is non-numeric)."""
+    taxid, gi).  The header line ``accession\taccession.version\t
+    taxid\tgi`` is dropped via ``try_cast`` (a plain ANSI cast would
+    RAISE on the non-numeric 'taxid' string, not coerce to null)."""
     raw = spark.read.option("sep", "\t").csv(path)
     return (
         raw.select(
             F.col("_c0").alias("accession"),
             F.col("_c1").alias("accession_version"),
-            F.col("_c2").cast("long").alias("taxid"),
+            F.col("_c2").try_cast("long").alias("taxid"),
+            F.col("_c3").try_cast("long").alias("gi"),
         )
         .where(F.col("taxid").isNotNull())
     )

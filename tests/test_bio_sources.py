@@ -102,3 +102,30 @@ def test_read_sequences_unified_schema(spark, fasta_path, fastq_path):
     fa = read_sequences(spark, fasta_path)
     fq = read_sequences(spark, fastq_path)
     assert set(fa.columns) == set(fq.columns)
+
+
+def test_read_fasta_splittable(spark, fasta_path):
+    """Splittable reader: same records as wholetext, content-addressed
+    ids instead of positions (the huge-single-file lane)."""
+    from metacache_mpi_spark.sources.bio import read_fasta_splittable
+
+    whole = {(r["header"], r["seq"]) for r in read_fasta(spark, fasta_path).collect()}
+    rows = read_fasta_splittable(spark, fasta_path).collect()
+    assert {(r["header"], r["seq"]) for r in rows} == whole
+    assert len({r["rec_id"] for r in rows}) == len(rows)  # distinct ids
+
+
+def test_read_accession2taxid_skips_header(spark, tmp_path):
+    """ANSI regression: the standard NCBI header line must be dropped
+    via try_cast, not crash the scan."""
+    from metacache_mpi_spark.sources.bio import read_accession2taxid
+
+    p = tmp_path / "acc2tax.tsv"
+    p.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "NC_001422\tNC_001422.1\t10847\t9626372\n"
+        "NC_999999\tNC_999999.9\t555\t123\n"
+    )
+    rows = {r["accession"]: (r["taxid"], r["gi"])
+            for r in read_accession2taxid(spark, str(p)).collect()}
+    assert rows == {"NC_001422": (10847, 9626372), "NC_999999": (555, 123)}

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from metacache_mpi_spark.functions.dna import window_sketches
 from metacache_mpi_spark.operators.genomic import (
     GenomicConfig,
-    _top_candidates,
+    _per_target_best,
     build_index,
     matches_per_target,
     merge_candidates_below_rank,
@@ -154,9 +154,10 @@ def test_merge_below_rank_reference_rule(spark, paired_corpus):
     cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57,
                         max_candidates=4)
     matches = probe_matches(qdf, build_index(tdf, cfg), cfg)
-    per_target = _top_candidates(matches, cfg).select(
-        "qid", "tgt", "hits", "win_beg"
-    )
+    # pre-top-k rows: the reference merges at insert time, before its
+    # bounded candidate list (a genus whose best target ranks below the
+    # per-target top-k must still merge in)
+    per_target = _per_target_best(matches, cfg)
     got = defaultdict(list)
     for r in merge_candidates_below_rank(
         per_target, TAX, TGT_TAXID, "genus", cfg
@@ -375,18 +376,19 @@ def test_ann_banded_recall_gate(spark):
 
 
 def test_ground_truth_resolution_chain(spark):
-    """classification.cpp:111-131: taxid| token → accession.version →
-    accession → gi|N, first hit wins."""
+    """classification.cpp:109-131 order: accession.version → accession →
+    taxid| header token → gi|N, first hit wins (the reference tries the
+    accession lookups BEFORE the header taxid token)."""
     from metacache_mpi_spark.operators.taxonomy import resolve_ground_truth
 
     qs = spark.createDataFrame(
         [
-            (0, "read0 taxid|42 whatever"),            # strategy 1
-            (1, "NC_001422.1 some phage"),              # strategy 2 (version)
-            (2, "NC_999999 unversioned acc"),           # strategy 3 (base)
+            (0, "read0 taxid|42 whatever"),            # strategy 3 (token)
+            (1, "NC_001422.1 some phage"),              # strategy 1 (version)
+            (2, "NC_999999 unversioned acc"),           # strategy 2 (base)
             (3, "gi|777 legacy header"),                # strategy 4 (gi)
             (4, "no markers at all"),                   # unresolved
-            (5, "taxid|7 NC_001422.1"),                 # 1 beats 2
+            (5, "taxid|7 NC_001422.1"),                 # accession BEATS token
         ],
         "qid long, header string",
     )
@@ -396,7 +398,7 @@ def test_ground_truth_resolution_chain(spark):
     )
     got = {r["qid"]: r["truth_taxid"]
            for r in resolve_ground_truth(qs, mapping).collect()}
-    assert got == {0: 42, 1: 10847, 2: 555, 3: 10847, 4: None, 5: 7}
+    assert got == {0: 42, 1: 10847, 2: 555, 3: 10847, 4: None, 5: 10847}
 
 
 def test_annotate_with_taxid(spark):
@@ -477,3 +479,62 @@ def test_ivf_topk_recall(spark):
     full = [r["vec_id"] for r in
             ivf_topk(emb, n_centroids=8, nprobe=8, centroids=cents).collect()]
     assert full == brute
+
+
+def test_sign_banding_selective_in_margin_regime(spark):
+    """With a realistic near-dup margin (τ=0.85) the auto-sized banding
+    must PRUNE most of the candidate space while keeping recall ≥ 0.99 —
+    the selectivity the thin-margin driver fixture cannot exhibit."""
+    from metacache_mpi_spark.operators.ann import (
+        sign_band_params,
+        sign_banded_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 64)
+    vecs = []
+    vid = 0
+    for i in range(40):
+        vecs.append((vid, base[i].tolist())); vid += 1
+        # a planted near-dup: small perturbation => cos ~0.97
+        vecs.append((vid, (base[i] + 0.25 * rng.randn(64)).tolist())); vid += 1
+    for _ in range(320):  # background: independent vectors
+        vecs.append((vid, rng.randn(64).tolist())); vid += 1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    tau = 0.85
+    bands, rows = sign_band_params(tau)
+    assert rows >= 4, f"margin regime must size deep bands, got r={rows}"
+
+    got = {(r["a"], r["b"]) for r in
+           sign_banded_dup_pairs(emb, tau=tau).collect()}
+    from metacache_mpi_spark.operators.ann import cosine_dup_pairs
+
+    brute = {(r["a"], r["b"]) for r in cosine_dup_pairs(emb, tau=tau).collect()}
+    assert len(brute) >= 30
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.99, f"recall {recall}"
+    assert got <= brute  # exact verify => precision 1.0
+
+    # selectivity: candidate pairs BEFORE verify must be far below n²/2
+    n = len(vecs)
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, %d), b -> aggregate(sequence(0, %d), 0L, "
+            "(acc, r) -> acc + CASE WHEN embedding[b * %d + r] > 0 "
+            "THEN shiftleft(1L, r) ELSE 0L END))" % (bands - 1, rows - 1, rows)
+        )).alias("band", "bband"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    n_cand = (
+        x.join(y, ["band", "bband"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select("x.vec_id", "y.vec_id").distinct().count()
+    )
+    # theory for the auto-sized (b=10, r=5): an orthogonal background
+    # pair collides with 1-(1-0.5^5)^10 ≈ 0.27 — assert we sit at that
+    # prediction, far below the ~1.0 of the thin-margin regime
+    assert n_cand < 0.35 * n * (n - 1) / 2, (
+        f"banding not selective: {n_cand} of {n*(n-1)//2} pairs"
+    )
