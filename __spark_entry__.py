@@ -213,11 +213,17 @@ def _q_simhash_dup_pairs(spark, sf_dir):
 
 def _q_simhash_banded_pairs(spark, sf_dir):
     """Production SimHash lane: banded equi-join (no cross join); with
-    bands > max_hamming the result is EXACTLY the brute-force pair set,
-    so the oracle is the brute SQL."""
+    bands > max_hamming and no bucket above the cap the result is
+    EXACTLY the brute-force pair set, so the oracle is the brute SQL.
+    Geometry pinned to the 16-bit relational fingerprint for DuckDB
+    parity (the operator defaults to the 64-bit pipeline fingerprint,
+    pytest-gated); the cap default (1024) exceeds the sf0.01 corpus, so
+    no bucket is dropped here."""
     from metacache_mpi_spark.operators.textops import simhash_banded_pairs
 
-    return simhash_banded_pairs(_t(spark, sf_dir, "documents"))
+    return simhash_banded_pairs(
+        _t(spark, sf_dir, "documents"), bits=16, bands=4
+    )
 
 
 def _q_winnow_stats(spark, sf_dir):

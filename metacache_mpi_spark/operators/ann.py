@@ -142,6 +142,8 @@ def sign_banded_dup_pairs(
     bands: int | None = None,
     rows_per_band: int | None = None,
     dims: int = 64,
+    max_bucket: int = 1024,
+    oversize_policy: str = "drop",
 ) -> DataFrame:
     """Production embedding-dedup lane: random-hyperplane (sign-bit) LSH
     banding + exact-cosine verify — replaces the all-pairs theta join of
@@ -159,7 +161,20 @@ def sign_banded_dup_pairs(
     legitimately degenerates toward all-pairs and only the exact verify
     does the work; at near-dup margins (τ ≥ ~0.8) deep bands prune the
     background by orders of magnitude (both regimes pytest-gated).
+
+    Skew guard: candidates route through
+    :func:`~..lsh.bucket_join_pairs` — (band, bband) bucket sizes are
+    counted first and buckets above ``max_bucket`` are dropped (the
+    overpopulated-feature rule, sketch_database.h:375-395): a degenerate
+    sign pattern (a dead/constant embedding region putting a large
+    corpus fraction in one bucket) would otherwise give a raw self-join
+    one O(n²) task.  Dropped buckets are non-discriminative by
+    definition; the pigeonhole recall guarantee degrades only for pairs
+    whose EVERY collision band is boilerplate-sized (the same trade the
+    reference makes, docs/build.txt:46-50).
     """
+    from .lsh import bucket_join_pairs
+
     if bands is None or rows_per_band is None:
         bands, rows_per_band = sign_band_params(tau, dims)
     bit_exprs = []
@@ -176,14 +191,8 @@ def sign_banded_dup_pairs(
         "vec_id",
         F.posexplode(F.array(*bit_exprs)).alias("band", "bband"),
     )
-    x, y = banded.alias("x"), banded.alias("y")
-    cand = (
-        x.join(y, ["band", "bband"])
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
-        )
-        .distinct()
+    cand = bucket_join_pairs(
+        banded, "vec_id", ["band", "bband"], max_bucket, oversize_policy
     )
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))

@@ -145,6 +145,72 @@ def prune_buckets(
     raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
 
 
+def bucket_join_pairs(
+    rows: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int,
+    oversize_policy: str = "drop",
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from bucket-membership rows,
+    generic over the bucketing scheme — the skew-safe replacement for a
+    raw bucket self-join.
+
+    ``rows`` = (id, *bucket_cols); any two ids sharing a bucket become a
+    candidate.  Same count→cap→in-array-expansion discipline as
+    :func:`prune_buckets` (the reference's overpopulated-feature guard,
+    /root/reference/src/sketch_database.h:375-395): bucket sizes are
+    counted FIRST (map-side partial agg — no hot-key state blowup), then
+
+    - size-1 buckets are pruned (no pairs),
+    - buckets larger than ``max_bucket`` are ``"drop"``-ped entirely
+      (a degenerate key — an all-zero SimHash of boilerplate, a dead
+      embedding region — would otherwise put n² pair work in ONE task)
+      or ``"sample"``-d to a deterministic xxhash-ordered subset,
+    - survivors expand to pairs INSIDE the collected array: one shuffle,
+      per-task work bounded by max_bucket²/2.
+
+    Used by the SimHash and sign-LSH banded lanes; the text-LSH lane
+    keeps its per-pair band-hit counting variant (:func:`candidate_pairs`).
+    """
+    sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
+    if oversize_policy == "drop":
+        keep = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    elif oversize_policy == "sample":
+        keep = sizes.where(F.col("n") >= 2)
+    else:
+        raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
+    # surviving-bucket set scales with the corpus — shuffle join, never
+    # a broadcast build (see prune_buckets scale note)
+    kept = rows.join(
+        keep.select(*bucket_cols).hint("shuffle_hash"), bucket_cols
+    )
+    if oversize_policy == "sample":
+        keys = ", ".join(bucket_cols)
+        w_rank = F.expr(
+            f"row_number() OVER (PARTITION BY {keys} "
+            f"ORDER BY xxhash64({id_col}), {id_col})"
+        )
+        kept = kept.withColumn("rnk", w_rank).where(
+            F.col("rnk") <= max_bucket
+        )
+    buckets = kept.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
 def candidate_pairs(
     bands: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,

@@ -219,33 +219,67 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def simhash_banded_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
-    bits: int = 16,
-    bands: int = 4,
+    bits: int | None = None,
+    bands: int | None = None,
     fingerprints: DataFrame | None = None,
+    max_bucket: int = 1024,
+    oversize_policy: str = "drop",
 ) -> DataFrame:
     """Production SimHash near-dup lane: banded equi-join, no cross join.
 
     Pigeonhole guarantee: two fingerprints within ``max_hamming`` bit
     flips must agree on ≥1 of ``bands`` disjoint bit-bands whenever
-    ``bands > max_hamming`` — so with the default 4 bands this returns
-    EXACTLY the pairs of :func:`simhash_dup_pairs` (its oracle) while
-    replacing the O(n²) cross join with one band-bucket shuffle — the
-    same banding move the reference's hash multimap makes for k-mer
-    sketches (/root/reference/src/sketch_database.h:201-206).
+    ``bands > max_hamming`` (default bands = max_hamming + 1) — so the
+    banded lane returns EXACTLY the brute-force pair set whenever no
+    bucket overflows ``max_bucket``, while replacing the O(n²) cross
+    join with one band-bucket shuffle — the same banding move the
+    reference's hash multimap makes for k-mer sketches
+    (/root/reference/src/sketch_database.h:201-206).
 
-    At 10^12-doc scale: use the 64-bit pipeline fingerprint
-    (``fingerprints=(doc_id, simhash)``, bits=64) — 16-bit bands give
-    65k buckets per band; hot buckets (boilerplate fingerprints) are the
-    same skew the LSH lane's bucket cap handles, and the post-join
-    hamming filter keeps the output exact.
+    Scale geometry is the DEFAULT: with no ``fingerprints``/``bits``
+    given, the lane computes the production 64-bit pipeline SimHash
+    (functions/sketch.simhash64, Arrow-batched) — 4 bands × 16 bits =
+    65k buckets per band.  ``bits=16`` selects the relational
+    :func:`simhash16` demo fingerprint (the DuckDB-oracle parity lane).
+
+    Skew guard: candidates route through
+    :func:`~..lsh.bucket_join_pairs` — bucket sizes are counted first
+    and any (band, bband) bucket above ``max_bucket`` is dropped (the
+    overpopulated-feature rule, sketch_database.h:375-395: a degenerate
+    fingerprint — the all-zero SimHash of empty/boilerplate docs — is
+    non-discriminative boilerplate, and an uncapped self-join would put
+    its n² pair work in one task).  The post-join hamming filter keeps
+    every emitted pair exact.
     """
+    from .lsh import bucket_join_pairs
+
+    if fingerprints is None:
+        if bits is None or bits == 64:
+            from ..functions.sketch import make_simhash_udf
+
+            bits = 64
+            fp = docs.select(
+                "doc_id", make_simhash_udf()(F.col("text")).alias("simhash")
+            )
+        elif bits == 16:
+            fp = simhash16(docs)
+        else:
+            raise ValueError(f"no default fingerprint for bits={bits}")
+    else:
+        fp = fingerprints
+        bits = 64 if bits is None else bits
+    if bands is None:
+        bands = max_hamming + 1
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
-    fp = fingerprints if fingerprints is not None else simhash16(docs)
+    # fp feeds the band emission AND both verify sides — materialize the
+    # (one-row-per-doc) fingerprint table once instead of recomputing
+    # the UDF/aggregation chain three times (same move as
+    # ngram_jaccard_pairs' discriminative-shingle subtree)
+    fp = fp.localCheckpoint(eager=False)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -253,20 +287,19 @@ def simhash_banded_pairs(
             )
         ).alias("band", "bband"),
     )
-    x, y = banded.alias("x"), banded.alias("y")
-    ham = F.bit_count(
-        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-    ).alias("hamming")
+    cand = bucket_join_pairs(
+        banded, "doc_id", ["band", "bband"], max_bucket, oversize_policy
+    )
+    fa = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sim_a"))
+    fb = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_sim_b"))
+    ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias(
+        "hamming"
+    )
     return (
-        x.join(y, ["band", "bband"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            ham,
-        )
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .select("a", "b", ham)
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

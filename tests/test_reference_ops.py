@@ -341,7 +341,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_simhash_banded_equals_brute(spark):
     """4 bands > 3 bit flips ⇒ pigeonhole exactness: the banded lane
-    must return EXACTLY the brute-force pair set."""
+    must return EXACTLY the brute-force pair set (16-bit oracle-parity
+    geometry; no bucket exceeds the cap at this corpus size)."""
     from metacache_mpi_spark.operators.textops import (
         simhash_banded_pairs,
         simhash_dup_pairs,
@@ -351,8 +352,100 @@ def test_simhash_banded_equals_brute(spark):
     brute = {(r["a"], r["b"], r["hamming"])
              for r in simhash_dup_pairs(docs).collect()}
     banded = {(r["a"], r["b"], r["hamming"])
-              for r in simhash_banded_pairs(docs).collect()}
+              for r in simhash_banded_pairs(docs, bits=16, bands=4).collect()}
     assert banded == brute and brute  # non-trivial
+
+
+def test_simhash_banded_default_is_64bit_pipeline_fingerprint(spark):
+    """The DEFAULT lane geometry is the scale config: the 64-bit
+    pipeline SimHash (functions/sketch.simhash64) banded 4×16 — gated
+    against a brute-force hamming scan over the same fingerprints."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.functions.sketch import make_simhash_udf
+    from metacache_mpi_spark.operators.textops import simhash_banded_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = docs.select(
+        "doc_id", make_simhash_udf()(F.col("text")).alias("simhash")
+    )
+    x, y = fp.alias("x"), fp.alias("y")
+    brute = {
+        (r["a"], r["b"], r["hamming"])
+        for r in x.crossJoin(y)
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {(r["a"], r["b"], r["hamming"])
+              for r in simhash_banded_pairs(docs).collect()}
+    assert banded == brute and brute  # 64-bit default, pigeonhole-exact
+
+
+def test_banded_lanes_survive_degenerate_fingerprint_skew(spark):
+    """The 100-TB skew hazard: a boilerplate fingerprint shared by a
+    huge doc population (all-zero SimHash / one sign pattern) must NOT
+    produce an O(n²) bucket task.  bucket_join_pairs counts first and
+    drops the oversize bucket (overpopulated-feature rule,
+    sketch_database.h:375-395); normal-sized buckets keep their exact
+    pairs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.ann import sign_banded_dup_pairs
+    from metacache_mpi_spark.operators.textops import simhash_banded_pairs
+
+    n_degenerate = 10_000
+    # --- SimHash lane: 10k identical (degenerate) fingerprints + two
+    # small genuine near-dup groups below the cap
+    fp = pd.DataFrame(
+        {
+            "doc_id": range(n_degenerate + 4),
+            # two planted near-dup pairs, each sharing a NON-degenerate
+            # band with its mate: (10000, 10001) collide in band 2
+            # (bits 32-47), (10002, 10003) in band 0 (bits 0-15)
+            "simhash": [0] * n_degenerate
+            + [
+                (1 << 40) | 3,
+                (1 << 40) | 1,
+                (1 << 23) | (1 << 5),
+                (1 << 23) | (1 << 22) | (1 << 5),
+            ],
+        }
+    )
+    fpdf = spark.createDataFrame(fp, "doc_id long, simhash long")
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_banded_pairs(
+            None, fingerprints=fpdf, bits=64, max_bucket=256
+        ).collect()
+    }
+    # degenerate ids (quadratic without the cap) are dropped; the small
+    # genuine groups survive with exact hamming verification
+    assert got == {(n_degenerate, n_degenerate + 1),
+                   (n_degenerate + 2, n_degenerate + 3)}
+
+    # --- sign-LSH lane: 10k copies of one vector + two planted pairs
+    base = [1.0] * 64
+    neg = [-1.0] * 64
+    rows = [(i, base) for i in range(n_degenerate)]
+    rows += [(n_degenerate, neg), (n_degenerate + 1, neg)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<double>",
+    )
+    pairs = sign_banded_dup_pairs(
+        emb, tau=0.9, bands=16, rows_per_band=2, max_bucket=256
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(n_degenerate, n_degenerate + 1)}
 
 
 def test_ann_banded_recall_gate(spark):
