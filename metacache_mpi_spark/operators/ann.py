@@ -223,14 +223,24 @@ def train_ivf_centroids(
     """Train IVF coarse centroids with Lloyd's k-means on a bounded
     deterministic sample (standard IVF practice — at 10^12 vectors the
     quantizer trains on a sample and broadcasts; the full corpus is only
-    ASSIGNED, one pass).  Driver-side NumPy on ≤ ``sample`` rows."""
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"))  # deterministic pseudo-random sample
-        .limit(sample)
-        .collect()
-    )
+    ASSIGNED, one pass).  Driver-side NumPy on ≤ ``sample`` rows.
+
+    Sampling is a hash-threshold FILTER, not a global sort: keeping
+    rows whose ``xxhash64(vec_id)`` falls under a count-derived
+    threshold touches each row once (fully pushdown-able), where the
+    previous ``orderBy(xxhash64).limit(n)`` paid a corpus-wide Sort to
+    draw 4k rows.  The ≤4·sample survivors are driver-sorted by the
+    same hash for a deterministic final sample.
+    """
+    n = emb.count()
+    sel = emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("_h"))
+    if n > sample:
+        # 4× margin: P(fewer than `sample` survivors) is negligible
+        frac_ppm = min(1_000_000, int(4_000_000 * sample / n))
+        sel = sel.where(F.pmod(F.col("_h"), F.lit(1_000_000)) < frac_ppm)
+    rows = sorted(sel.collect(), key=lambda r: (r["_h"], r["vec_id"]))[:sample]
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n_centroids = min(n_centroids, x.shape[0])
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(x.shape[0], size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -278,16 +288,22 @@ def ivf_topk(
     scan).  Recall vs the brute lane is gated in pytest."""
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_centroids)
-    q_row = emb.where(F.col("vec_id") == query_vec_id).select(
+    # one scan for the query embedding (reused for centroid distances
+    # AND the broadcast probe row); a missing id fails loudly
+    q_rows = emb.where(F.col("vec_id") == query_vec_id).select(
         "embedding"
-    ).collect()[0]
-    q = np.asarray(q_row["embedding"], dtype=np.float64)
+    ).collect()
+    if not q_rows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not found in embeddings"
+        )
+    q = np.asarray(q_rows[0]["embedding"], dtype=np.float64)
     d = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:nprobe]]
 
     assigned = ivf_assign(emb, centroids)
-    qdf = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qe")
+    qdf = emb.sparkSession.createDataFrame(
+        [(q.tolist(),)], "qe array<double>"
     )
     scored = (
         assigned.where(

@@ -43,7 +43,16 @@ def annotate_with_taxid(
     explicit "not found" marker).
 
     ``mapping``: (accession, accession_version, taxid[, gi]).
+
+    ``field_sep`` must be a single character and not a quote/backslash
+    (it is embedded in a regex — validated + regex-escaped here, so any
+    metacharacter like '.' or '$' is safe; the reference's CLI takes
+    the same single-char separator).
     """
+    if len(field_sep) != 1 or field_sep in "'\"\\":
+        raise ValueError(
+            "field_sep must be a single character, not a quote or backslash"
+        )
     map_key = {
         "accver": "accession_version",
         "acc": "accession",
@@ -56,27 +65,30 @@ def annotate_with_taxid(
     df = seqs.withColumn("_ann_id", _extract_id(idtype, header_col).cast("string"))
     df = df.join(m, "_ann_id", "left")
     sep = field_sep
-    esc = "\\" + sep
+    import re as _re
+
+    esc = _re.escape(sep)  # full regex escape (a lone '\x' is not enough
+    # for every metaclass, e.g. inside alternations)
     # delete any pre-existing taxid token (reference :264-275)
     cleaned = F.regexp_replace(
         F.col(header_col), rf"taxid{esc}[^{esc}]*{esc}?", ""
     )
     tax = F.coalesce(F.col("_ann_tax"), F.lit(0)).cast("string")
     token = F.concat(F.lit(f"taxid{sep}"), tax, F.lit(sep))
-    first = F.substring_index(cleaned, sep, 1)
-    rest = F.expr(
-        f"substring({header_col}_cleaned, "
-        f"length(substring_index({header_col}_cleaned, '{sep}', 1)) + 2)"
-    )
     df = df.withColumn(f"{header_col}_cleaned", cleaned)
+    ccol = F.col(f"{header_col}_cleaned")
+    first = F.substring_index(ccol, sep, 1)
+    # rest-of-header via column functions (no string-formatted expr —
+    # a separator would otherwise be interpolated into SQL text)
+    rest = ccol.substr(F.length(first) + F.lit(2), F.length(ccol))
     annotated = F.when(
         F.col("_ann_id").isNull() | (F.col("_ann_id") == ""),
-        F.col(f"{header_col}_cleaned"),
+        ccol,
     ).when(
-        F.col(f"{header_col}_cleaned").contains(sep),
+        ccol.contains(sep),
         F.concat(first, F.lit(sep), token, rest),
     ).otherwise(
-        F.concat(F.col(f"{header_col}_cleaned"), F.lit(sep), token)
+        F.concat(ccol, F.lit(sep), token)
     )
     return (
         df.withColumn(header_col, annotated)

@@ -114,7 +114,11 @@ def rank_positions(
     reference's counters (classification_statistics.h:91-120):
 
     - assigned_pos — rank of the assignment (NONE_POS if unclassified);
-    - known_pos    — rank of the ground truth (NONE_POS if unknown);
+    - known_pos    — rank of the ground truth LIFTED to its next ranked
+      ancestor (classification.cpp:115-124 next_ranked_ancestor: a
+      'no rank' truth taxon counts at its first ranked lineage slot,
+      not as unknown — NONE_POS only when truth is absent or has no
+      ranked ancestor);
     - correct_pos  — rank of ranked_lca(assigned, truth), clamped to be
       no more specific than either input rank (the reference's
       plausibility clamp).
@@ -130,7 +134,13 @@ def rank_positions(
             a_pos, k_pos, c_pos = [], [], []
             for pred, truth in zip(pdf["taxid"], pdf["truth_taxid"]):
                 ap = NONE_POS if pd.isna(pred) else tax.rank_pos(int(pred))
-                kp = NONE_POS if pd.isna(truth) else tax.rank_pos(int(truth))
+                # ground truth lifts to the next ranked ancestor (for a
+                # ranked taxon this is its own rank)
+                kp = (
+                    NONE_POS
+                    if pd.isna(truth)
+                    else tax.next_ranked_pos(int(truth))
+                )
                 if pd.isna(pred) or pd.isna(truth):
                     cp = NONE_POS
                 else:

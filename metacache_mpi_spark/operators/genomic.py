@@ -296,7 +296,11 @@ def query_index_paired(
             )
         ).cast("long").alias("nw_q"),
     )
-    matches = matches.join(F.broadcast(span), "qid")
+    # span has ONE ROW PER QUERY — it scales with the query corpus, so
+    # it must never ride as a broadcast build (driver/executor OOM at
+    # scale); a shuffle join on qid co-partitions with the downstream
+    # per-(qid, tgt) aggregation anyway
+    matches = matches.join(span.hint("shuffle_hash"), "qid")
     return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
 
 

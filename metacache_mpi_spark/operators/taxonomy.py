@@ -152,6 +152,16 @@ class Taxonomy:
     def rank_pos(self, taxid: int) -> int:
         return RANK_POS.get(self.rank.get(taxid, ""), len(RANKS))
 
+    # --- G4: position of the NEXT RANKED ancestor (self included) —
+    # classification.cpp:115-124 next_ranked_ancestor: an unranked taxon
+    # ('no rank' nodes, ubiquitous in real NCBI dumps) counts at the
+    # rank of its first ranked ancestor, not as unknown.
+    def next_ranked_pos(self, taxid: int) -> int:
+        for pos, t in enumerate(self.ranked_lineage(taxid)):
+            if t is not None:
+                return pos
+        return len(RANKS)
+
 
 def classify_lca(
     candidates: DataFrame,
@@ -273,6 +283,11 @@ def resolve_ground_truth(
 
     ``mapping``: (accession, accession_version, taxid[, gi]) or None
     (header-token strategy only). Adds ``truth_taxid``.
+
+    Note: the resolved taxid is the RAW mapped id; evaluation lifts it
+    to the next ranked ancestor (classification.cpp:115-124) inside
+    :func:`~.evaluate.rank_positions` via ``Taxonomy.next_ranked_pos``,
+    so 'no rank' truth taxa still count at their first ranked slot.
     """
     from ..sources.bio import accession_from_header, taxid_from_header
 

@@ -50,11 +50,14 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     src/sequence_io.h:55-61) — exact because records are split from the
     whole file text, where array position IS file order.
     """
+    # records split ONLY at line-start '>' ((?m) multiline anchor): a
+    # legal '>' inside a header description must not open a bogus record
+    # (it would silently shift every later record_idx / target id)
     recs = (
         _whole_files(spark, path)
         .select(
             "file",
-            F.posexplode(F.split("value", ">")).alias("pos", "rec"),
+            F.posexplode(F.split("value", "(?m)^>")).alias("pos", "rec"),
         )
         .where(F.length(F.trim("rec")) > 0)
     )

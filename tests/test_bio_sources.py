@@ -57,6 +57,21 @@ def test_read_fasta_records(spark, fasta_path):
     assert rows[2]["seq"] == "ACGT"  # upper-cased
 
 
+def test_read_fasta_header_with_gt_in_description(spark, tmp_path):
+    """A legal '>' INSIDE a header description must not split the record
+    (records split only at line-start '>'), or every later record_idx /
+    target id silently shifts."""
+    p = tmp_path / "gt.fasta"
+    p.write_text(
+        ">seq1 5' -> 3' strand\nACGT\n>seq2 plain\nTTTT\n"
+    )
+    rows = {r["record_idx"]: r for r in read_fasta(spark, str(p)).collect()}
+    assert len(rows) == 2
+    assert rows[0]["header"] == "seq1 5' -> 3' strand"
+    assert rows[0]["seq"] == "ACGT"
+    assert rows[1]["header"] == "seq2 plain"
+
+
 def test_read_fastq_records(spark, fastq_path):
     rows = {r["record_idx"]: r for r in read_fastq(spark, fastq_path).collect()}
     assert len(rows) == 2

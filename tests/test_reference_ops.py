@@ -321,6 +321,60 @@ def test_per_rank_stats_vs_reference_counters(spark):
         assert g["total"] == len(rows)
 
 
+def test_rank_positions_lift_unranked_truth(spark):
+    """classification.cpp:115-124 next_ranked_ancestor: a 'no rank'
+    ground-truth taxon counts at its first ranked ancestor's rank —
+    NOT as unknown — so known/correct denominators match the reference
+    on real NCBI dumps (where 'no rank' nodes are ubiquitous)."""
+    from metacache_mpi_spark.operators.evaluate import (
+        NONE_POS,
+        rank_positions,
+    )
+    from metacache_mpi_spark.operators.taxonomy import RANK_POS
+
+    # 7 is a 'no rank' strain node under species 5
+    tax = Taxonomy(
+        parent={1: 1, 2: 1, 4: 2, 5: 4, 7: 5},
+        rank={1: "root", 2: "domain", 4: "genus", 5: "species",
+              7: "no rank"},
+    )
+    rows = [(0, 5, 7),      # truth lifts 7 -> species; pred species
+            (1, 7, 7),      # pred unranked too: assigned stays unranked
+            (2, 5, None)]   # truth absent: still unknown
+    df = spark.createDataFrame(rows, "qid long, taxid long, truth_taxid long")
+    got = {r["qid"]: r.asDict() for r in rank_positions(df, tax).collect()}
+    sp = RANK_POS["species"]
+    assert got[0]["known_pos"] == sp            # lifted, not NONE_POS
+    assert got[0]["correct_pos"] == sp          # ranked_lca(5, 7) = 5
+    assert got[1]["known_pos"] == sp
+    assert got[1]["assigned_pos"] == NONE_POS   # assignment NOT lifted
+    assert got[2]["known_pos"] == NONE_POS
+
+
+def test_annotate_field_sep_hardening(spark):
+    """A regex-metachar separator must be escaped, not interpolated; a
+    quote / multi-char separator is rejected up front."""
+    import pytest as _pytest
+
+    from metacache_mpi_spark.operators.annotate import annotate_with_taxid
+
+    seqs = spark.createDataFrame(
+        [(0, "NC_001422.1.some phage"), (1, "NC_001422.1.taxid.9.old")],
+        "record_idx long, header string",
+    )
+    mapping = spark.createDataFrame(
+        [("NC_001422", "NC_001422.1", 10847)],
+        "accession string, accession_version string, taxid long",
+    )
+    got = {r["record_idx"]: r["header"]
+           for r in annotate_with_taxid(seqs, mapping, field_sep=".").collect()}
+    assert got[0] == "NC_001422.taxid.10847.1.some phage"
+    assert got[1] == "NC_001422.taxid.10847.1.old"
+    for bad in ("||", "'", "\\", ""):
+        with _pytest.raises(ValueError):
+            annotate_with_taxid(seqs, mapping, field_sep=bad)
+
+
 def test_pair_recall_operator(spark):
     from metacache_mpi_spark.operators.evaluate import pair_recall
 
