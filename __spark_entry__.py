@@ -540,6 +540,110 @@ def _q_classification_rank_stats(spark, sf_dir):
     return per_rank_stats(rank_positions(df, tax))
 
 
+def _q_index_bucket_stats(spark, sf_dir):
+    """`info statistics` analog (sketch_database.h:1021-1032): exact
+    moments of the LSH bucket-size distribution per band — the
+    bucket_size_stats operator over the md5 bucket table."""
+    from metacache_mpi_spark.operators.relational import bucket_size_stats
+    from metacache_mpi_spark.operators.textops import lsh_band_buckets
+
+    b = lsh_band_buckets(_t(spark, sf_dir, "documents"))
+    return bucket_size_stats(b, bucket_cols=["bucket"], group_cols=["band"])
+
+
+def _q_classify_lca(spark, sf_dir):
+    """A4 LCA-voting classification (classification.cpp:235-265) over a
+    deterministic synthetic candidate set: best-candidate seed, strict
+    hits > (best - hitsMin)·fraction fold-in, ranked LCA, highest-rank
+    cutoff.  Unclassified is emitted as -1 for oracle hash parity."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.taxonomy import Taxonomy, classify_lca
+
+    tax = Taxonomy(
+        parent={1: 1, 100: 1, 101: 1, 10: 100, 11: 100, 12: 100,
+                13: 101, 14: 101, 15: 101},
+        rank={1: "root", 100: "genus", 101: "genus",
+              **{t: "species" for t in range(10, 16)}},
+    )
+    target_taxid = {t: 10 + t for t in range(6)}
+    rows = [
+        (0, 0, 10), (1, 0, 10), (1, 1, 8), (2, 0, 10), (2, 3, 9),
+        (3, 2, 2), (4, 0, 10), (4, 1, 3), (5, 5, 4), (5, 4, 4),
+        (6, 99, 10), (7, 0, 5), (7, 3, 1),
+    ]
+    cands = spark.createDataFrame(rows, "qid long, tgt long, hits long")
+    out = classify_lca(
+        cands, tax, target_taxid,
+        hits_min=3, hits_diff_fraction=0.5, highest_rank="genus",
+    )
+    return out.select(
+        "qid", F.coalesce("taxid", F.lit(-1)).alias("taxid")
+    )
+
+
+def _q_abundance_estimate(spark, sf_dir):
+    """A6 hierarchical abundance (classification.cpp:362-428) over a
+    deterministic synthetic assignment set: counts at/below the rank
+    lift to it; counts above it redistribute proportionally to the
+    direct rank-level counts (fixed-point integer micros)."""
+    from metacache_mpi_spark.operators.taxonomy import (
+        Taxonomy,
+        abundance_estimate_df,
+    )
+
+    tax = Taxonomy(
+        parent={1: 1, 100: 1, 101: 1, 10: 100, 11: 100, 12: 100,
+                13: 101, 14: 101, 15: 101, 7: 10},
+        rank={1: "root", 100: "genus", 101: "genus", 7: "no rank",
+              **{t: "species" for t in range(10, 16)}},
+    )
+    # species direct counts: 10→3 (incl. one 'no rank' child lift),
+    # 11→2, 13→4; genus 100 (above rank) → 6 redistributed 3:2 over
+    # {10, 11}; genus 101 → 5 all to 13; root → 9 over all three
+    rows = (
+        [(i, 10) for i in range(2)] + [(2, 7)]
+        + [(i, 11) for i in range(3, 5)]
+        + [(i, 13) for i in range(5, 9)]
+        + [(i, 100) for i in range(9, 15)]
+        + [(i, 101) for i in range(15, 20)]
+        + [(i, 1) for i in range(20, 29)]
+        + [(29, None)]
+    )
+    asg = spark.createDataFrame(rows, "qid long, taxid long")
+    return abundance_estimate_df(asg, tax, "species")
+
+
+def _q_genomic_candidates_md5(spark, sf_dir):
+    """Oracle-gated genomic query lifecycle: windowed bottom-s md5
+    sketch (dna_encoding.h:261-289 windowing) → feature probe (J1) →
+    contiguous-range hit counting (A1) → top-k + hitsMin (A2/P12), on
+    sequences derived from the documents table so the DuckDB oracle
+    runs the identical SQL end to end."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        query_index_md5,
+        sketch_rows_md5,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = GenomicConfig(k=8, sketch_size=4, winlen=64, winstride=57,
+                        num_windows=3, max_candidates=2)
+    targets = docs.select(
+        F.col("doc_id").alias("tgt"), F.col("text").alias("seq")
+    )
+    queries = docs.where(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 150)
+    ).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 11, 140).alias("seq"),
+    )
+    index = sketch_rows_md5(targets, cfg, "tgt")
+    return query_index_md5(queries, index, cfg)
+
+
 def _q_pipeline_clusters(spark, sf_dir):
     """Full production pipeline on documents (rows-only check)."""
     from pyspark.sql import functions as F
@@ -599,6 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paired_zip_events": _q_paired_zip,
         "sessionize_events": _q_sessionize,
         "props_extract": _q_props_extract,
+        "index_bucket_stats": _q_index_bucket_stats,
+        "classify_lca": _q_classify_lca,
+        "abundance_estimate": _q_abundance_estimate,
+        "genomic_candidates_md5": _q_genomic_candidates_md5,
         "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
         "pipeline_clusters": _q_pipeline_clusters,
         "genomic_candidates": _q_genomic_candidates,
@@ -903,6 +1011,155 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN known > 0 THEN floor(correct * 1000000.0 / known) ELSE 0 END AS BIGINT) AS sensitivity_micro,
                    CAST(CASE WHEN correct + wrong > 0 THEN floor(correct * 1000000.0 / (correct + wrong)) ELSE 0 END AS BIGINT) AS precision_micro
             FROM agg
+        """,
+        "index_bucket_stats": f"""
+            WITH {_BUCKETS_CTE},
+            sz AS (SELECT band, bucket, count(*) AS sz
+                   FROM buckets GROUP BY band, bucket)
+            SELECT band,
+                   count(*) AS n_buckets,
+                   CAST(sum(sz) AS BIGINT) AS sum_sz,
+                   CAST(sum(sz * sz) AS BIGINT) AS sum_sq_sz,
+                   min(sz) AS min_sz,
+                   max(sz) AS max_sz
+            FROM sz GROUP BY band
+        """,
+        "classify_lca": """
+            WITH cand(qid, tgt, hits) AS (VALUES
+              (0,0,10),(1,0,10),(1,1,8),(2,0,10),(2,3,9),
+              (3,2,2),(4,0,10),(4,1,3),(5,5,4),(5,4,4),
+              (6,99,10),(7,0,5),(7,3,1)),
+            tmap(tgt, taxid) AS (VALUES
+              (0,10),(1,11),(2,12),(3,13),(4,14),(5,15)),
+            lin(taxid, pos, anc) AS (VALUES
+              (10,1,10),(10,2,100),(10,9,1),
+              (11,1,11),(11,2,100),(11,9,1),
+              (12,1,12),(12,2,100),(12,9,1),
+              (13,1,13),(13,2,101),(13,9,1),
+              (14,1,14),(14,2,101),(14,9,1),
+              (15,1,15),(15,2,101),(15,9,1)),
+            ranked AS (SELECT c.qid, c.hits, m.taxid,
+                              row_number() OVER (PARTITION BY c.qid
+                                                 ORDER BY c.hits DESC, c.tgt ASC) AS rn
+                       FROM cand c JOIN tmap m USING (tgt)),
+            thr AS (SELECT qid, hits AS best_hits,
+                           CASE WHEN hits > 3 THEN (hits - 3) * 0.5
+                                ELSE 0 END AS t
+                    FROM ranked WHERE rn = 1),
+            inc AS (SELECT r.qid, r.taxid FROM ranked r JOIN thr USING (qid)
+                    WHERE r.rn = 1 OR r.hits > thr.t),
+            n_inc AS (SELECT qid, count(*) AS n FROM inc GROUP BY qid),
+            slots AS (SELECT i.qid, l.pos, min(l.anc) AS anc,
+                             count(*) AS cnt, count(DISTINCT l.anc) AS d
+                      FROM inc i JOIN lin l USING (taxid)
+                      GROUP BY i.qid, l.pos),
+            good AS (SELECT s.qid, s.pos, s.anc
+                     FROM slots s JOIN n_inc USING (qid)
+                     WHERE s.cnt = n_inc.n AND s.d = 1),
+            res AS (SELECT qid, anc, pos FROM
+                      (SELECT qid, anc, pos,
+                              row_number() OVER (PARTITION BY qid ORDER BY pos) AS rp
+                       FROM good)
+                    WHERE rp = 1)
+            SELECT CAST(q.qid AS BIGINT) AS qid,
+                   CAST(CASE WHEN t.best_hits IS NULL OR t.best_hits < 3 THEN -1
+                             WHEN r.pos IS NULL OR r.pos > 2 THEN -1
+                             ELSE r.anc END AS BIGINT) AS taxid
+            FROM (SELECT DISTINCT qid FROM cand) q
+            LEFT JOIN thr t USING (qid) LEFT JOIN res r USING (qid)
+        """,
+        "abundance_estimate": """
+            WITH asg(qid, taxid) AS (VALUES
+              (0,10),(1,10),(2,7),(3,11),(4,11),
+              (5,13),(6,13),(7,13),(8,13),
+              (9,100),(10,100),(11,100),(12,100),(13,100),(14,100),
+              (15,101),(16,101),(17,101),(18,101),(19,101),
+              (20,1),(21,1),(22,1),(23,1),(24,1),(25,1),(26,1),(27,1),(28,1),
+              (29,NULL)),
+            lift(taxid, pos, anc) AS (VALUES
+              (10,1,10),(11,1,11),(12,1,12),(13,1,13),(14,1,14),(15,1,15),
+              (7,1,10),(100,2,100),(101,2,101),(1,9,1)),
+            members(up, at) AS (VALUES
+              (100,10),(100,11),(100,12),(101,13),(101,14),(101,15),
+              (1,10),(1,11),(1,12),(1,13),(1,14),(1,15)),
+            cnt AS (SELECT taxid, count(*) AS n FROM asg
+                    WHERE taxid IS NOT NULL GROUP BY taxid),
+            wp AS (SELECT c.taxid, c.n, l.pos, l.anc
+                   FROM cnt c JOIN lift l USING (taxid)),
+            base AS (SELECT anc AS at, CAST(sum(n) AS BIGINT) AS base
+                     FROM wp WHERE pos <= 1 AND anc IS NOT NULL GROUP BY anc),
+            above AS (SELECT taxid AS up, n FROM wp WHERE pos > 1),
+            shares AS (SELECT a.up, a.n, m.at, b.base
+                       FROM above a JOIN members m USING (up)
+                       JOIN base b USING (at)),
+            tot AS (SELECT up, sum(base) AS tot FROM shares GROUP BY up),
+            contrib AS (SELECT at,
+                               sum((n * base * 1000000) // tot) AS redist
+                        FROM shares JOIN tot USING (up) GROUP BY at)
+            SELECT CAST(b.at AS BIGINT) AS taxid,
+                   CAST(b.base AS BIGINT) AS n_direct,
+                   CAST(b.base * 1000000 + coalesce(c.redist, 0) AS BIGINT)
+                     AS abund_micro
+            FROM base b LEFT JOIN contrib c ON c.at = b.at
+        """,
+        "genomic_candidates_md5": """
+            WITH tseq AS (SELECT doc_id AS tgt, text AS seq FROM documents
+                          WHERE length(text) >= 8),
+            qseq AS (SELECT doc_id AS qid, substr(text, 11, 140) AS seq
+                     FROM documents
+                     WHERE doc_id % 5 = 0 AND length(text) >= 150),
+            tw AS (SELECT tgt, seq,
+                          unnest(range(0, CASE WHEN length(seq) <= 64 THEN 1
+                                   ELSE (length(seq) - 8) // 57 + 1 END)) AS win
+                   FROM tseq),
+            tk AS (SELECT tgt, win, seq,
+                          unnest(range(1, least(64, length(seq) - win * 57) - 8 + 2)) AS i
+                   FROM tw),
+            tf AS (SELECT DISTINCT tgt, win,
+                          md5(substr(seq, CAST(win * 57 + i AS INT), 8)) AS feature
+                   FROM tk),
+            tidx AS (SELECT tgt, win, feature FROM
+                       (SELECT tgt, win, feature,
+                               row_number() OVER (PARTITION BY tgt, win
+                                                  ORDER BY feature) AS rn
+                        FROM tf)
+                     WHERE rn <= 4),
+            qw AS (SELECT qid, seq,
+                          unnest(range(0, CASE WHEN length(seq) <= 64 THEN 1
+                                   ELSE (length(seq) - 8) // 57 + 1 END)) AS win
+                   FROM qseq),
+            qk AS (SELECT qid, win, seq,
+                          unnest(range(1, least(64, length(seq) - win * 57) - 8 + 2)) AS i
+                   FROM qw),
+            qf AS (SELECT DISTINCT qid, win,
+                          md5(substr(seq, CAST(win * 57 + i AS INT), 8)) AS feature
+                   FROM qk),
+            qsk AS (SELECT qid, win, feature FROM
+                      (SELECT qid, win, feature,
+                              row_number() OVER (PARTITION BY qid, win
+                                                 ORDER BY feature) AS rn
+                       FROM qf)
+                    WHERE rn <= 4),
+            m AS (SELECT q.qid, t.tgt, t.win
+                  FROM qsk q JOIN tidx t USING (feature)),
+            pw AS (SELECT qid, tgt, win, count(*) AS whits
+                   FROM m GROUP BY qid, tgt, win),
+            rng AS (SELECT qid, tgt, win,
+                           CAST(sum(whits) OVER (PARTITION BY qid, tgt ORDER BY win
+                                RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING)
+                                AS BIGINT) AS hits
+                    FROM pw),
+            best AS (SELECT qid, tgt, hits, win AS win_beg,
+                            row_number() OVER (PARTITION BY qid, tgt
+                                               ORDER BY hits DESC, win ASC) AS rn
+                     FROM rng),
+            pt AS (SELECT qid, tgt, hits, win_beg FROM best WHERE rn = 1),
+            topk AS (SELECT qid, tgt, hits, win_beg,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY hits DESC, tgt ASC) AS rank
+                     FROM pt)
+            SELECT qid, tgt, hits, win_beg, CAST(rank AS INT) AS rank
+            FROM topk WHERE rank <= 2 AND hits >= 1
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

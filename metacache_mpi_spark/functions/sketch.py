@@ -150,14 +150,20 @@ def make_winnow_udf(k: int, w: int):
 # --------------------------------------------------------------------------
 
 
-def make_sketch_mapper(k: int, s: int, seed: int, w: int):
+def make_sketch_mapper(k: int, s: int, seed: int, w: int, carry_text: bool = False):
     """One-pass sketcher for mapInPandas: (doc_id, text) → (doc_id,
-    signature, simhash, fps).
+    signature, simhash, fps[, text]).
 
     The reference fuses window→sketch→insert into a single pass over
     each sequence (/root/reference/src/sketch_database.h:1079-1097);
     this is the same fusion — the corpus text is scanned ONCE for all
     three sketch families, instead of one UDF stage per family.
+
+    ``carry_text=True`` passes the text column through (schema
+    :data:`SKETCH_TEXT_SCHEMA`): the pipeline then serves the verify
+    stage's per-pair text fetch AND the signature prefilter from ONE
+    cached table — one join per pair side instead of two (halves the
+    corpus-sized exchanges of the verify chain).
     """
     import pandas as pd
 
@@ -177,14 +183,15 @@ def make_sketch_mapper(k: int, s: int, seed: int, w: int):
                 fps_col.append(
                     winnow_fingerprints(h, w).astype(np.int64).tolist()
                 )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "signature": pd.Series(sig_col, dtype=object),
-                    "simhash": pd.Series(sim_col, dtype="Int64"),
-                    "fps": pd.Series(fps_col, dtype=object),
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "signature": pd.Series(sig_col, dtype=object),
+                "simhash": pd.Series(sim_col, dtype="Int64"),
+                "fps": pd.Series(fps_col, dtype=object),
+            }
+            if carry_text:
+                out["text"] = pdf["text"]
+            yield pd.DataFrame(out)
 
     return _map
 
@@ -192,6 +199,8 @@ def make_sketch_mapper(k: int, s: int, seed: int, w: int):
 SKETCH_SCHEMA = (
     "doc_id long, signature array<long>, simhash long, fps array<long>"
 )
+
+SKETCH_TEXT_SCHEMA = SKETCH_SCHEMA + ", text string"
 
 
 def make_minhash_udf(k: int, s: int, seed: int):

@@ -1,0 +1,162 @@
+"""Semi-global alignment verification — the reference's ``-align`` mode.
+
+Restates /root/reference/src/alignment.h:185-298 (banded semi-global DP
+with backtrace) and its driver /root/reference/src/classification.cpp:
+437-477 (optional deep per-candidate verification): the QUERY aligns
+end-to-end, the TARGET contributes a free-leading/free-trailing region
+(semi-global: no penalty for the unaligned target flanks), and the
+result carries the best score, the target start offset and a CIGAR
+string from the backtrace.
+
+Spark-first placement: alignment is per-candidate-pair work AFTER the
+index probe has cut the corpus down to a small candidate set — exactly
+where the reference gates it behind ``-align`` — so it runs as an
+Arrow-batched ``mapInPandas`` over (pair, query_seq, target_seq) rows,
+never on the corpus scan.  The inner DP is a plain NumPy/Python loop:
+off the hot path by construction (swap in a SIMD/GPU aligner at scale;
+the Spark plumbing — schema, batching, partition pinning — is the
+contract).  The repo's rolling-hash LCS pass (operators/verify.py)
+remains the fast default; this operator exists for reference-style
+scores/CIGAR parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DEFAULT_MATCH = 2
+DEFAULT_MISMATCH = -1
+DEFAULT_GAP = -2
+
+
+def align_semi_global(
+    query: str,
+    target: str,
+    match: int = DEFAULT_MATCH,
+    mismatch: int = DEFAULT_MISMATCH,
+    gap: int = DEFAULT_GAP,
+    band: int | None = None,
+) -> tuple[int, int, str]:
+    """Align ``query`` (global) against ``target`` (free end gaps).
+
+    Returns (score, target_begin, cigar).  CIGAR is relative to the
+    target: M consumes both, I consumes query only (insertion), D
+    consumes target only (deletion); runs are length-collapsed
+    (``12M1I3M``).  ``band``: optional half-width around the main
+    diagonal (scores outside the band are -inf), the reference's banded
+    variant (alignment.h:185-221) — callers size it from the indel
+    budget.  Deterministic tie-break: diagonal > up (I) > left (D),
+    and the leftmost best end column wins.
+    """
+    m, n = len(query), len(target)
+    if m == 0:
+        return 0, 0, ""
+    neg = -(10**9)
+    # H[i][j] = best score of query[:i] vs target[..j] (j = target cols)
+    h = np.full((m + 1, n + 1), neg, dtype=np.int64)
+    move = np.zeros((m + 1, n + 1), dtype=np.uint8)  # 1=diag 2=up(I) 3=left(D)
+    h[0, :] = 0          # free leading target gap
+    for i in range(1, m + 1):
+        h[i, 0] = i * gap
+        move[i, 0] = 2
+    q = np.frombuffer(query.encode("utf-8"), dtype=np.uint8)
+    t = np.frombuffer(target.encode("utf-8"), dtype=np.uint8)
+    for i in range(1, m + 1):
+        lo, hi = (1, n) if band is None else (
+            max(1, i - band), min(n, i + band)
+        )
+        for j in range(lo, hi + 1):
+            sub = match if q[i - 1] == t[j - 1] else mismatch
+            best, mv = h[i - 1, j - 1] + sub, 1
+            up = h[i - 1, j] + gap
+            if up > best:
+                best, mv = up, 2
+            left = h[i, j - 1] + gap
+            if left > best:
+                best, mv = left, 3
+            h[i, j] = best
+            move[i, j] = mv
+    # free trailing target gap: best over the last row, leftmost wins
+    j_end = int(np.argmax(h[m, :]))
+    score = int(h[m, j_end])
+    # backtrace
+    ops: list[str] = []
+    i, j = m, j_end
+    while i > 0:
+        mv = move[i, j]
+        if mv == 1:
+            ops.append("M")
+            i, j = i - 1, j - 1
+        elif mv == 2:
+            ops.append("I")
+            i -= 1
+        else:
+            ops.append("D")
+            j -= 1
+    ops.reverse()
+    # run-length collapse
+    cigar, run, cur = [], 0, ""
+    for op in ops:
+        if op == cur:
+            run += 1
+        else:
+            if run:
+                cigar.append(f"{run}{cur}")
+            run, cur = 1, op
+    if run:
+        cigar.append(f"{run}{cur}")
+    return score, j, "".join(cigar)
+
+
+def align_pairs(
+    pairs_with_seqs: DataFrame,
+    query_col: str = "text_a",
+    target_col: str = "text_b",
+    match: int = DEFAULT_MATCH,
+    mismatch: int = DEFAULT_MISMATCH,
+    gap: int = DEFAULT_GAP,
+    band: int | None = None,
+) -> DataFrame:
+    """Append (align_score, target_begin, cigar) per candidate pair.
+
+    Input rows carry the two sequences (the shape
+    ``verify.join_pair_texts`` / ``verify.gate_and_attach`` produce);
+    the stage is pinned to full parallelism the same way the Jaccard
+    verify is (AQE would coalesce this CPU-bound stage by bytes).
+    """
+    from pyspark.sql import types as T
+
+    from .verify import _pin_udf_parallelism
+
+    schema = T.StructType(
+        list(pairs_with_seqs.schema.fields)
+        + [
+            T.StructField("align_score", T.LongType()),
+            T.StructField("target_begin", T.LongType()),
+            T.StructField("cigar", T.StringType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores, begins, cigars = [], [], []
+            for qs, ts in zip(pdf[query_col], pdf[target_col]):
+                s, b, c = align_semi_global(
+                    qs or "", ts or "", match, mismatch, gap, band
+                )
+                scores.append(s)
+                begins.append(b)
+                cigars.append(c)
+            pdf = pdf.copy()
+            pdf["align_score"] = pd.Series(scores, index=pdf.index, dtype="int64")
+            pdf["target_begin"] = pd.Series(begins, index=pdf.index, dtype="int64")
+            pdf["cigar"] = pd.Series(cigars, index=pdf.index, dtype=object)
+            yield pdf
+
+    return _pin_udf_parallelism(pairs_with_seqs).mapInPandas(
+        _compute, schema=schema
+    )

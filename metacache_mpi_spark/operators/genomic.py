@@ -71,6 +71,62 @@ def _sketch_rows(
     return seqs.select(id_col, "seq").mapInPandas(_map, schema=schema)
 
 
+def sketch_rows_md5(
+    seqs: DataFrame, cfg: GenomicConfig, id_col: str
+) -> DataFrame:
+    """(id, win, feature): md5-string windowed bottom-s sketch — the
+    SQL-expressible twin of :func:`_sketch_rows` that oracle-gates the
+    query lifecycle (the textops md5 discipline applied to the genomic
+    windowing rule).
+
+    Windowing mirrors functions/dna.window_starts exactly
+    (/root/reference/src/dna_encoding.h:261-289): a sequence of length
+    n ≤ winlen is ONE window; otherwise windows start at 0, stride, …
+    while a window can still hold a k-mer (count = (n-k) div stride + 1,
+    tail window shorter but ≥ k).  Per window: distinct k-mers →
+    md5 hex → lexicographic bottom-s (unique-before-bottom-s, the
+    hash_dna.h:104-152 rule with md5-string order standing in for the
+    Mueller-mixed integer order; no canonicalization — divergence
+    declared, this lane exists for the DuckDB oracle).
+
+    Entirely JVM-side (transform/sequence/md5 expressions — no Python),
+    so Catalyst fuses the whole sketch into the scan stage.
+    """
+    k, s, wl, ws = cfg.k, cfg.sketch_size, cfg.winlen, cfg.winstride
+    arr = F.expr(
+        f"transform(sequence(0, CASE WHEN length(seq) <= {wl} THEN 0 "
+        f"ELSE CAST((length(seq) - {k}) DIV {ws} AS INT) END), "
+        f"w -> slice(array_sort(array_distinct(transform("
+        f"sequence(1, least({wl}, length(seq) - w * {ws}) - {k} + 1), "
+        f"i -> md5(substring(seq, w * {ws} + i, {k}))))), 1, {s}))"
+    )
+    return (
+        seqs.where(F.length("seq") >= k)
+        .select(id_col, F.posexplode(arr).alias("win", "feats"))
+        .select(
+            id_col,
+            F.col("win").cast("long").alias("win"),
+            F.explode("feats").alias("feature"),
+        )
+    )
+
+
+def query_index_md5(
+    queries: DataFrame,
+    index: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+) -> DataFrame:
+    """J1+A1+A2+P12 over the md5 sketch lane: identical probe /
+    contiguous-range / top-k machinery as :func:`query_index`, string
+    features instead of Mueller-hashed 2-bit k-mers — the oracle-gated
+    lifecycle twin (CORRECTNESS entry ``genomic_candidates_md5``)."""
+    qrows = sketch_rows_md5(queries, cfg, "qid").withColumnRenamed(
+        "win", "qwin"
+    )
+    matches = qrows.join(index, "feature").select("qid", "tgt", "win")
+    return _top_candidates(matches, cfg)
+
+
 def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> DataFrame:
     """targets(tgt, seq) → inverted index (feature, tgt, win).
 

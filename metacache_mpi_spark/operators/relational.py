@@ -226,6 +226,40 @@ def merge_topk_sources(
     )
 
 
+def bucket_size_stats(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``info statistics`` analog: moments of the index's bucket-size
+    distribution (/root/reference/src/sketch_database.h:1021-1032 prints
+    bucket-size mean/var/max of the feature hash table via
+    src/stat_moments.h).
+
+    ``rows`` is any location/membership table — (feature, tgt, win)
+    rows of a genomic index, (doc_id, band, bucket) rows of an LSH
+    bucket table; ``bucket_cols`` keys a bucket, ``group_cols``
+    (default: none → one global row keyed by a literal) splits the
+    report (e.g. per band).  Returns exact-integer moments
+    (n_buckets, sum, sum-of-squares, min, max) per group — mean and
+    variance derive exactly, the same one-pass accumulator discipline
+    as :func:`value_moments`.  Two partial-aggregating shuffles; no
+    bucket materializes member lists.
+    """
+    group_cols = group_cols or []
+    sizes = rows.groupBy(*(group_cols + bucket_cols)).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    key = group_cols if group_cols else [F.lit(0).alias("all")]
+    return sizes.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").alias("sum_sz"),
+        F.sum(F.col("sz") * F.col("sz")).alias("sum_sq_sz"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+    )
+
+
 def value_moments(events: DataFrame) -> DataFrame:
     """A11 moments accumulator (the reference's timer/statistics
     combine, /root/reference/src/stat_combined.h moments semantics):

@@ -355,6 +355,91 @@ def taxon_counts(assignments: DataFrame) -> DataFrame:
     )
 
 
+def abundance_estimate_df(
+    assignments: DataFrame,
+    taxonomy: Taxonomy,
+    rank: str,
+) -> DataFrame:
+    """A6 hierarchical abundance, DataFrame-first and oracle-gateable
+    (/root/reference/src/classification.cpp:362-428): assignment counts
+    at/below ``rank`` lift to their ancestor AT that rank; counts
+    assigned ABOVE the rank redistribute to the rank-level taxa below
+    them, proportionally to those taxa's DIRECT counts.
+
+    Exactness discipline: the proportional shares are fixed-point
+    integer micros (``(n · base · 10^6) div total``) so the result is
+    order-free and engine-portable — no float accumulation (the
+    driver-side :func:`estimate_abundance` keeps the reference's
+    sequential float walk; this operator is the distributed one-shot
+    restatement, divergence documented there).  Returns
+    (taxid, n_direct, abund_micro) for every rank-level taxon with a
+    direct count; only the tiny taxonomy dimension is driver-built —
+    the assignment table stays distributed.
+    """
+    spark = assignments.sparkSession
+    want = RANK_POS[rank]
+    lift_rows = []    # (taxid, pos, anc-at-rank)
+    member_rows = []  # (up-ancestor above rank, rank-level taxon)
+    for t in taxonomy.parent:
+        # next_ranked_pos, not rank_pos: a 'no rank' strain BELOW the
+        # rank must take the lift branch (its first ranked ancestor's
+        # position), not be mistaken for an above-rank assignment
+        pos = taxonomy.next_ranked_pos(t)
+        anc = taxonomy.ancestor_at_rank(t, rank)
+        lift_rows.append((t, pos, anc))
+        if taxonomy.rank_pos(t) == want:
+            for u in taxonomy.lineage(t):
+                if taxonomy.rank_pos(u) > want and u != t:
+                    member_rows.append((u, t))
+    lift = spark.createDataFrame(
+        pd.DataFrame(lift_rows, columns=["taxid", "pos", "anc"]),
+        "taxid long, pos int, anc long",
+    )
+    members = spark.createDataFrame(
+        pd.DataFrame(member_rows, columns=["up", "at"]),
+        "up long, at long",
+    )
+    counts = (
+        assignments.where(F.col("taxid").isNotNull())
+        .groupBy("taxid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with_pos = counts.join(F.broadcast(lift), "taxid")
+    base = (
+        with_pos.where((F.col("pos") <= want) & F.col("anc").isNotNull())
+        .groupBy(F.col("anc").alias("at"))
+        .agg(F.sum("n").alias("base"))
+    )
+    above = with_pos.where(F.col("pos") > want).select(
+        F.col("taxid").alias("up"), "n"
+    )
+    shares = (
+        above.join(F.broadcast(members), "up")
+        .join(base, "at")
+    )
+    totals = shares.groupBy("up", "n").agg(F.sum("base").alias("tot"))
+    contrib = (
+        shares.join(totals.select("up", "tot"), "up")
+        .select(
+            "at",
+            F.expr("(n * base * 1000000) div tot").alias("c_micro"),
+        )
+        .groupBy("at")
+        .agg(F.sum("c_micro").alias("redist_micro"))
+    )
+    return (
+        base.join(contrib, "at", "left")
+        .select(
+            F.col("at").alias("taxid"),
+            F.col("base").alias("n_direct"),
+            (
+                F.col("base") * 1000000
+                + F.coalesce("redist_micro", F.lit(0))
+            ).alias("abund_micro"),
+        )
+    )
+
+
 def estimate_abundance(
     counts: list[tuple[int, int]], taxonomy: Taxonomy, rank: str
 ) -> dict[int, float]:

@@ -156,7 +156,12 @@ def minhash_lsh_pairs(
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """Distinct candidate pairs colliding in ≥1 LSH band."""
-    b = lsh_band_buckets(docs, k, lanes, band_rows)
+    # both self-join sides reference the bucket table — materialize it
+    # once (the shingle explode + two aggregations are the dominant cost
+    # and would otherwise run twice; same move as ngram_jaccard_pairs)
+    b = lsh_band_buckets(docs, k, lanes, band_rows).localCheckpoint(
+        eager=False
+    )
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, ["band", "bucket"])

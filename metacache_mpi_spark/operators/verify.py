@@ -135,6 +135,61 @@ def prefilter_candidates(
     )
 
 
+def gate_and_attach(
+    candidates: DataFrame,
+    sigtext: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused lane-1 gate + payload attach: ONE join per pair side.
+
+    ``sigtext`` = (id, signature, simhash, text) — the pipeline's
+    combined sketch+text table (one cached corpus table).  The unfused
+    shape paid four corpus-sized joins per verify pass (signatures on
+    a/b for the prefilter, texts on a/b for the Jaccard UDF) plus two
+    more later for the SimHash annotation; this pays two, attaching
+    signature + text + simhash together, then applies the
+    signature-estimate gate (the reference's hitsMin sketch threshold,
+    /root/reference/src/mode_query.cpp:247-260) as a where-clause in
+    the SAME stage — no extra exchange.
+
+    Returns gated pairs with (text_a, text_b, sim_a, sim_b) attached;
+    fingerprint-lane candidates (fp_hits ≥ min_fp_hits) bypass the gate
+    exactly as in :func:`prefilter_candidates`.
+    """
+    sa = sigtext.select(
+        F.col(id_col).alias("a"),
+        F.col("signature").alias("_sig_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("text").alias("text_a"),
+    )
+    sb = sigtext.select(
+        F.col(id_col).alias("b"),
+        F.col("signature").alias("_sig_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("text").alias("text_b"),
+    )
+    est_lanes = F.expr(
+        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))"
+    )
+    fp_ok = (
+        F.col("fp_hits") >= cfg.min_fp_hits
+        if "fp_hits" in candidates.columns
+        else F.lit(False)
+    )
+    gate = (
+        fp_ok | (est_lanes >= cfg.min_sig_lanes)
+        if cfg.min_sig_lanes > 0
+        else F.lit(True)
+    )
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .where(gate)
+        .drop("_sig_a", "_sig_b")
+    )
+
+
 def join_pair_texts(
     pairs: DataFrame,
     docs: DataFrame,

@@ -30,13 +30,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, DedupConfig
-from ..functions.sketch import SKETCH_SCHEMA, make_sketch_mapper
+from ..functions.sketch import SKETCH_TEXT_SCHEMA, make_sketch_mapper
 from ..operators.cc import cluster_assignments
 from ..operators.lsh import emit_bands, two_lane_candidate_pairs
 from ..operators.verify import (
     exact_jaccard_pairs,
-    join_pair_texts,
-    prefilter_candidates,
+    gate_and_attach,
     substring_overlap_pairs,
 )
 from .checkpoint import CheckpointManager
@@ -104,30 +103,34 @@ def dedup_pipeline(
         return compute().persist()
 
     docs = prepare_docs(pages, id_col)
-    if checkpoints is None:
-        # consumed by the sketch pass, BOTH sides of the verify text join
-        # and the final cluster join — cache instead of re-scanning +
-        # re-deduplicating.  The cache must be POPULATED before the main
-        # job: its consumer stages have no dependency edges between them,
-        # so the scheduler launches them concurrently against a cold
-        # cache and each re-scans the corpus (measured: 3× full parquet
-        # scans + 2× dedup shuffles at 200k docs).  One count() action
-        # materializes the subtree once, fully parallel.
-        docs = docs.persist()
-        docs.count()
 
     def _signatures() -> DataFrame:
         # single Arrow pass over the corpus computes all three sketch
         # families (MinHash signature, SimHash, winnow fingerprints) —
-        # the reference's fused window→sketch→insert pass
+        # the reference's fused window→sketch→insert pass — AND carries
+        # the text through: the resulting table is the pipeline's ONLY
+        # corpus-sized state, serving band emission, the signature
+        # prefilter, the verify text fetch, the SimHash annotation and
+        # the final cluster-id universe from one cache.  (Round 2 kept
+        # docs and signatures as two cached tables and paid four
+        # corpus-sized verify joins; the fused table pays two.)
         mapper = make_sketch_mapper(
-            cfg.shingle_k, cfg.sketch_size, cfg.minhash_seed, cfg.winnow_w
+            cfg.shingle_k, cfg.sketch_size, cfg.minhash_seed, cfg.winnow_w,
+            carry_text=True,
         )
         return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
-            mapper, schema=SKETCH_SCHEMA
+            mapper, schema=SKETCH_TEXT_SCHEMA
         )
 
     signatures = stage("signatures", _signatures)
+    if checkpoints is None:
+        # The cache must be POPULATED before the main job: its consumer
+        # stages have no dependency edges between them, so the scheduler
+        # launches them concurrently against a cold cache and each
+        # re-runs the scan+dedup+sketch lineage (measured: 3× full
+        # parquet scans + 2× dedup shuffles at 200k docs).  One count()
+        # action materializes the subtree once, fully parallel.
+        signatures.count()
 
     def _candidates() -> DataFrame:
         # both candidate lanes share one bucket table and one shuffle:
@@ -149,18 +152,20 @@ def dedup_pipeline(
         candidates = _candidates()
 
     def _verified() -> DataFrame:
-        # JVM signature-estimate gate first (the reference's hitsMin
-        # sketch threshold): ~99% of boilerplate one-band collisions
-        # never reach the per-pair text verify
-        gated = prefilter_candidates(candidates, signatures, cfg, "doc_id")
-        jac = exact_jaccard_pairs(
-            join_pair_texts(gated, docs, id_col, "text"), cfg
-        )
+        # fused verify input: the signature-estimate gate (the
+        # reference's hitsMin sketch threshold — drops ~99% of
+        # boilerplate one-band collisions before any text is hashed)
+        # and the per-pair text + simhash payload attach in ONE join
+        # per pair side against the cached sketch+text table
+        gated = gate_and_attach(candidates, signatures, cfg, "doc_id")
+        jac = exact_jaccard_pairs(gated, cfg)
         near_dups = jac.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
             "a",
             "b",
             "jaccard",
             F.lit("jaccard").alias("dup_kind"),
+            "sim_a",
+            "sim_b",
         )
         # below-threshold candidates from the fingerprint lane may still
         # be long-verbatim-overlap dups → LCS pass (off the hot path)
@@ -171,32 +176,28 @@ def dedup_pipeline(
         sub_dups = (
             substring_overlap_pairs(rest, cfg)
             .where(F.col("substring_dup"))
-            .select("a", "b", "jaccard", F.lit("substring").alias("dup_kind"))
+            .select(
+                "a", "b", "jaccard",
+                F.lit("substring").alias("dup_kind"),
+                "sim_a", "sim_b",
+            )
         )
         dups = near_dups.unionByName(sub_dups)
-        # annotate with SimHash hamming distance (the second fingerprint
-        # lane; verified pairs are tiny, so two joins against the
-        # signature table are cheap)
-        sa = signatures.select(
-            F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a")
-        )
-        sb = signatures.select(
-            F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b")
-        )
-        return (
-            dups.join(sa, "a", "left")
-            .join(sb, "b", "left")
-            .withColumn(
-                "simhash_hamming",
-                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
-            )
-            .drop("sim_a", "sim_b")
-        )
+        # SimHash hamming annotation (second fingerprint lane) comes
+        # free — sim_a/sim_b rode along with the fused attach
+        return dups.withColumn(
+            "simhash_hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        ).drop("sim_a", "sim_b")
 
     pairs = stage("pairs", _verified)
 
     def _clusters() -> DataFrame:
-        return cluster_assignments(docs, pairs, id_col)
+        # the doc-id universe comes from the cached sketch table — the
+        # raw docs subtree is consumed exactly once (by the sketch pass)
+        return cluster_assignments(
+            signatures.select(F.col("doc_id").alias(id_col)), pairs, id_col
+        )
 
     if checkpoints is not None:
         clusters = stage("clusters", _clusters)

@@ -21,11 +21,16 @@ def result(spark, tmp_path_factory):
     return dedup_pipeline(load_pages(spark, corpus))
 
 
-def _rows(df, key):
-    return sorted(
-        (tuple(r) for r in df.collect()),
+def _rows(df, cols):
+    """Name-aligned row multiset: goldens pin VALUES, not the physical
+    column order of the plan that wrote them (the round-2 parquet has
+    the USING-join (b, a, …) order; the fused round-3 plan emits
+    (a, b, …))."""
+    out = sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
         key=lambda t: tuple(str(x) for x in t),
     )
+    return out
 
 
 @pytest.mark.skipif(
@@ -34,12 +39,18 @@ def _rows(df, key):
 class TestGolden:
     def test_signatures_match_golden(self, spark, result):
         want = spark.read.parquet(f"{GOLDEN}/signatures.golden.parquet")
-        assert _rows(result.signatures, "doc_id") == _rows(want, "doc_id")
+        # compare on the golden's sketch columns: the pipeline's
+        # signature table additionally carries the text passthrough
+        # (round 3 verify-join fusion) — additive, not semantic drift
+        cols = sorted(want.columns)
+        assert _rows(result.signatures, cols) == _rows(want, cols)
 
     def test_pairs_match_golden(self, spark, result):
         want = spark.read.parquet(f"{GOLDEN}/pairs.golden.parquet")
-        assert _rows(result.pairs, "a") == _rows(want, "a")
+        cols = sorted(want.columns)
+        assert _rows(result.pairs, cols) == _rows(want, cols)
 
     def test_clusters_match_golden(self, spark, result):
         want = spark.read.parquet(f"{GOLDEN}/clusters.golden.parquet")
-        assert _rows(result.clusters, "doc_id") == _rows(want, "doc_id")
+        cols = sorted(want.columns)
+        assert _rows(result.clusters, cols) == _rows(want, cols)

@@ -111,6 +111,33 @@ def test_taxon_counts_and_abundance(spark, tax):
     assert ab[9] == pytest.approx(1.0)
 
 
+def test_abundance_estimate_df_matches_driver_walk(spark, tax):
+    """The distributed fixed-point operator reproduces the driver-side
+    reference walk (micros of the float result) on a single-level
+    redistribution, and lifts 'no rank' sub-species assignments."""
+    from metacache_mpi_spark.operators.taxonomy import abundance_estimate_df
+
+    tax2 = Taxonomy(parent=dict(tax.parent), rank=dict(tax.rank))
+    tax2.parent[77] = 5          # 'no rank' strain under species 5
+    tax2.rank[77] = "no rank"
+    assigns = spark.createDataFrame(
+        [(0, 5), (1, 77), (2, 6), (3, 4), (4, 9), (5, None)],
+        "qid long, taxid long",
+    )
+    got = {r["taxid"]: r.asDict()
+           for r in abundance_estimate_df(assigns, tax2, "species").collect()}
+    # direct: 5→2 (one via strain lift), 6→1, 9→1; genus 4 (n=1)
+    # redistributes 2:1 over {5, 6}
+    assert got[5]["n_direct"] == 2
+    assert got[5]["abund_micro"] == 2_000_000 + (1 * 2 * 1_000_000) // 3
+    assert got[6]["abund_micro"] == 1_000_000 + (1 * 1 * 1_000_000) // 3
+    assert got[9]["abund_micro"] == 1_000_000
+    # micros agree with the driver-side float walk (same inputs)
+    ab = estimate_abundance([(5, 2), (6, 1), (4, 1), (9, 1)], tax2, "species")
+    for t in (5, 6, 9):
+        assert abs(got[t]["abund_micro"] - round(ab[t] * 1_000_000)) <= 1
+
+
 def test_parse_dmp_files(spark, tmp_path):
     nodes = tmp_path / "nodes.dmp"
     nodes.write_text(
