@@ -46,6 +46,22 @@ def test_dump_feature_map_sorted(spark, index):
     assert [tuple(loc) for loc in rows[1]["locations"]] == [(0, 1), (0, 2)]
 
 
+def test_index_bucket_statistics_over_genomic_index(spark, index):
+    """`info statistics` (sketch_database.h:1021-1032): bucket-size
+    moments of the feature hash table — mean/var/max derive exactly
+    from the one-pass integer accumulators."""
+    from metacache_mpi_spark.operators.relational import bucket_size_stats
+
+    row = bucket_size_stats(index, bucket_cols=["feature"]).collect()[0]
+    # bucket sizes: feature 100 → 3 locations, 200 → 2, 300 → 1
+    assert row["n_buckets"] == 3
+    assert row["sum_sz"] == 6 and row["sum_sq_sz"] == 14
+    assert row["min_sz"] == 1 and row["max_sz"] == 3
+    mean = row["sum_sz"] / row["n_buckets"]
+    var = row["sum_sq_sz"] / row["n_buckets"] - mean**2
+    assert mean == 2.0 and abs(var - 2 / 3) < 1e-12
+
+
 def test_resolve_taxids_fallback_chain(spark):
     targets = spark.createDataFrame(
         [(0, "NC_1.2"), (1, "NC_2.9"), (2, "NC_3"), (3, "XX_404.1")],
