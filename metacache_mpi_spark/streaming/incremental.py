@@ -4,6 +4,10 @@ State (persisted as snapshots, one per batch commit):
 - ``bands``  — (doc_id, band, bucket) rows for every doc seen so far:
   the resident inverted index (the reference keeps its hash_multimap
   resident across REPL queries, /root/reference/src/mode_query.cpp:269-315);
+- ``sigs``   — (doc_id, signature) MinHash signatures seen so far: the
+  resident sketch store, so the hitsMin signature-estimate gate
+  (/root/reference/src/mode_query.cpp:247-260) applies to candidates
+  touching OLD docs without ever re-sketching them;
 - ``edges``  — verified duplicate pair edges accumulated so far;
 - ``docs``   — (doc_id, url, text) seen so far (needed for verify joins).
 
@@ -11,7 +15,9 @@ Each ``process_batch``:
 1. sketches ONLY the new docs (UDF cost ∝ batch);
 2. candidates = new×new plus new×old band-bucket collisions —
    the old side is probed via the persisted band table, never re-sketched;
-3. verifies candidates (exact Jaccard) against the doc store;
+3. gates candidates on signature agreement (lane-1 of the verify
+   ladder, from the persisted sketch store), then verifies survivors
+   (exact Jaccard) against the doc store;
 4. appends edges and recomputes connected components over the full edge
    list (edges are tiny relative to the corpus; at 10^12-doc scale this
    step would re-cluster only affected components).
@@ -27,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..operators.cc import cluster_assignments
 from ..operators.lsh import attach_signature, emit_bands, prune_buckets
-from ..operators.verify import exact_jaccard_pairs, join_pair_texts
+from ..operators.verify import (
+    exact_jaccard_pairs,
+    join_pair_texts,
+    prefilter_candidates,
+)
 from ..plans.checkpoint import CheckpointManager
 from ..plans.pipeline import prepare_docs
 
@@ -44,7 +54,7 @@ class IncrementalDedup:
         self.cfg = cfg
         self.batch_no = self._last_batch() + 1
 
-    _KINDS = ("docs", "bands", "edges", "clusters")
+    _KINDS = ("docs", "bands", "sigs", "edges", "clusters")
 
     def _last_batch(self) -> int:
         """Highest batch number with ALL four snapshots committed.
@@ -78,6 +88,7 @@ class IncrementalDedup:
         cfg, b = self.cfg, self.batch_no
         old_docs = self._state("docs")
         old_bands = self._state("bands")
+        old_sigs = self._state("sigs")
         old_edges = self._state("edges")
 
         new_docs = prepare_docs(pages)
@@ -88,6 +99,7 @@ class IncrementalDedup:
             )
         sigs = attach_signature(new_docs.select("doc_id", "text"), cfg)
         new_bands = emit_bands(sigs, cfg)
+        new_sigs = sigs.select("doc_id", "signature")
 
         all_docs = (
             new_docs
@@ -96,6 +108,9 @@ class IncrementalDedup:
         )
         all_bands = (
             new_bands if old_bands is None else old_bands.unionByName(new_bands)
+        )
+        all_sigs = (
+            new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
         )
 
         # candidates touching at least one NEW doc: group the combined
@@ -116,8 +131,12 @@ class IncrementalDedup:
             "left_semi",
         )
 
+        # lane-1 gate from the RESIDENT sketch store: old docs' lanes
+        # come from state, never re-sketched (hitsMin discipline,
+        # mode_query.cpp:247-260); only survivors ship text
+        gated = prefilter_candidates(pairs, all_sigs, cfg)
         verified = (
-            exact_jaccard_pairs(join_pair_texts(pairs, all_docs), cfg)
+            exact_jaccard_pairs(join_pair_texts(gated, all_docs), cfg)
             .where(F.col("jaccard") >= cfg.jaccard_threshold)
             .select("a", "b")
         )
@@ -133,6 +152,7 @@ class IncrementalDedup:
         # from future duplicate probes)
         all_docs = self.ck.stage_write(all_docs, f"docs_b{b}")
         self.ck.stage_write(all_bands, f"bands_b{b}")
+        self.ck.stage_write(all_sigs, f"sigs_b{b}")
         all_edges = self.ck.stage_write(all_edges, f"edges_b{b}")
         clusters = cluster_assignments(all_docs, all_edges)
         clusters = self.ck.stage_write(clusters, f"clusters_b{b}")

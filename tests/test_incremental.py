@@ -54,11 +54,12 @@ def test_state_selection_numeric_and_complete(spark, tmp_path):
     from metacache_mpi_spark.streaming.incremental import IncrementalDedup
 
     ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    kinds = IncrementalDedup._KINDS
     for b in (9, 10):
         marker = spark.createDataFrame([(b,)], "marker long")
-        for kind in ("docs", "bands", "edges", "clusters"):
+        for kind in kinds:
             ck.stage_write(marker, f"{kind}_b{b}")
-        ck.commit([f"{k}_b{b}" for k in ("docs", "bands", "edges", "clusters")])
+        ck.commit([f"{k}_b{b}" for k in kinds])
     # batch 11 is INCOMPLETE (docs only, simulating old-code partial state)
     ck.save(spark.createDataFrame([(11,)], "marker long"), "docs_b11")
 
