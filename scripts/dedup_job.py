@@ -42,7 +42,9 @@ def main() -> None:
     t0 = time.time()
     ck = CheckpointManager(spark, args.checkpoints)
     res = dedup_pipeline(load_pages(spark, args.input), checkpoints=ck)
-    n_docs = res.docs.count()
+    # one row per surviving doc, served from the pipeline's own
+    # snapshot/cache — res.docs would re-scan + re-dedup the corpus
+    n_docs = res.signatures.count()
     n_pairs = res.pairs.count()
     if args.output:
         res.clusters.write.mode("overwrite").parquet(args.output)
