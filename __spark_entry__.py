@@ -87,6 +87,30 @@ buckets AS (SELECT doc_id, CAST(floor(lane / 2) AS BIGINT) AS band,
 
 _HEX_HIGH = "('8','9','a','b','c','d','e','f')"
 
+# windowed bottom-4 md5 sketch of the documents table as a genomic
+# index (k=8, s=4, winlen=64, stride=57) — shared by both genomic md5
+# oracle entries
+_GENOMIC_MD5_TIDX = """
+tseq AS (SELECT doc_id AS tgt, text AS seq FROM documents
+         WHERE length(text) >= 8),
+tw AS (SELECT tgt, seq,
+              unnest(range(0, CASE WHEN length(seq) <= 64 THEN 1
+                       ELSE (length(seq) - 8) // 57 + 1 END)) AS win
+       FROM tseq),
+tk AS (SELECT tgt, win, seq,
+              unnest(range(1, least(64, length(seq) - win * 57) - 8 + 2)) AS i
+       FROM tw),
+tf AS (SELECT DISTINCT tgt, win,
+              md5(substr(seq, CAST(win * 57 + i AS INT), 8)) AS feature
+       FROM tk),
+tidx AS (SELECT tgt, win, feature FROM
+           (SELECT tgt, win, feature,
+                   row_number() OVER (PARTITION BY tgt, win
+                                      ORDER BY feature) AS rn
+            FROM tf)
+         WHERE rn <= 4)
+"""
+
 
 def _simhash_votes_sql() -> str:
     votes = ", ".join(
@@ -644,6 +668,39 @@ def _q_genomic_candidates_md5(spark, sf_dir):
     return query_index_md5(queries, index, cfg)
 
 
+def _q_genomic_candidates_paired_md5(spark, sf_dir):
+    """Oracle-gated PAIRED-END lifecycle on the md5 sketch lane: both
+    mates probe independently, matches merge per query, and the A1 span
+    is a per-query column derived from the combined (variable) read
+    length — pinning the bounded-range self-join formulation of
+    _per_target_best against a DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        query_index_paired_md5,
+        sketch_rows_md5,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = GenomicConfig(k=8, sketch_size=4, winlen=64, winstride=57,
+                        num_windows=3, max_candidates=2)
+    targets = docs.select(
+        F.col("doc_id").alias("tgt"), F.col("text").alias("seq")
+    )
+    queries = docs.where(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 290)
+    ).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 11, 100).alias("seq1"),
+        F.expr("substring(text, 151, CAST(60 + doc_id % 80 AS INT))").alias(
+            "seq2"
+        ),
+    )
+    index = sketch_rows_md5(targets, cfg, "tgt")
+    return query_index_paired_md5(queries, index, cfg)
+
+
 def _q_pipeline_clusters(spark, sf_dir):
     """Full production pipeline on documents (rows-only check)."""
     from pyspark.sql import functions as F
@@ -707,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_lca": _q_classify_lca,
         "abundance_estimate": _q_abundance_estimate,
         "genomic_candidates_md5": _q_genomic_candidates_md5,
+        "genomic_candidates_paired_md5": _q_genomic_candidates_paired_md5,
         "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
         "pipeline_clusters": _q_pipeline_clusters,
         "genomic_candidates": _q_genomic_candidates,
@@ -1102,28 +1160,11 @@ def oracle_sql() -> dict[str, str]:
                      AS abund_micro
             FROM base b LEFT JOIN contrib c ON c.at = b.at
         """,
-        "genomic_candidates_md5": """
-            WITH tseq AS (SELECT doc_id AS tgt, text AS seq FROM documents
-                          WHERE length(text) >= 8),
+        "genomic_candidates_md5": f"""
+            WITH {_GENOMIC_MD5_TIDX},
             qseq AS (SELECT doc_id AS qid, substr(text, 11, 140) AS seq
                      FROM documents
                      WHERE doc_id % 5 = 0 AND length(text) >= 150),
-            tw AS (SELECT tgt, seq,
-                          unnest(range(0, CASE WHEN length(seq) <= 64 THEN 1
-                                   ELSE (length(seq) - 8) // 57 + 1 END)) AS win
-                   FROM tseq),
-            tk AS (SELECT tgt, win, seq,
-                          unnest(range(1, least(64, length(seq) - win * 57) - 8 + 2)) AS i
-                   FROM tw),
-            tf AS (SELECT DISTINCT tgt, win,
-                          md5(substr(seq, CAST(win * 57 + i AS INT), 8)) AS feature
-                   FROM tk),
-            tidx AS (SELECT tgt, win, feature FROM
-                       (SELECT tgt, win, feature,
-                               row_number() OVER (PARTITION BY tgt, win
-                                                  ORDER BY feature) AS rn
-                        FROM tf)
-                     WHERE rn <= 4),
             qw AS (SELECT qid, seq,
                           unnest(range(0, CASE WHEN length(seq) <= 64 THEN 1
                                    ELSE (length(seq) - 8) // 57 + 1 END)) AS win
@@ -1149,6 +1190,60 @@ def oracle_sql() -> dict[str, str]:
                                 RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING)
                                 AS BIGINT) AS hits
                     FROM pw),
+            best AS (SELECT qid, tgt, hits, win AS win_beg,
+                            row_number() OVER (PARTITION BY qid, tgt
+                                               ORDER BY hits DESC, win ASC) AS rn
+                     FROM rng),
+            pt AS (SELECT qid, tgt, hits, win_beg FROM best WHERE rn = 1),
+            topk AS (SELECT qid, tgt, hits, win_beg,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY hits DESC, tgt ASC) AS rank
+                     FROM pt)
+            SELECT qid, tgt, hits, win_beg, CAST(rank AS INT) AS rank
+            FROM topk WHERE rank <= 2 AND hits >= 1
+        """,
+        "genomic_candidates_paired_md5": f"""
+            WITH {_GENOMIC_MD5_TIDX},
+            qp AS (SELECT doc_id AS qid,
+                          substr(text, 11, 100) AS seq1,
+                          substr(text, 151, CAST(60 + doc_id % 80 AS INT)) AS seq2
+                   FROM documents
+                   WHERE doc_id % 5 = 0 AND length(text) >= 290),
+            mates AS (SELECT qid * 2 AS mid, seq1 AS seq FROM qp
+                      UNION ALL
+                      SELECT qid * 2 + 1 AS mid, seq2 AS seq FROM qp),
+            mw AS (SELECT mid, seq,
+                          unnest(range(0, CASE WHEN length(seq) <= 64 THEN 1
+                                   ELSE (length(seq) - 8) // 57 + 1 END)) AS win
+                   FROM mates WHERE length(seq) >= 8),
+            mk AS (SELECT mid, win, seq,
+                          unnest(range(1, least(64, length(seq) - win * 57) - 8 + 2)) AS i
+                   FROM mw),
+            mf AS (SELECT DISTINCT mid, win,
+                          md5(substr(seq, CAST(win * 57 + i AS INT), 8)) AS feature
+                   FROM mk),
+            msk AS (SELECT mid, win, feature FROM
+                      (SELECT mid, win, feature,
+                              row_number() OVER (PARTITION BY mid, win
+                                                 ORDER BY feature) AS rn
+                       FROM mf)
+                    WHERE rn <= 4),
+            m AS (SELECT CAST(q.mid // 2 AS BIGINT) AS qid, t.tgt, t.win
+                  FROM msk q JOIN tidx t USING (feature)),
+            nw AS (SELECT qid,
+                          CAST(2 + (length(seq1) + length(seq2)) // 57 AS BIGINT)
+                            AS nw_q
+                   FROM qp),
+            pw AS (SELECT qid, tgt, win, count(*) AS whits
+                   FROM m GROUP BY qid, tgt, win),
+            rng AS (SELECT s.qid, s.tgt, s.win,
+                           CAST(sum(e.whits) AS BIGINT) AS hits
+                    FROM pw s
+                    JOIN nw ON nw.qid = s.qid
+                    JOIN pw e ON e.qid = s.qid AND e.tgt = s.tgt
+                             AND e.win >= s.win
+                             AND e.win <= s.win + nw.nw_q - 1
+                    GROUP BY s.qid, s.tgt, s.win),
             best AS (SELECT qid, tgt, hits, win AS win_beg,
                             row_number() OVER (PARTITION BY qid, tgt
                                                ORDER BY hits DESC, win ASC) AS rn

@@ -236,17 +236,22 @@ def main() -> None:
         # back-to-back as a PAIR and the calmest pair (lowest combined
         # wall time) wins — min-of-independent-runs can pair a calm
         # 4-core window with a stormy 16-core one and report nonsense
-        # (a measured "16 slower than 4").
-        def paired_runs(corpus: str, reps: int = 2) -> tuple[float, float]:
+        # (a measured "16 slower than 4").  Three pairs by default:
+        # with two, one stormy window contaminates half the sample
+        # (round-3 measured the same code at 0.45 and 0.70 efficiency
+        # an hour apart).
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+
+        def paired_runs(corpus: str, n: int = reps) -> tuple[float, float]:
             pairs = []
-            for _ in range(reps):
+            for _ in range(n):
                 tl = run_dedup_at(corpus, CORES_LOW)
                 th = run_dedup_at(corpus, CORES_HIGH)
                 pairs.append((tl, th))
             return min(pairs, key=sum)
 
         t_low, t_high = paired_runs(corpus_dir)
-        ts_low, ts_high = paired_runs(small_dir)
+        ts_low, ts_high = paired_runs(small_dir, n=max(2, reps - 1))
         thr_low = SCALING_PAGES / t_low
         thr_high = SCALING_PAGES / t_high
         eff = (thr_high / thr_low) / (CORES_HIGH / CORES_LOW)

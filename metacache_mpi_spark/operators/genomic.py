@@ -127,6 +127,55 @@ def query_index_md5(
     return _top_candidates(matches, cfg)
 
 
+def query_index_paired_md5(
+    queries: DataFrame,
+    index: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+    insert_size_max: int = 0,
+) -> DataFrame:
+    """Paired-end lifecycle on the md5 sketch lane — the oracle-gated
+    twin of :func:`query_index_paired` (CORRECTNESS entry
+    ``genomic_candidates_paired_md5``): both mates' matches accumulate
+    into ONE candidate set per query (querying.h:49-75) and the A1 span
+    derives per query from the combined read length
+    (classification.cpp:217-219).
+
+    Mates sketch under a composite id (qid·2 + mate) so each mate's
+    sketch probes independently — a feature shared by both mates counts
+    twice, exactly as two accumulate_matches calls would.
+    """
+    mates = queries.select(
+        (F.col("qid") * 2).alias("mid"), F.col("seq1").alias("seq")
+    ).unionByName(
+        queries.select(
+            (F.col("qid") * 2 + 1).alias("mid"), F.col("seq2").alias("seq")
+        )
+    )
+    qrows = sketch_rows_md5(mates, cfg, "mid")
+    matches = qrows.join(index, qrows["feature"] == index["feature"]).select(
+        F.expr("CAST(mid DIV 2 AS BIGINT)").alias("qid"),
+        index["tgt"],
+        index["win"],
+    )
+    span = queries.select(
+        "qid",
+        (
+            F.lit(2)
+            + F.floor(
+                F.greatest(
+                    F.length("seq1") + F.length("seq2"),
+                    F.lit(insert_size_max),
+                )
+                / cfg.winstride
+            )
+        ).cast("long").alias("nw_q"),
+    )
+    # per-query dim scales with the query corpus — shuffle join (see
+    # query_index_paired)
+    matches = matches.join(span.hint("shuffle_hash"), "qid")
+    return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
+
+
 def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> DataFrame:
     """targets(tgt, seq) → inverted index (feature, tgt, win).
 

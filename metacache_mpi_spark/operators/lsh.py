@@ -36,6 +36,15 @@ from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.sketch import make_minhash_udf
 
 
+# all ordered pairs within a sorted member array, expanded IN the array
+# (bounded by the bucket cap — no self-join shuffle); shared by every
+# bucketed candidate generator in the repo
+PAIR_EXPANSION = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+)
+
+
 def attach_signature(
     df: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
@@ -228,10 +237,7 @@ def candidate_pairs(
     # bounded by the bucket cap, no self-join shuffle needed.
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
-            )
+            F.expr(PAIR_EXPANSION)
         ).alias("p")
     ).select("p.a", "p.b")
     return (
@@ -269,10 +275,7 @@ def two_lane_candidate_pairs(
     pairs = buckets.select(
         "band",
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
-            )
+            F.expr(PAIR_EXPANSION)
         ).alias("p"),
     ).select("band", "p.a", "p.b")
     agg = pairs.groupBy("a", "b").agg(

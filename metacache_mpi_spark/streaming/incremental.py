@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..operators.cc import cluster_assignments
-from ..operators.lsh import attach_signature, emit_bands, prune_buckets
+from ..operators.lsh import (
+    PAIR_EXPANSION,
+    attach_signature,
+    emit_bands,
+    prune_buckets,
+)
 from ..operators.verify import (
     exact_jaccard_pairs,
     join_pair_texts,
@@ -118,12 +123,7 @@ class IncrementalDedup:
         new_ids = new_docs.select(F.col("doc_id").alias("nid"))
         buckets = prune_buckets(all_bands, cfg)
         pairs = buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(PAIR_EXPANSION)).alias("p")
         ).select("p.a", "p.b").distinct()
         pairs = pairs.join(
             new_ids,

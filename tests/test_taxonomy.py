@@ -111,6 +111,26 @@ def test_taxon_counts_and_abundance(spark, tax):
     assert ab[9] == pytest.approx(1.0)
 
 
+def test_parent_reassignment_rebuild(spark, tax):
+    """G5: moving a node to a new parent = rebuild + re-broadcast of the
+    (tiny) taxonomy dimension — lineage, ranked LCA and downstream
+    classification all follow the new edge."""
+    moved = Taxonomy(parent=dict(tax.parent), rank=dict(tax.rank))
+    moved.parent[9] = 4   # species 9: genus 8 -> genus 4
+    assert tax.lineage(9) == (9, 8, 3, 2, 1)
+    assert moved.lineage(9) == (9, 4, 3, 2, 1)
+    assert tax.ranked_lca(5, 9) == 3      # cross-genus -> phylum
+    assert moved.ranked_lca(5, 9) == 4    # now same genus
+    cands = spark.createDataFrame(
+        [(0, 10, 8, 0, 1), (0, 12, 8, 0, 2)],
+        "qid long, tgt long, hits long, win_beg long, rank int",
+    )
+    tmap = {10: 5, 12: 9}
+    before = classify_lca(cands, tax, tmap, hits_min=1).collect()[0]["taxid"]
+    after = classify_lca(cands, moved, tmap, hits_min=1).collect()[0]["taxid"]
+    assert (before, after) == (3, 4)
+
+
 def test_abundance_estimate_df_matches_driver_walk(spark, tax):
     """The distributed fixed-point operator reproduces the driver-side
     reference walk (micros of the float result) on a single-level
