@@ -277,6 +277,12 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from metacache_mpi_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_lang_id(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import lang_id
 
@@ -741,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_stats": _q_winnow_stats,
         "stop_shingle_survivors": _q_stop_shingle_survivors,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -878,6 +885,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS space_milli,
                    {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS en_stop_hits
             FROM documents WHERE length(text) > 0
+        """,
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(text, ' ') AS w,
+                     string_split(text, chr(10)) AS l
+              FROM documents WHERE length(text) > 0),
+            b2 AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     CAST((len(w) - len(list_distinct(w))) * 1000 // len(w)
+                          AS BIGINT) AS dup_word_milli,
+                     CAST((len(l) - len(list_distinct(l))) * 1000 // len(l)
+                          AS BIGINT) AS dup_line_milli
+              FROM base),
+            grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM base WHERE len(w) >= 2)),
+            top AS (
+              SELECT doc_id,
+                     CAST(max(c) * 1000 // sum(c) AS BIGINT)
+                       AS top_2gram_milli
+              FROM (SELECT doc_id, gram, count(*) AS c
+                    FROM grams GROUP BY doc_id, gram)
+              GROUP BY doc_id)
+            SELECT b2.doc_id, n_words, dup_word_milli, dup_line_milli,
+                   COALESCE(top_2gram_milli, 0) AS top_2gram_milli
+            FROM b2 LEFT JOIN top ON top.doc_id = b2.doc_id
         """,
         "lang_id": f"""
             WITH s AS (

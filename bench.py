@@ -60,6 +60,24 @@ CORES_LOW, CORES_HIGH = 4, 16
 
 def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
     spark = get_spark(cpus, app_name="bench")
+
+    # Warm what is session startup, not query work, exactly as
+    # run_dedup_at does for the scaling runs: the Python-UDF worker
+    # pool (first pandas_udf job pays ~2-4 s of fork+import per core)
+    # and whole-stage-codegen compilation.  Without this the FIRST
+    # headline query (minhash_lsh_pairs) absorbs the session's entire
+    # warmup and its number swings round-to-round (r1 10.7 s → r2
+    # 14.3 s with an unchanged plan).
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10000).repartition(int(cpus)).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
+
     qs = entry_mod.queries()
     per: dict[str, float] = {}
     total = 0.0

@@ -387,6 +387,68 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     ).where(n > 0)
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document, as exact
+    fixed-point milli-ratios (BIGINT, integer ``div`` — no float
+    rounding, so a DuckDB oracle reproduces the values bit-for-bit).
+
+    (doc_id, n_words, dup_word_milli, dup_line_milli, top_2gram_milli):
+
+    - ``dup_word_milli``  — repeated word occurrences / total words
+    - ``dup_line_milli``  — repeated lines / total lines (0 for
+      single-line corpora, load-bearing on real web text)
+    - ``top_2gram_milli`` — occurrences of the most frequent word
+      2-gram / total 2-grams
+
+    The in-row signals are pure array expressions (no shuffle); the
+    2-gram mode is the only aggregation and is keyed by doc_id, so at
+    corpus scale every group is one document's grams — no hot key.
+    """
+    dup_words = (
+        "(size(split(text, ' ')) - size(array_distinct(split(text, ' '))))"
+        " * 1000 div size(split(text, ' '))"
+    )
+    dup_lines = (
+        "(size(split(text, '\\n')) - size(array_distinct(split(text, '\\n'))))"
+        " * 1000 div size(split(text, '\\n'))"
+    )
+    base = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.expr(dup_words).cast("long").alias("dup_word_milli"),
+        F.expr(dup_lines).cast("long").alias("dup_line_milli"),
+    )
+    grams = docs.where(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), i -> "
+                "concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("max(c) * 1000 div sum(c)").cast("long").alias(
+                "top_2gram_milli"
+            )
+        )
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_milli",
+        "dup_line_milli",
+        F.coalesce("top_2gram_milli", F.lit(0))
+        .cast("long")
+        .alias("top_2gram_milli"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-count language heuristic with deterministic tie-break."""
     scores = {

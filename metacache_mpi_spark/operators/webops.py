@@ -1,0 +1,96 @@
+"""URL canonicalization and crawl-snapshot dedup over a pages table.
+
+Common-Crawl-style corpora carry many fetches of the same logical page:
+scheme/host case variants, default ports, tracking query parameters,
+fragments, and repeated crawls over time (``warc_ts``).  The reference
+deduplicates targets by their accession identity before sketching
+(sketch_database.h target lookup by accession); the webtext analog is a
+canonical-url identity applied before the MinHash pipeline, so the
+expensive sketch/LSH stages see one row per logical page.
+
+Everything is JVM-side (``parse_url`` + array expressions — no Python
+in the loop); the snapshot dedup is one keyed window, so at corpus
+scale it shuffles on ``canon_url`` with no hot key beyond a single
+page's crawl history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# query parameters that never change page identity (trackers)
+TRACKING_PARAM_RE = "^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)="
+
+
+def _part(u: Column, what: str) -> Column:
+    # try_parse_url: NULL (not ANSI error) on malformed input
+    return F.try_parse_url(u, F.lit(what))
+
+
+def canonical_url_col(u: Column) -> Column:
+    """Canonical form of a URL column:
+
+    - scheme and authority lowercased
+    - default port stripped (``:80`` http, ``:443`` https)
+    - fragment dropped
+    - tracking query params dropped, remaining params sorted
+    - trailing slash trimmed from non-root paths, empty path → ``/``
+
+    Invalid URLs canonicalize to NULL (callers keep or drop them
+    explicitly) — ``try_parse_url`` is null-safe under ANSI mode.
+    """
+    proto = F.lower(_part(u, "PROTOCOL"))
+    auth = F.lower(_part(u, "AUTHORITY"))
+    host = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = _part(u, "PATH")
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, "/+$", "")).otherwise(
+        path
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(_part(u, "QUERY"), F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.when(
+        proto.isNull() | host.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
+    )
+
+
+def canonical_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach ``canon_url`` to a pages table."""
+    return pages.withColumn("canon_url", canonical_url_col(F.col(url_col)))
+
+
+def url_dedup_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per canonical URL: the LATEST crawl wins (max
+    ``warc_ts``; ties broken by raw url ascending for determinism).
+
+    Rows whose URL fails to canonicalize keep their raw url as the
+    identity, so no input row is silently dropped.
+    """
+    df = canonical_url(pages, url_col)
+    key = F.coalesce("canon_url", F.col(url_col))
+    w = Window.partitionBy(key).orderBy(
+        F.col("warc_ts").desc(), F.col(url_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -60,9 +60,31 @@ class DedupResult:
                 pass
 
 
-def prepare_docs(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """P11: drop empty texts and duplicate urls; ensure a numeric id."""
+def prepare_docs(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    canonicalize_urls: bool = False,
+) -> DataFrame:
+    """P11: drop empty texts and duplicate urls; ensure a numeric id.
+
+    With ``canonicalize_urls`` the page identity is the canonical URL
+    (scheme/host case, default ports, trackers, fragments stripped —
+    ``operators/webops.py``) and repeated crawls of the same logical
+    page collapse to the newest ``warc_ts`` BEFORE the sketch stages —
+    the webtext analog of the reference resolving targets by accession
+    before sketching.  Off by default: identity changes cluster ids.
+    """
     df = pages
+    if canonicalize_urls:
+        from ..operators.webops import canonical_url, url_dedup_latest
+
+        if "warc_ts" in df.columns:
+            df = url_dedup_latest(df)
+        else:
+            df = canonical_url(df)
+        df = df.withColumn(
+            "url", F.coalesce("canon_url", "url")
+        ).drop("canon_url")
     if id_col not in df.columns:
         df = df.withColumn(id_col, F.xxhash64("url"))
     # Column-prune aggressively: the pipeline needs only (id, url, text);
@@ -81,6 +103,7 @@ def dedup_pipeline(
     cfg: DedupConfig = DEFAULT_CONFIG,
     checkpoints: CheckpointManager | None = None,
     id_col: str = "doc_id",
+    canonicalize_urls: bool = False,
 ) -> DedupResult:
     """Run the full pipeline. ``pages`` needs (url, text[, doc_id])."""
     metrics: dict = {}
@@ -102,7 +125,7 @@ def dedup_pipeline(
         # full-job scaling at ~0.4.
         return compute().persist()
 
-    docs = prepare_docs(pages, id_col)
+    docs = prepare_docs(pages, id_col, canonicalize_urls=canonicalize_urls)
 
     def _signatures() -> DataFrame:
         # single Arrow pass over the corpus computes all three sketch

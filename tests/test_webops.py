@@ -1,0 +1,115 @@
+"""URL canonicalization + crawl-snapshot dedup (webops): the webtext
+analog of the reference's accession-identity target lookup — page
+identity is established BEFORE the sketch/LSH stages see the corpus."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from metacache_mpi_spark.operators.webops import (
+    canonical_url,
+    url_dedup_latest,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["canon_url"] for r in canonical_url(df).collect()]
+
+
+def test_canonical_url_rules(spark):
+    cases = {
+        # scheme+host case, default port, fragment, tracking params,
+        # param sort, trailing slash
+        "HTTP://Site0.Example:80/a/b/?utm_source=x&b=2&a=1#frag":
+            "http://site0.example/a/b?a=1&b=2",
+        "https://site0.example:443/": "https://site0.example/",
+        "https://site0.example": "https://site0.example/",
+        "https://site0.example/path/": "https://site0.example/path",
+        "https://site0.example/path//": "https://site0.example/path",
+        "https://site0.example:8443/x": "https://site0.example:8443/x",
+        "https://site0.example/x?gclid=1&fbclid=2&ref=rss":
+            "https://site0.example/x",
+        "http://site0.example/x?keep=1": "http://site0.example/x?keep=1",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_canonical_url_invalid_is_null(spark):
+    got = _canon(spark, ["not a url", "ftp//broken"])
+    assert got == [None, None]
+
+
+def test_url_dedup_latest_keeps_newest_crawl(spark):
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://A.example/p?utm_source=x", t, "old"),
+        ("http://a.example:80/p", t + dt.timedelta(days=2), "new"),
+        ("http://a.example/p#top", t + dt.timedelta(days=1), "mid"),
+        ("http://b.example/q", t, "only"),
+        ("not a url", t, "kept-raw"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    out = url_dedup_latest(pages)
+    got = {r["canon_url"]: r["text"] for r in out.collect()}
+    # three crawls of a.example/p collapse to the newest
+    assert got["http://a.example/p"] == "new"
+    assert got["http://b.example/q"] == "only"
+    # un-canonicalizable rows survive under their raw identity
+    assert got[None] == "kept-raw"
+    assert out.count() == 3
+
+
+def test_url_dedup_is_deterministic_on_ts_ties(spark):
+    t = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("http://a.example/p?z=1", t, "zz"), ("http://a.example/p?z=1#f", t, "aa")],
+        "url string, warc_ts timestamp, text string",
+    )
+    # same canon_url, same ts -> lowest raw url wins
+    assert url_dedup_latest(pages).collect()[0]["text"] == "zz"
+
+
+def test_dedup_plan_is_one_keyed_window(spark):
+    pages = spark.createDataFrame(
+        [("http://a.example/p", dt.datetime(2024, 1, 1), "x")],
+        "url string, warc_ts timestamp, text string",
+    )
+    plan = (
+        url_dedup_latest(pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one keyed shuffle (the window partitioning), nothing quadratic
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_canonicalize_urls_collapses_crawls(spark):
+    """Crawl snapshots of one logical page reach the sketch stage as a
+    single row when the pipeline identity is the canonical URL."""
+    import datetime as dt
+
+    from metacache_mpi_spark.plans.pipeline import prepare_docs
+
+    t = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("HTTP://A.Example/p?utm_source=x", t, "body one"),
+            ("http://a.example:80/p", t + dt.timedelta(days=1), "body two"),
+            ("http://b.example/q", t, "other"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    docs = prepare_docs(pages, canonicalize_urls=True)
+    rows = {r["url"]: r["text"] for r in docs.collect()}
+    assert rows == {
+        "http://a.example/p": "body two",
+        "http://b.example/q": "other",
+    }
+    # default path unchanged: raw urls all distinct -> 3 rows
+    assert prepare_docs(pages).count() == 3
