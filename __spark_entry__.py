@@ -707,6 +707,49 @@ def _q_genomic_candidates_paired_md5(spark, sf_dir):
     return query_index_paired_md5(queries, index, cfg)
 
 
+def _q_genomic_candidates_merged_md5(spark, sf_dir):
+    """S12/J8 merge mode, oracle-gated on the md5 lane: the target set
+    is sharded in two, each shard builds its own index and answers the
+    SAME queries as ``genomic_candidates_md5``, and the per-shard top-k
+    lists re-merge (mode_merge.cpp:209-264).  The DuckDB oracle is the
+    GLOBAL single-index SQL verbatim — green means shard-merge ≡
+    global index holds against an independent engine, not just against
+    our own query_index (test_sharded_query_merge_equals_global_index
+    proves the Mueller lane the same way in pytest)."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        merge_query_results,
+        query_index_md5,
+        sketch_rows_md5,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = GenomicConfig(k=8, sketch_size=4, winlen=64, winstride=57,
+                        num_windows=3, max_candidates=2)
+    targets = docs.select(
+        F.col("doc_id").alias("tgt"), F.col("text").alias("seq")
+    )
+    queries = docs.where(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 150)
+    ).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 11, 140).alias("seq"),
+    )
+    shard_results = [
+        query_index_md5(
+            queries,
+            sketch_rows_md5(
+                targets.where(F.col("tgt") % 2 == i), cfg, "tgt"
+            ),
+            cfg,
+        )
+        for i in (0, 1)
+    ]
+    return merge_query_results(shard_results, cfg)
+
+
 def _q_pipeline_clusters(spark, sf_dir):
     """Full production pipeline on documents (rows-only check)."""
     from pyspark.sql import functions as F
@@ -772,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abundance_estimate": _q_abundance_estimate,
         "genomic_candidates_md5": _q_genomic_candidates_md5,
         "genomic_candidates_paired_md5": _q_genomic_candidates_paired_md5,
+        "genomic_candidates_merged_md5": _q_genomic_candidates_merged_md5,
         "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
         "pipeline_clusters": _q_pipeline_clusters,
         "genomic_candidates": _q_genomic_candidates,
@@ -782,7 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "exact_dup_groups": """
             SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS rep_doc_id
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
@@ -1403,3 +1447,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
     }
+    # shard-merge ≡ global-index equivalence, oracle-gated: the merged
+    # Spark query must reproduce the GLOBAL single-index oracle exactly
+    # (mode_merge.cpp:209-264 — features are target-partitioned, so
+    # per-shard top-k re-aggregation loses nothing)
+    out["genomic_candidates_merged_md5"] = out["genomic_candidates_md5"]
+    return out
