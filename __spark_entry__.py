@@ -283,6 +283,14 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    from metacache_mpi_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    return remove_boilerplate_lines(_t(spark, sf_dir, "documents"))
+
+
 def _q_lang_id(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import lang_id
 
@@ -791,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stop_shingle_survivors": _q_stop_shingle_survivors,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
+        "boilerplate_lines": _q_boilerplate_lines,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -958,6 +967,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT b2.doc_id, n_words, dup_word_milli, dup_line_milli,
                    COALESCE(top_2gram_milli, 0) AS top_2gram_milli
             FROM b2 LEFT JOIN top ON top.doc_id = b2.doc_id
+        """,
+        "boilerplate_lines": """
+            WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr
+                        FROM documents),
+            l AS (SELECT doc_id, UNNEST(arr) AS line,
+                         generate_subscripts(arr, 1) AS pos
+                  FROM ls),
+            lh AS (SELECT doc_id, pos, line, md5(line) AS h FROM l),
+            boiler AS (
+              SELECT h FROM (SELECT DISTINCT doc_id, h FROM lh
+                             WHERE length(line) >= 10)
+              GROUP BY h HAVING count(*) >= 2),
+            tagged AS (SELECT lh.doc_id, lh.pos, lh.line,
+                              (boiler.h IS NOT NULL) AS is_boiler
+                       FROM lh LEFT JOIN boiler ON boiler.h = lh.h)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                     AS clean_text,
+                   CAST(sum(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lines_kept,
+                   CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lines_dropped
+            FROM tagged GROUP BY doc_id
         """,
         "lang_id": f"""
             WITH s AS (

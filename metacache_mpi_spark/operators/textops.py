@@ -449,6 +449,75 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame, min_df: int = 2, min_line_chars: int = 10
+) -> DataFrame:
+    """Cross-document boilerplate removal: drop every line that appears
+    in ≥ ``min_df`` documents (site headers/footers/nav — the dominant
+    non-content bytes of web corpora), keep document order for the
+    survivors.
+
+    (doc_id, clean_text, n_lines_kept, n_lines_dropped).
+
+    Lines shorter than ``min_line_chars`` are never dropped (short
+    connective lines repeat by chance, not by template).  Same shape as
+    the reference's overpopulated-feature guard
+    (sketch_database.h:375-395) applied at line granularity: a
+    corpus-wide document-frequency count gates a per-document rebuild.
+
+    Scale: the line-df aggregation shuffles on the line hash (bounded
+    by distinct boilerplate lines, NOT corpus bytes — the join carries
+    md5 keys only); the drop-set join is hinted ``shuffle_hash`` since
+    it scales with the corpus and must never be a broadcast build; the
+    rebuild is one keyed aggregation per doc.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    # distinct per doc first (a line repeated WITHIN one doc is
+    # repetition, not boilerplate), then corpus-wide df
+    drop = (
+        lines.where(F.length("line") >= min_line_chars)
+        .select("doc_id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("lh")
+    )
+    tagged = lines.join(
+        drop.hint("shuffle_hash").withColumn("is_boiler", F.lit(True)),
+        "lh",
+        "left",
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(
+                F.when(F.col("is_boiler").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_lines_kept"),
+            F.sum(
+                F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_lines_dropped"),
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-count language heuristic with deterministic tie-break."""
     scores = {

@@ -113,3 +113,42 @@ def test_pipeline_canonicalize_urls_collapses_crawls(spark):
     }
     # default path unchanged: raw urls all distinct -> 3 rows
     assert prepare_docs(pages).count() == 3
+
+
+def test_remove_boilerplate_lines_strips_site_templates(spark):
+    """On the pages corpus every site's head/foot boilerplate repeats
+    across its pages; bodies are unique.  Cleanup must drop exactly the
+    template lines and preserve body order."""
+    from metacache_mpi_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+    from metacache_mpi_spark.sources.pages import generate_pages
+
+    pages, _ = generate_pages(n_pages=120, seed=7)
+    docs = spark.createDataFrame(
+        pages[["url", "text"]]
+    ).selectExpr("xxhash64(url) AS doc_id", "text")
+    out = remove_boilerplate_lines(docs, min_df=2).collect()
+    assert len(out) == docs.count()
+
+    # exact mini-oracle in pandas: per-doc-distinct line df >= 2 (and
+    # len >= 10) is boilerplate; survivors keep document order
+    from collections import Counter
+
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    df_count: Counter = Counter()
+    for t in orig.values():
+        df_count.update({l for l in t.split("\n") if len(l) >= 10})
+    dropped_lines = 0
+    for r in out:
+        lines = orig[r["doc_id"]].split("\n")
+        want = [
+            l for l in lines if not (len(l) >= 10 and df_count[l] >= 2)
+        ]
+        got = r["clean_text"].split("\n") if r["clean_text"] else []
+        assert got == want, r["doc_id"]
+        assert r["n_lines_kept"] == len(want)
+        assert r["n_lines_dropped"] == len(lines) - len(want)
+        dropped_lines += r["n_lines_dropped"]
+    # the corpus genuinely carries site templates -> plenty dropped
+    assert dropped_lines >= 200
