@@ -400,9 +400,12 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     - ``top_2gram_milli`` — occurrences of the most frequent word
       2-gram / total 2-grams
 
-    The in-row signals are pure array expressions (no shuffle); the
-    2-gram mode is the only aggregation and is keyed by doc_id, so at
-    corpus scale every group is one document's grams — no hot key.
+    The whole operator is ONE narrow map — no explode, no join, no
+    shuffle: the 2-gram mode count equals the longest equal-run in the
+    SORTED per-row gram array (an O(n log n) array expression), so at
+    corpus scale this is a pure scan stage.  The DuckDB oracle states
+    the same quantity as the idiomatic unnest → group-by mode — two
+    formulations, one result.
     """
     dup_words = (
         "(size(split(text, ' ')) - size(array_distinct(split(text, ' '))))"
@@ -412,40 +415,40 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         "(size(split(text, '\\n')) - size(array_distinct(split(text, '\\n'))))"
         " * 1000 div size(split(text, '\\n'))"
     )
-    base = docs.where(F.length("text") > 0).select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_words"),
-        F.expr(dup_words).cast("long").alias("dup_word_milli"),
-        F.expr(dup_lines).cast("long").alias("dup_line_milli"),
-    )
-    grams = docs.where(F.size(F.split("text", " ")) >= 2).select(
-        "doc_id",
-        F.explode(
+    # sorted 2-gram array; mode count = longest run of equal neighbors
+    top_gram = """
+    CAST(CASE WHEN size(split(text, ' ')) < 2 THEN 0
+              WHEN size(sg) < 2 THEN 1000 ELSE
+      aggregate(
+        sequence(2, size(sg)),
+        struct(CAST(1 AS BIGINT) AS cur, CAST(1 AS BIGINT) AS best),
+        (acc, i) -> IF(
+          element_at(sg, i) = element_at(sg, i - 1),
+          struct(acc.cur + CAST(1 AS BIGINT) AS cur,
+                 greatest(acc.best, acc.cur + CAST(1 AS BIGINT)) AS best),
+          struct(CAST(1 AS BIGINT) AS cur, acc.best AS best)),
+        acc -> acc.best) * 1000 div size(sg)
+    END AS BIGINT)
+    """
+    return (
+        docs.where(F.length("text") > 0)
+        .withColumn(
+            "sg",
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), i -> "
+                "array_sort(transform(sequence(1, "
+                "greatest(size(split(text, ' ')) - 1, 1)), i -> "
                 "concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1)))"
-            )
-        ).alias("gram"),
-    )
-    top = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.expr("max(c) * 1000 div sum(c)").cast("long").alias(
-                "top_2gram_milli"
-            )
+                "element_at(split(text, ' '), "
+                "least(i + 1, size(split(text, ' ')))))))"
+            ),
         )
-    )
-    return base.join(top, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "dup_word_milli",
-        "dup_line_milli",
-        F.coalesce("top_2gram_milli", F.lit(0))
-        .cast("long")
-        .alias("top_2gram_milli"),
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+            F.expr(dup_words).cast("long").alias("dup_word_milli"),
+            F.expr(dup_lines).cast("long").alias("dup_line_milli"),
+            F.expr(top_gram).alias("top_2gram_milli"),
+        )
     )
 
 

@@ -223,6 +223,91 @@ def verify_pairs(
     return jac.where(F.col("jaccard") >= cfg.jaccard_threshold).select(*cols)
 
 
+def verified_dup_pairs(
+    gated: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Fused lanes 2+3 in ONE Arrow pass: exact shingle Jaccard, and —
+    only for below-threshold pairs from the fingerprint lane — the LCS
+    substring gate, emitting final verified dup edges
+    (a, b, jaccard, dup_kind, sim_a, sim_b).
+
+    Why fused: the two-branch formulation (``jac.where(j ≥ τ)`` UNION
+    ``jac.where(j < τ ∧ fp_hits ≥ min).LCS``) reads the un-pinned
+    ``jac`` subtree twice, so the whole candidates→gate→Jaccard chain
+    EXECUTES twice per action (measured: 24.9 s vs 11 s of actual work
+    at 200k docs × 16 cores — half the full job was this re-execution).
+    One mapInPandas computes both verdicts per pair in a single pass —
+    the reference's verification ladder is likewise one loop per
+    candidate (classification.cpp:437-477: contiguous check, then
+    optional alignment, same traversal).
+    """
+    from pyspark.sql import types as T
+
+    k = cfg.shingle_k
+    tau = cfg.jaccard_threshold
+    min_fp = cfg.min_fp_hits
+    min_sub = cfg.min_substring_overlap
+    in_fields = {f.name: f for f in gated.schema.fields}
+    has_fp = "fp_hits" in in_fields
+    schema = T.StructType(
+        [
+            in_fields["a"],
+            in_fields["b"],
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("dup_kind", T.StringType()),
+            in_fields["sim_a"],
+            in_fields["sim_b"],
+        ]
+    )
+
+    def _compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep_idx: list[int] = []
+            jacs: list[float] = []
+            kinds: list[str] = []
+            fp = pdf["fp_hits"] if has_fp else None
+            for i, (x, y) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
+                ha = np.unique(shingle_hashes(x or "", k))
+                hb = np.unique(shingle_hashes(y or "", k))
+                if ha.size == 0 and hb.size == 0:
+                    j = 0.0
+                else:
+                    inter = np.intersect1d(ha, hb, assume_unique=True).size
+                    j = inter / (ha.size + hb.size - inter)
+                if j >= tau:
+                    kind = "jaccard"
+                elif (
+                    has_fp
+                    and fp.iloc[i] >= min_fp
+                    and _lcs_length(
+                        (x or "").encode("utf-8"),
+                        (y or "").encode("utf-8"),
+                        gate=min_sub,
+                    )
+                    >= min_sub
+                ):
+                    kind = "substring"
+                else:
+                    continue
+                keep_idx.append(i)
+                jacs.append(j)
+                kinds.append(kind)
+            sel = pdf.iloc[keep_idx]
+            yield pd.DataFrame(
+                {
+                    "a": sel["a"].to_numpy(dtype="int64"),
+                    "b": sel["b"].to_numpy(dtype="int64"),
+                    "jaccard": np.asarray(jacs, dtype="float64"),
+                    "dup_kind": pd.Series(kinds, dtype="object"),
+                    "sim_a": sel["sim_a"].to_numpy(dtype="int64"),
+                    "sim_b": sel["sim_b"].to_numpy(dtype="int64"),
+                }
+            )
+
+    return _pin_udf_parallelism(gated).mapInPandas(_compute, schema=schema)
+
+
 # --------------------------------------------------------------------------
 # Substring (long verbatim overlap) pass
 # --------------------------------------------------------------------------

@@ -33,11 +33,7 @@ from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.sketch import SKETCH_TEXT_SCHEMA, make_sketch_mapper
 from ..operators.cc import cluster_assignments
 from ..operators.lsh import emit_bands, two_lane_candidate_pairs
-from ..operators.verify import (
-    exact_jaccard_pairs,
-    gate_and_attach,
-    substring_overlap_pairs,
-)
+from ..operators.verify import gate_and_attach, verified_dup_pairs
 from .checkpoint import CheckpointManager
 
 
@@ -179,33 +175,12 @@ def dedup_pipeline(
         # reference's hitsMin sketch threshold — drops ~99% of
         # boilerplate one-band collisions before any text is hashed)
         # and the per-pair text + simhash payload attach in ONE join
-        # per pair side against the cached sketch+text table
+        # per pair side against the cached sketch+text table; then ONE
+        # Arrow pass computes Jaccard AND the substring verdict (the
+        # two-branch union re-executed the whole candidate chain twice
+        # — half the full job at 200k docs)
         gated = gate_and_attach(candidates, signatures, cfg, "doc_id")
-        jac = exact_jaccard_pairs(gated, cfg)
-        near_dups = jac.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
-            "a",
-            "b",
-            "jaccard",
-            F.lit("jaccard").alias("dup_kind"),
-            "sim_a",
-            "sim_b",
-        )
-        # below-threshold candidates from the fingerprint lane may still
-        # be long-verbatim-overlap dups → LCS pass (off the hot path)
-        rest = jac.where(
-            (F.col("jaccard") < cfg.jaccard_threshold)
-            & (F.col("fp_hits") >= cfg.min_fp_hits)
-        )
-        sub_dups = (
-            substring_overlap_pairs(rest, cfg)
-            .where(F.col("substring_dup"))
-            .select(
-                "a", "b", "jaccard",
-                F.lit("substring").alias("dup_kind"),
-                "sim_a", "sim_b",
-            )
-        )
-        dups = near_dups.unionByName(sub_dups)
+        dups = verified_dup_pairs(gated, cfg)
         # SimHash hamming annotation (second fingerprint lane) comes
         # free — sim_a/sim_b rode along with the fused attach
         return dups.withColumn(

@@ -40,7 +40,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES; stages whose
+        # cost is CPU-per-row (the Arrow sketch/verify UDFs read the
+        # dedup shuffle directly) lose parallelism at the default 64 MB
+        # advisory on text-heavy rows.  16 MB keeps those exchanges at
+        # full width (measured 31.0→28.7 s full-job at 200k docs×16
+        # cores; 8 MB over-fragments and regresses).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Text-heavy rows decompress ~5-10× off parquet: the default
+        # 128 MB split puts ~1 GB of in-flight rows per scan task and
+        # under-parallelizes medium corpora.  32 MB keeps one task's
+        # working set cache-friendly and gives the scan enough splits
+        # that load-side repartition exchanges are unnecessary.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # Arrow transfer for pandas UDFs (the sketching hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
