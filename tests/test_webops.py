@@ -152,3 +152,26 @@ def test_remove_boilerplate_lines_strips_site_templates(spark):
         dropped_lines += r["n_lines_dropped"]
     # the corpus genuinely carries site templates -> plenty dropped
     assert dropped_lines >= 200
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): the canonical form is a fixed
+    point, so re-ingesting already-canonicalized corpora is safe."""
+    urls = [
+        "HTTP://Site0.Example:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://site0.example:443/",
+        "https://site0.example",
+        "https://site0.example/path//",
+        "https://site0.example:8443/x?z=1&y=2",
+        "http://user@site0.example/x",
+        "https://site0.example/x?gclid=1&keep=2&ref=rss",
+        "http://site0.example/%7Euser/a%20b?q=%2F",
+        "https://xn--bcher-kva.example/b?b=1&a=2&a=1",
+        "http://site0.example/?",
+        "http://site0.example/a?a=",
+        "http://site0.example/a?a",
+    ]
+    once = [u for u in _canon(spark, urls) if u is not None]
+    assert len(once) == len(urls)
+    twice = _canon(spark, once)
+    assert twice == once
