@@ -283,6 +283,18 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_contamination_pairs(spark, sf_dir):
+    """Benchmark-contamination scan: eval set = every 20th document,
+    containment of eval shingles in (df-capped) corpus shingles."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.textops import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 20 == 3)
+    return contamination_pairs(docs, evalset)
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import (
         remove_boilerplate_lines,
@@ -800,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_lines": _q_boilerplate_lines,
+        "contamination_pairs": _q_contamination_pairs,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -967,6 +980,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT b2.doc_id, n_words, dup_word_milli, dup_line_milli,
                    COALESCE(top_2gram_milli, 0) AS top_2gram_milli
             FROM b2 LEFT JOIN top ON top.doc_id = b2.doc_id
+        """,
+        "contamination_pairs": f"""
+            WITH {_DISC_CTE},
+            esh AS (SELECT doc_id AS eval_id, sh FROM sh0
+                    WHERE doc_id % 20 = 3),
+            sizes AS (SELECT eval_id, count(*) AS n_eval_sh
+                      FROM esh GROUP BY eval_id),
+            hits AS (SELECT d.doc_id, e.eval_id,
+                            count(*) AS common_shingles
+                     FROM disc d JOIN esh e USING (sh)
+                     WHERE d.doc_id <> e.eval_id
+                     GROUP BY d.doc_id, e.eval_id)
+            SELECT h.doc_id, h.eval_id,
+                   CAST(common_shingles AS BIGINT) AS common_shingles,
+                   CAST(common_shingles * 1000 // n_eval_sh AS BIGINT)
+                     AS containment_milli
+            FROM hits h JOIN sizes s ON s.eval_id = h.eval_id
+            WHERE common_shingles * 1000 // n_eval_sh >= 500
         """,
         "boilerplate_lines": """
             WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr

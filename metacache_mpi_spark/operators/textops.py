@@ -103,6 +103,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    k: int = NGRAM_K,
+    cap: int = DF_CAP,
+    min_containment_milli: int = 500,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every (corpus doc, eval doc)
+    pair sharing k-shingles, the CONTAINMENT of the eval doc in the
+    corpus doc — |shingles(corpus) ∩ shingles(eval)| ·1000 /
+    |shingles(eval)| as an exact milli-ratio.  The standard
+    train/test-leak check of LLM data pipelines, built from the same
+    probe machinery as the reference's index query (J1: shingle equi
+    join; P13: stop-shingle df-cap on the corpus side so boilerplate
+    shingles never fan out).
+
+    (doc_id, eval_id, common_shingles, containment_milli), pairs with
+    containment ≥ threshold, self-pairs excluded.
+
+    Scale: corpus side is df-capped BEFORE the join (count-first, the
+    overpopulated-feature guard); the eval set is the small side but
+    joins by shingle hash — `shuffle_hash` hinted, never a broadcast of
+    the corpus.  Denominator is the eval doc's UNCAPPED shingle count,
+    so scores are conservative under the cap.
+    """
+    cs = discriminative_shingles(corpus, k, cap)
+    es = shingles(evalset, k).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    sizes = es.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_eval_sh")
+    )
+    hits = (
+        cs.join(es.hint("shuffle_hash"), "sh")
+        .where(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    return (
+        hits.join(sizes, "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            "common_shingles",
+            F.expr("common_shingles * 1000 div n_eval_sh")
+            .cast("long")
+            .alias("containment_milli"),
+        )
+        .where(F.col("containment_milli") >= min_containment_milli)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = NGRAM_K, lanes: int = MINHASH_LANES
 ) -> DataFrame:
