@@ -175,3 +175,56 @@ def test_canonical_url_is_idempotent(spark):
     assert len(once) == len(urls)
     twice = _canon(spark, once)
     assert twice == once
+
+
+def test_contamination_pairs_planted_leak(spark):
+    """A verbatim benchmark leak (eval text copied into a training doc)
+    scores containment 1000; an unrelated doc never reaches threshold."""
+    from metacache_mpi_spark.operators.textops import contamination_pairs
+
+    evaltext = "the quick brown fox jumps over the lazy dog again"
+    corpus = spark.createDataFrame(
+        [
+            (1, "PREFIX " + evaltext + " SUFFIX"),   # full leak
+            (2, "completely different content with no overlap at all"),
+            (3, evaltext[: len(evaltext) // 2]),      # partial leak
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, evaltext)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["containment_milli"]
+        for r in contamination_pairs(
+            corpus, evalset, min_containment_milli=0
+        ).collect()
+    }
+    assert got[1] == 1000      # every eval shingle present
+    assert 2 not in got        # no shared shingle at all
+    assert 0 < got[3] < 1000   # half the text -> partial containment
+    # thresholded variant keeps only the real leak
+    flagged = contamination_pairs(corpus, evalset).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Exact values on hand-computable inputs (the in-array longest-run
+    formulation must equal the 2-gram mode)."""
+    from metacache_mpi_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),      # 4 grams: "a b"x2,"b a","b c" -> top 500
+            (2, "x y"),            # single gram -> 1000
+            (3, "w"),              # no gram -> 0
+            (4, "l1\nl2\nl1"),     # one dup line of 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["top_2gram_milli"] == 500
+    assert got[1]["dup_word_milli"] == (5 - 3) * 1000 // 5
+    assert got[2]["top_2gram_milli"] == 1000
+    assert got[3]["top_2gram_milli"] == 0
+    assert got[4]["dup_line_milli"] == 1000 // 3
