@@ -223,6 +223,32 @@ def write_corpus(out_dir: str, n_pages: int = 500, seed: int = 42) -> None:
     )
 
 
+def load_pages_iceberg(spark, table: str):
+    """Read the pages corpus from an Iceberg TABLE (the deployment
+    source named in BASELINE.json: ``spark.read.format("iceberg")``);
+    adds the same content-stable ``doc_id``.  Snapshot isolation,
+    partition pruning and metadata-only planning come from the Iceberg
+    runtime — the DataFrame downstream is identical to the Parquet
+    lane, so the whole pipeline is source-agnostic.
+
+    The sandbox image ships no Iceberg runtime jar, so this raises a
+    clear RuntimeError there (the Parquet lane :func:`load_pages` is
+    the tested fallback); on a real cluster with
+    ``iceberg-spark-runtime`` on the classpath it is one catalog read.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.format("iceberg").load(table)
+    except Exception as e:  # noqa: BLE001 — no runtime jar / no catalog
+        raise RuntimeError(
+            "Iceberg runtime not available in this Spark session; use "
+            "load_pages(spark, dir) for the Parquet lane or add "
+            "iceberg-spark-runtime to the cluster classpath"
+        ) from e
+    return df.withColumn("doc_id", F.xxhash64("url"))
+
+
 def load_pages(spark, path: str):
     """Read a pages corpus written by :func:`write_corpus`, adding a
     stable numeric ``doc_id`` derived from the url (xxhash64) — at

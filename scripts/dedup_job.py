@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--cores", default=None)
+    ap.add_argument(
+        "--canonicalize-urls",
+        action="store_true",
+        help="page identity = canonical URL; repeated crawls collapse "
+        "to the newest warc_ts before sketching (operators/webops.py)",
+    )
     args = ap.parse_args()
 
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
@@ -41,7 +47,11 @@ def main() -> None:
     spark = get_spark(args.cores, app_name="dedup-job")
     t0 = time.time()
     ck = CheckpointManager(spark, args.checkpoints)
-    res = dedup_pipeline(load_pages(spark, args.input), checkpoints=ck)
+    res = dedup_pipeline(
+        load_pages(spark, args.input),
+        checkpoints=ck,
+        canonicalize_urls=args.canonicalize_urls,
+    )
     # one row per surviving doc, served from the pipeline's own
     # snapshot/cache — res.docs would re-scan + re-dedup the corpus
     n_docs = res.signatures.count()

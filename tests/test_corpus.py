@@ -78,3 +78,15 @@ def test_langs_seeded():
     pages, _ = generate_pages(300, seed=42)
     assert set(pages["lang"]) <= {"en", "de", "es"}
     assert (pages["lang"] == "en").mean() > 0.75
+
+
+def test_load_pages_iceberg_raises_clearly_without_runtime(spark):
+    """The Iceberg lane is a declared deployment source; without the
+    runtime jar it must fail with an actionable error, not a stack of
+    py4j noise."""
+    import pytest
+
+    from metacache_mpi_spark.sources.pages import load_pages_iceberg
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        load_pages_iceberg(spark, "warehouse.pages")
