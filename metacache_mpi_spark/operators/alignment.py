@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame
 DEFAULT_MATCH = 2
 DEFAULT_MISMATCH = -1
 DEFAULT_GAP = -2
+_SEED_LEN = 16
+
+
+def _seed_diagonal(q: np.ndarray, t: np.ndarray) -> int | None:
+    """Diagonal offset (target_pos − query_pos) of the first common
+    ``_SEED_LEN``-gram between query and target, or None when the two
+    sequences share no seed — the anchor for the banded DP."""
+    from ..functions.hashing import poly_window_hashes
+
+    L = min(_SEED_LEN, q.size, t.size)
+    if L == 0:
+        return None
+    hq = poly_window_hashes(q, L)
+    ht = poly_window_hashes(t, L)
+    if hq.size == 0 or ht.size == 0:
+        return None
+    common, iq, it = np.intersect1d(hq, ht, return_indices=True)
+    for j in range(common.size):
+        if np.array_equal(q[iq[j] : iq[j] + L], t[it[j] : it[j] + L]):
+            return int(it[j]) - int(iq[j])
+    return None
 
 
 def align_semi_global(
@@ -46,11 +67,17 @@ def align_semi_global(
     Returns (score, target_begin, cigar).  CIGAR is relative to the
     target: M consumes both, I consumes query only (insertion), D
     consumes target only (deletion); runs are length-collapsed
-    (``12M1I3M``).  ``band``: optional half-width around the main
-    diagonal (scores outside the band are -inf), the reference's banded
-    variant (alignment.h:185-221) — callers size it from the indel
-    budget.  Deterministic tie-break: diagonal > up (I) > left (D),
-    and the leftmost best end column wins.
+    (``12M1I3M``).  ``band``: optional half-width (scores outside the
+    band are -inf), the reference's banded variant
+    (alignment.h:185-221) — callers size it from the indel budget.
+    Because the target's leading flank is FREE, the band is anchored on
+    a SEEDED diagonal (first common 16-gram between query and target),
+    not the main diagonal: a verbatim hit at target offset 20 with
+    band=3 must stay inside the band.  If no seed exists the DP falls
+    back to the full matrix (correct, slower) — banding is an
+    optimization, never a semantics change.  Deterministic tie-break:
+    diagonal > up (I) > left (D), and the leftmost best end column
+    wins.
     """
     m, n = len(query), len(target)
     if m == 0:
@@ -65,9 +92,16 @@ def align_semi_global(
         move[i, 0] = 2
     q = np.frombuffer(query.encode("utf-8"), dtype=np.uint8)
     t = np.frombuffer(target.encode("utf-8"), dtype=np.uint8)
+    diag = 0
+    if band is not None:
+        d = _seed_diagonal(q, t)
+        if d is None:
+            band = None  # no anchor — full DP keeps correctness
+        else:
+            diag = d
     for i in range(1, m + 1):
         lo, hi = (1, n) if band is None else (
-            max(1, i - band), min(n, i + band)
+            max(1, i + diag - band), min(n, i + diag + band)
         )
         for j in range(lo, hi + 1):
             sub = match if q[i - 1] == t[j - 1] else mismatch

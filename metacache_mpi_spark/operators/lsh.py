@@ -207,14 +207,7 @@ def bucket_join_pairs(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(F.expr(PAIR_EXPANSION)).alias("p"))
         .select("p.a", "p.b")
         .distinct()
     )

@@ -324,7 +324,17 @@ def simhash_banded_pairs(
             raise ValueError(f"no default fingerprint for bits={bits}")
     else:
         fp = fingerprints
-        bits = 64 if bits is None else bits
+        if bits is None:
+            # NEVER guess the width of a caller-supplied fingerprint:
+            # assuming 64 over a legacy 16-bit table shifts bands 1-3
+            # past the real bits (all-zero degenerate buckets — recall
+            # silently collapses to band 0, or O(n²) candidates below
+            # the cap).  Make the caller state it.
+            raise ValueError(
+                "fingerprints= requires an explicit bits= width "
+                "(e.g. bits=16 for simhash16 tables, bits=64 for the "
+                "pipeline fingerprint)"
+            )
     if bands is None:
         bands = max_hamming + 1
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
@@ -459,17 +469,17 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     the same quantity as the idiomatic unnest → group-by mode — two
     formulations, one result.
     """
-    dup_words = (
-        "(size(split(text, ' ')) - size(array_distinct(split(text, ' '))))"
-        " * 1000 div size(split(text, ' '))"
-    )
+    # tokenize ONCE into columns — split(text) repeated inside a
+    # higher-order-function lambda is NOT hoisted by Catalyst, so an
+    # inline formulation re-tokenizes the full text per gram element
+    # (O(n_words × text_len) per row)
+    dup_words = "(size(w) - size(array_distinct(w))) * 1000 div size(w)"
     dup_lines = (
-        "(size(split(text, '\\n')) - size(array_distinct(split(text, '\\n'))))"
-        " * 1000 div size(split(text, '\\n'))"
+        "(size(lns) - size(array_distinct(lns))) * 1000 div size(lns)"
     )
     # sorted 2-gram array; mode count = longest run of equal neighbors
     top_gram = """
-    CAST(CASE WHEN size(split(text, ' ')) < 2 THEN 0
+    CAST(CASE WHEN size(w) < 2 THEN 0
               WHEN size(sg) < 2 THEN 1000 ELSE
       aggregate(
         sequence(2, size(sg)),
@@ -484,19 +494,20 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     """
     return (
         docs.where(F.length("text") > 0)
+        .withColumn("w", F.split("text", " "))
+        .withColumn("lns", F.split("text", "\n"))
         .withColumn(
             "sg",
             F.expr(
                 "array_sort(transform(sequence(1, "
-                "greatest(size(split(text, ' ')) - 1, 1)), i -> "
-                "concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), "
-                "least(i + 1, size(split(text, ' ')))))))"
+                "greatest(size(w) - 1, 1)), i -> "
+                "concat(element_at(w, i), ' ', "
+                "element_at(w, least(i + 1, size(w))))))"
             ),
         )
         .select(
             "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+            F.expr("size(w)").cast("long").alias("n_words"),
             F.expr(dup_words).cast("long").alias("dup_word_milli"),
             F.expr(dup_lines).cast("long").alias("dup_line_milli"),
             F.expr(top_gram).alias("top_2gram_milli"),

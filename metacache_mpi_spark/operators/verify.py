@@ -54,6 +54,37 @@ def sketch_intersection(
     return pairs.withColumn(out_col, F.size(F.array_intersect(sk_a, sk_b)))
 
 
+def _pair_jaccard(x: str | None, y: str | None, k: int) -> float:
+    """Exact k-shingle Jaccard of two texts — THE correctness kernel
+    (unique-before-intersect; empty-vs-empty = 0.0), shared by every
+    verify lane so a threshold/hashing tweak cannot de-synchronize the
+    fused pipeline from the unfused operators the oracles gate."""
+    ha = np.unique(shingle_hashes(x or "", k))
+    hb = np.unique(shingle_hashes(y or "", k))
+    if ha.size == 0 and hb.size == 0:
+        return 0.0
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    return inter / (ha.size + hb.size - inter)
+
+
+def _sig_gate(cfg: DedupConfig, candidate_cols) -> "F.Column":
+    """The lane-1 hitsMin gate as a Column (shared by
+    :func:`prefilter_candidates` and :func:`gate_and_attach`): attached
+    signatures must agree on ≥ min_sig_lanes lanes, fingerprint-lane
+    candidates (fp_hits ≥ min_fp_hits) bypass."""
+    if cfg.min_sig_lanes <= 0:
+        return F.lit(True)
+    est_lanes = F.expr(
+        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))"
+    )
+    fp_ok = (
+        F.col("fp_hits") >= cfg.min_fp_hits
+        if "fp_hits" in candidate_cols
+        else F.lit(False)
+    )
+    return fp_ok | (est_lanes >= cfg.min_sig_lanes)
+
+
 def _pin_udf_parallelism(df: DataFrame) -> DataFrame:
     """Explicitly repartition before a compute-heavy Python stage.
 
@@ -81,13 +112,7 @@ def exact_jaccard_pairs(
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta), dtype=np.float64)
         for i, (x, y) in enumerate(zip(ta, tb)):
-            ha = np.unique(shingle_hashes(x or "", k))
-            hb = np.unique(shingle_hashes(y or "", k))
-            if ha.size == 0 and hb.size == 0:
-                out[i] = 0.0
-                continue
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            out[i] = inter / (ha.size + hb.size - inter)
+            out[i] = _pair_jaccard(x, y, k)
         return pd.Series(out)
 
     return pairs_with_text.withColumn("jaccard", _jac(F.col(text_a), F.col(text_b)))
@@ -119,18 +144,10 @@ def prefilter_candidates(
     sb = signatures.select(
         F.col(id_col).alias("b"), F.col(sig_col).alias("_sig_b")
     )
-    est_lanes = F.expr(
-        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))"
-    )
-    fp_ok = (
-        F.col("fp_hits") >= cfg.min_fp_hits
-        if "fp_hits" in candidates.columns
-        else F.lit(False)
-    )
     return (
         candidates.join(sa, "a")
         .join(sb, "b")
-        .where(fp_ok | (est_lanes >= cfg.min_sig_lanes))
+        .where(_sig_gate(cfg, candidates.columns))
         .drop("_sig_a", "_sig_b")
     )
 
@@ -169,23 +186,10 @@ def gate_and_attach(
         F.col("simhash").alias("sim_b"),
         F.col("text").alias("text_b"),
     )
-    est_lanes = F.expr(
-        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))"
-    )
-    fp_ok = (
-        F.col("fp_hits") >= cfg.min_fp_hits
-        if "fp_hits" in candidates.columns
-        else F.lit(False)
-    )
-    gate = (
-        fp_ok | (est_lanes >= cfg.min_sig_lanes)
-        if cfg.min_sig_lanes > 0
-        else F.lit(True)
-    )
     return (
         candidates.join(sa, "a")
         .join(sb, "b")
-        .where(gate)
+        .where(_sig_gate(cfg, candidates.columns))
         .drop("_sig_a", "_sig_b")
     )
 
@@ -268,13 +272,7 @@ def verified_dup_pairs(
             kinds: list[str] = []
             fp = pdf["fp_hits"] if has_fp else None
             for i, (x, y) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
-                ha = np.unique(shingle_hashes(x or "", k))
-                hb = np.unique(shingle_hashes(y or "", k))
-                if ha.size == 0 and hb.size == 0:
-                    j = 0.0
-                else:
-                    inter = np.intersect1d(ha, hb, assume_unique=True).size
-                    j = inter / (ha.size + hb.size - inter)
+                j = _pair_jaccard(x, y, k)
                 if j >= tau:
                     kind = "jaccard"
                 elif (

@@ -19,8 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-# query parameters that never change page identity (trackers)
-TRACKING_PARAM_RE = "^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)="
+# query parameters that never change page identity (trackers) —
+# case-insensitive, with or without a value ("?gclid" counts too)
+TRACKING_PARAM_RE = "(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)(=|$)"
 
 
 def _part(u: Column, what: str) -> Column:
@@ -49,9 +50,13 @@ def canonical_url_col(u: Column) -> Column:
     )
     path = _part(u, "PATH")
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    path = F.when(path != "/", F.regexp_replace(path, "/+$", "")).otherwise(
-        path
-    )
+    # trim trailing slashes; an all-slash path ("//") collapses to the
+    # root "/" — never to the empty string, which would split the root
+    # page's identity and break canon-of-canon idempotence
+    trimmed = F.regexp_replace(path, "/+$", "")
+    path = F.when(path != "/",
+                  F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+                  ).otherwise(path)
     params = F.array_sort(
         F.filter(
             F.split(F.coalesce(_part(u, "QUERY"), F.lit("")), "&"),
@@ -86,9 +91,13 @@ def url_dedup_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """
     df = canonical_url(pages, url_col)
     key = F.coalesce("canon_url", F.col(url_col))
-    w = Window.partitionBy(key).orderBy(
-        F.col("warc_ts").desc(), F.col(url_col).asc()
-    )
+    # tertiary content tie-break: two fetches with identical canon_url,
+    # warc_ts AND raw url must still pick the SAME winner on every run
+    # (bit-for-bit reproducibility discipline)
+    order = [F.col("warc_ts").desc(), F.col(url_col).asc()]
+    if "text" in df.columns:
+        order.append(F.md5(F.coalesce(F.col("text"), F.lit(""))).asc())
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -266,20 +266,24 @@ def load_pages(spark, path: str):
     # core.  Split count is estimated from input bytes (no RDD probe):
     # Spark assigns one scan task per maxPartitionBytes byte range.
     import os
+    import re
 
     par = spark.sparkContext.defaultParallelism
-    mpb = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .removesuffix("b")
-    )
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    mm = re.fullmatch(r"(\d+)([kmg]?)b?", raw.strip().lower())
+    mpb = int(mm.group(1)) * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30}[
+        mm.group(2)
+    ] if mm else 134217728
+    files = df.inputFiles()
     local = [
-        f.removeprefix("file://")
-        for f in df.inputFiles()
-        if f.startswith("file:")
+        f.removeprefix("file://") for f in files if f.startswith("file:")
     ]
-    est_splits = sum(
-        -(-os.path.getsize(f) // mpb) for f in local
-    ) if local else 0
+    if len(local) < len(files):
+        # remote store (s3a/hdfs/...): a real crawl store is pre-split
+        # into many objects — NEVER pay a corpus-sized exchange here
+        est_splits = par
+    else:
+        est_splits = sum(-(-os.path.getsize(f) // mpb) for f in local)
     if est_splits < par:
         df = df.repartition(par)
     return df.withColumn("doc_id", F.xxhash64("url"))

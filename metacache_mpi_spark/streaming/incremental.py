@@ -62,8 +62,8 @@ class IncrementalDedup:
     _KINDS = ("docs", "bands", "sigs", "edges", "clusters")
 
     def _last_batch(self) -> int:
-        """Highest batch number with ALL four snapshots committed.
-        Per-batch commits are atomic (one manifest update for all four,
+        """Highest batch number with ALL five snapshots committed.
+        Per-batch commits are atomic (one manifest update for all five,
         plans/checkpoint.py commit()), so an incomplete batch can only
         come from state written by older code — it is ignored and the
         batch is reprocessed, preserving kill-and-resume == single-run."""
@@ -146,7 +146,7 @@ class IncrementalDedup:
             else old_edges.unionByName(verified).distinct()
         )
 
-        # two-phase commit: stage all four snapshots (Parquet writes),
+        # two-phase commit: stage all five snapshots (Parquet writes),
         # then ONE atomic manifest update — a crash mid-batch leaves no
         # docs without their band rows (which would silently exempt them
         # from future duplicate probes)

@@ -228,3 +228,19 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2]["top_2gram_milli"] == 1000
     assert got[3]["top_2gram_milli"] == 0
     assert got[4]["dup_line_milli"] == 1000 // 3
+
+
+def test_canonical_url_review_edge_cases(spark):
+    """Edge cases from review: all-slash root collapses to '/', and
+    tracking params match case-insensitively / without values."""
+    cases = {
+        "https://x.example//": "https://x.example/",
+        "https://x.example/?": "https://x.example/",
+        "http://x.example/x?gclid": "http://x.example/x",
+        "http://x.example/x?UTM_SOURCE=y&keep=1":
+            "http://x.example/x?keep=1",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+    # fixed-point on the edge cases too
+    assert _canon(spark, got) == got
