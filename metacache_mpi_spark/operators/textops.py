@@ -469,23 +469,30 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     the same quantity as the idiomatic unnest → group-by mode — two
     formulations, one result.
     """
-    # tokenize ONCE into columns — split(text) repeated inside a
-    # higher-order-function lambda is NOT hoisted by Catalyst, so an
-    # inline formulation re-tokenizes the full text per gram element
-    # (O(n_words × text_len) per row)
+    # LAMBDA-PURE discipline: every higher-order-function lambda below
+    # touches ONLY its bound variables.  Predicate pushdown substitutes
+    # alias definitions into pushed conditions with no cost guard, and
+    # any expression INSIDE a lambda body re-evaluates per element — an
+    # element_at(sg, i) formulation re-sorted the whole gram array per
+    # aggregate iteration once a filter on top_2gram_milli was pushed
+    # through the projection (measured: a 500-doc count went from 0.7 s
+    # to unbounded).  With zip_with over slices, array-valued
+    # subexpressions are HOF *inputs* — evaluated once per row per
+    # inlined copy, never per element.
     dup_words = "(size(w) - size(array_distinct(w))) * 1000 div size(w)"
     dup_lines = (
         "(size(lns) - size(array_distinct(lns))) * 1000 div size(lns)"
     )
-    # sorted 2-gram array; mode count = longest run of equal neighbors
+    # sorted 2-gram array; mode count = longest equal-neighbor run + 1,
+    # via a boolean neighbor-equality array (lambda-pure)
     top_gram = """
-    CAST(CASE WHEN size(w) < 2 THEN 0
-              WHEN size(sg) < 2 THEN 1000 ELSE
+    CAST(CASE WHEN size(w) < 2 THEN 0 ELSE
       aggregate(
-        sequence(2, size(sg)),
+        zip_with(slice(sg, 1, size(sg) - 1), slice(sg, 2, size(sg) - 1),
+                 (x, y) -> x = y),
         struct(CAST(1 AS BIGINT) AS cur, CAST(1 AS BIGINT) AS best),
-        (acc, i) -> IF(
-          element_at(sg, i) = element_at(sg, i - 1),
+        (acc, e) -> IF(
+          e,
           struct(acc.cur + CAST(1 AS BIGINT) AS cur,
                  greatest(acc.best, acc.cur + CAST(1 AS BIGINT)) AS best),
           struct(CAST(1 AS BIGINT) AS cur, acc.best AS best)),
@@ -499,10 +506,9 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .withColumn(
             "sg",
             F.expr(
-                "array_sort(transform(sequence(1, "
-                "greatest(size(w) - 1, 1)), i -> "
-                "concat(element_at(w, i), ' ', "
-                "element_at(w, least(i + 1, size(w))))))"
+                "array_sort(zip_with(slice(w, 1, size(w) - 1), "
+                "slice(w, 2, size(w) - 1), "
+                "(x, y) -> concat(x, ' ', y)))"
             ),
         )
         .select(

@@ -1,0 +1,136 @@
+"""Production training-data cleanup: raw crawl → clean corpus.
+
+The composition a 100-TB pretraining pipeline actually runs, built
+entirely from this repo's operators::
+
+    pages ── url_dedup_latest ───────── crawl-snapshot dedup (webops)
+      │
+      ├─ remove_boilerplate_lines ───── site-template removal
+      │
+      ├─ quality gates ──────────────── token/alpha/repetition filters
+      │      (token_stats ⋈ quality_scores ⋈ repetition_stats)
+      │
+      ├─ dedup_pipeline ─────────────── MinHash/SimHash/LSH near-dup
+      │      └─ keep cluster representative (min doc_id)
+      │
+      └─ write clean parquet + one-line JSON metrics
+
+Launch (same deployment path as dedup_job)::
+
+    zip -qr /tmp/mcs.zip metacache_mpi_spark
+    spark-submit --master <master> --py-files /tmp/mcs.zip \
+        scripts/clean_job.py --input <corpus_dir> --output <out_dir> \
+        [--generate N]
+
+Every stage count lands in the JSON line so a regression in any gate
+is visible run-over-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+# quality gates (milli-ratios are exact integers — see textops)
+MIN_WORDS = 20
+MIN_ALPHA_MILLI = 500     # ≥ 50% lowercase-alpha chars
+MAX_DUP_WORD_MILLI = 900  # < 90% repeated word occurrences
+MAX_TOP_2GRAM_MILLI = 300  # most common 2-gram < 30% of all 2-grams
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.textops import (
+        quality_scores,
+        remove_boilerplate_lines,
+        repetition_stats,
+        token_stats,
+    )
+    from metacache_mpi_spark.operators.webops import url_dedup_latest
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.session import get_spark
+    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+
+    if args.generate:
+        write_corpus(args.input, n_pages=args.generate, seed=42)
+
+    spark = get_spark(args.cores, app_name="clean-job")
+    t0 = time.time()
+    counts: dict[str, int] = {}
+
+    pages = load_pages(spark, args.input)
+    counts["raw"] = pages.count()
+
+    # 1. crawl-snapshot dedup on canonical URL identity
+    pages = url_dedup_latest(pages).withColumn(
+        "url", F.coalesce("canon_url", "url")
+    )
+    docs = pages.select("doc_id", "url", "text").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    counts["after_url_dedup"] = docs.count()
+
+    # 2. cross-document boilerplate line removal; the cleaned text is
+    #    the text every later stage (and the output) sees.  Cached:
+    #    three stat operators + the dedup pipeline consume it.
+    clean = (
+        remove_boilerplate_lines(docs)
+        .where(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(docs.select("doc_id", "url"), "doc_id")
+        .persist()
+    )
+    counts["after_boilerplate"] = clean.count()
+
+    # 3. quality gates — all JVM-side relational ops over the cache
+    keep = (
+        token_stats(clean)
+        .join(quality_scores(clean), ["doc_id", "n_chars_text"])
+        .join(repetition_stats(clean), "doc_id")
+        .where(
+            (F.col("n_tokens") >= MIN_WORDS)
+            & (F.col("alpha_milli") >= MIN_ALPHA_MILLI)
+            & (F.col("dup_word_milli") <= MAX_DUP_WORD_MILLI)
+            & (F.col("top_2gram_milli") <= MAX_TOP_2GRAM_MILLI)
+        )
+        .select("doc_id")
+    )
+    # keep-set scales with the corpus — shuffle join, never broadcast
+    gated = clean.join(keep.hint("shuffle_hash"), "doc_id")
+    counts["after_quality"] = gated.count()
+
+    # 4. near-duplicate dedup; survivors = cluster representative
+    res = dedup_pipeline(gated)
+    reps = res.clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = gated.join(
+        reps.select("doc_id").hint("shuffle_hash"), "doc_id"
+    )
+    survivors.write.mode("overwrite").parquet(args.output)
+    counts["clean"] = spark.read.parquet(args.output).count()
+
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                **counts,
+                "docs_per_sec": round(counts["raw"] / dt, 1),
+                "sec": round(dt, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

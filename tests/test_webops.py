@@ -244,3 +244,63 @@ def test_canonical_url_review_edge_cases(spark):
     assert got == list(cases.values())
     # fixed-point on the edge cases too
     assert _canon(spark, got) == got
+
+
+def test_cleanup_composition_funnel(spark, tmp_path):
+    """The clean_job composition (url dedup -> boilerplate -> quality
+    gates -> near-dup dedup) over a generated crawl: counts fall
+    monotonically and near-dups are actually removed."""
+    from metacache_mpi_spark.operators.textops import (
+        quality_scores,
+        remove_boilerplate_lines,
+        repetition_stats,
+        token_stats,
+    )
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+
+    write_corpus(str(tmp_path / "c"), n_pages=200, seed=11)
+    pages = load_pages(spark, str(tmp_path / "c"))
+    docs = pages.select("doc_id", "url", "text")
+    n_raw = docs.count()
+
+    clean = (
+        remove_boilerplate_lines(docs)
+        .where(F.col("n_lines_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(docs.select("doc_id", "url"), "doc_id")
+        .persist()
+    )
+    n_boiler = clean.count()
+    keep = (
+        token_stats(clean).select("doc_id", "n_tokens")
+        .join(quality_scores(clean).select("doc_id", "alpha_milli"), "doc_id")
+        .join(
+            repetition_stats(clean).select(
+                "doc_id", "dup_word_milli", "top_2gram_milli"
+            ),
+            "doc_id",
+        )
+        .where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("alpha_milli") >= 500)
+            & (F.col("dup_word_milli") <= 900)
+            & (F.col("top_2gram_milli") <= 300)
+        )
+        .select("doc_id")
+    )
+    gated = clean.join(keep.hint("shuffle_hash"), "doc_id")
+    n_quality = gated.count()
+    res = dedup_pipeline(gated)
+    reps = res.clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    n_clean = gated.join(reps.select("doc_id"), "doc_id").count()
+    # monotone funnel; boilerplate removal eats exact dups (all their
+    # lines repeat), near-dup dedup must remove more
+    assert n_raw >= n_boiler >= n_quality >= n_clean
+    assert n_boiler < n_raw
+    assert n_clean < n_quality
+    assert n_clean > 0
+    clean.unpersist()
+    res.unpersist()
