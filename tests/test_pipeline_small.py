@@ -58,3 +58,28 @@ def test_recall_gate_small(small):
     )
     assert stats["recall"] >= 0.99, f"recall {stats['recall']:.4f}"
     assert stats["precision"] >= 0.98, f"precision {stats['precision']:.4f}"
+
+
+def test_clusters_invariant_under_partitioning(spark):
+    """Physical layout must not leak into results: the same corpus
+    partitioned 3-ways and 13-ways yields IDENTICAL cluster
+    assignments (deterministic tie-breaks end to end)."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import generate_pages
+
+    pages, _ = generate_pages(n_pages=200, seed=3)
+    base = spark.createDataFrame(pages[["url", "text"]])
+    outs = []
+    for nparts in (3, 13):
+        res = dedup_pipeline(base.repartition(nparts))
+        outs.append(
+            sorted(
+                (r["doc_id"], r["cluster_id"])
+                for r in res.clusters.collect()
+            )
+        )
+        res.unpersist()
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 200
