@@ -1,0 +1,232 @@
+"""Reference-CLI-shaped genomic entry point: build / query / merge / info.
+
+Mirrors the mode surface of the reference binary
+(/root/reference/src/main.cpp modes: mode_build, mode_query,
+mode_merge, mode_info) on the Spark engine::
+
+    zip -qr /tmp/mcs.zip metacache_mpi_spark
+    spark-submit --py-files /tmp/mcs.zip scripts/genomic_job.py \
+        build --targets t.fasta --db /data/db [--k 16 --sketch 16 ...]
+    ... query --db /data/db --reads r.fastq [--reads2 mate2.fastq] \
+        [--nodes nodes.dmp] [--out outdir]
+    ... merge --results shard1_out shard2_out --out merged
+    ... info --db /data/db
+
+``build`` persists the inverted index as parquet plus a JSON sidecar
+(config + target→taxid map from ``taxid|N`` headers); ``query`` probes
+it, classifies by ranked LCA when a taxonomy is given, and writes
+candidates/assignments; ``merge`` re-aggregates per-shard candidate
+lists (S12/J8 — proven ≡ global index); ``info`` prints bucket-size
+moments (``info statistics`` analog).  Each mode ends with ONE JSON
+line of counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _cfg_from_args(args):
+    from metacache_mpi_spark.operators.genomic import GenomicConfig
+
+    return GenomicConfig(
+        k=args.k,
+        sketch_size=args.sketch,
+        winlen=args.winlen,
+        winstride=args.winstride,
+        max_candidates=args.max_cand,
+    )
+
+
+def _load_db(spark, db):
+    with open(os.path.join(db, "meta.json")) as fh:
+        meta = json.load(fh)
+    index = spark.read.parquet(os.path.join(db, "index.parquet"))
+    return index, meta
+
+
+def cmd_build(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import build_index
+    from metacache_mpi_spark.sources.bio import (
+        read_sequences,
+        taxid_from_header,
+    )
+
+    cfg = _cfg_from_args(args)
+    seqs = read_sequences(spark, args.targets).select(
+        F.col("record_idx").alias("tgt"), "seq", "header"
+    )
+    tmap = {
+        r["tgt"]: r["tid"]
+        for r in seqs.select(
+            "tgt", taxid_from_header().alias("tid")
+        ).collect()
+        if r["tid"] is not None
+    }
+    index = build_index(seqs.select("tgt", "seq"), cfg)
+    os.makedirs(args.db, exist_ok=True)
+    index.write.mode("overwrite").parquet(
+        os.path.join(args.db, "index.parquet")
+    )
+    with open(os.path.join(args.db, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "cfg": {
+                    "k": cfg.k,
+                    "sketch_size": cfg.sketch_size,
+                    "winlen": cfg.winlen,
+                    "winstride": cfg.winstride,
+                    "max_candidates": cfg.max_candidates,
+                },
+                "target_taxid": {str(k): v for k, v in tmap.items()},
+            },
+            fh,
+        )
+    n_features = spark.read.parquet(
+        os.path.join(args.db, "index.parquet")
+    ).count()
+    return {"mode": "build", "targets": seqs.count(), "index_rows": n_features}
+
+
+def cmd_query(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        query_index,
+        query_index_paired,
+    )
+    from metacache_mpi_spark.operators.taxonomy import (
+        Taxonomy,
+        classify_lca,
+        parse_nodes_dmp,
+        taxon_counts,
+    )
+    from metacache_mpi_spark.sources.bio import read_sequences
+
+    index, meta = _load_db(spark, args.db)
+    cfg = GenomicConfig(**meta["cfg"])
+    out = {"mode": "query"}
+    if args.reads2:
+        r1 = read_sequences(spark, args.reads).select(
+            F.col("record_idx").alias("qid"), F.col("seq").alias("seq1")
+        )
+        r2 = read_sequences(spark, args.reads2).select(
+            F.col("record_idx").alias("qid"), F.col("seq").alias("seq2")
+        )
+        cands = query_index_paired(r1.join(r2, "qid"), index, cfg)
+    else:
+        reads = read_sequences(spark, args.reads).select(
+            F.col("record_idx").alias("qid"), "seq"
+        )
+        cands = query_index(reads, index, cfg)
+    if args.out:
+        cands.write.mode("overwrite").parquet(
+            os.path.join(args.out, "candidates.parquet")
+        )
+    out["candidates"] = cands.count()
+    if args.nodes:
+        tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
+        tmap = {int(k): v for k, v in meta["target_taxid"].items()}
+        assigned = classify_lca(
+            cands, tax, tmap, hits_min=cfg.hits_min_effective
+        )
+        if args.out:
+            assigned.write.mode("overwrite").parquet(
+                os.path.join(args.out, "assignments.parquet")
+            )
+        out["classified"] = assigned.where(
+            F.col("taxid").isNotNull()
+        ).count()
+        out["taxa"] = taxon_counts(assigned).count()
+    return out
+
+
+def cmd_merge(spark, args) -> dict:
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        merge_query_results,
+    )
+
+    shards = [
+        spark.read.parquet(os.path.join(d, "candidates.parquet"))
+        for d in args.results
+    ]
+    # thresholds (hitsMin = sketch//3) must come from the DB the shards
+    # were queried against, not defaults — a merge must never be
+    # stricter than the per-shard queries were
+    _, meta = _load_db(spark, args.db)
+    cfg = GenomicConfig(**meta["cfg"])
+    merged = merge_query_results(shards, cfg)
+    os.makedirs(args.out, exist_ok=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(args.out, "candidates.parquet")
+    )
+    return {
+        "mode": "merge",
+        "shards": len(shards),
+        "merged_candidates": merged.count(),
+    }
+
+
+def cmd_info(spark, args) -> dict:
+    from metacache_mpi_spark.operators.relational import bucket_size_stats
+
+    index, meta = _load_db(spark, args.db)
+    row = bucket_size_stats(index, ["feature"]).collect()[0].asDict()
+    return {"mode": "info", **meta["cfg"], **row}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--targets", required=True)
+    b.add_argument("--db", required=True)
+    b.add_argument("--k", type=int, default=16)
+    b.add_argument("--sketch", type=int, default=16)
+    b.add_argument("--winlen", type=int, default=128)
+    b.add_argument("--winstride", type=int, default=113)
+    b.add_argument("--max-cand", type=int, default=2)
+
+    q = sub.add_parser("query")
+    q.add_argument("--db", required=True)
+    q.add_argument("--reads", required=True)
+    q.add_argument("--reads2", default=None)
+    q.add_argument("--nodes", default=None)
+    q.add_argument("--out", default=None)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--results", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--db", required=True)
+
+    i = sub.add_parser("info")
+    i.add_argument("--db", required=True)
+
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from metacache_mpi_spark.session import get_spark
+
+    spark = get_spark(args.cores, app_name=f"genomic-{args.mode}")
+    t0 = time.time()
+    result = {
+        "build": cmd_build,
+        "query": cmd_query,
+        "merge": cmd_merge,
+        "info": cmd_info,
+    }[args.mode](spark, args)
+    result["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
