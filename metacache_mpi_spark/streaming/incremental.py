@@ -1,6 +1,8 @@
 """Incremental near-duplicate detection over arriving page batches.
 
-State (persisted as snapshots, one per batch commit):
+State (persisted as per-batch DELTA snapshots — docs/bands/sigs/edges
+hold only the batch's new rows; the resident state is their union, and
+write cost per batch is O(batch), not O(corpus)):
 - ``bands``  — (doc_id, band, bucket) rows for every doc seen so far:
   the resident inverted index (the reference keeps its hash_multimap
   resident across REPL queries, /root/reference/src/mode_query.cpp:269-315);
@@ -80,12 +82,21 @@ class IncrementalDedup:
         return max(complete, default=-1)
 
     def _state(self, kind: str) -> DataFrame | None:
-        """State as of the last COMPLETE batch, selected numerically —
-        lexicographic name sort would pick 'docs_b9' over 'docs_b10'."""
+        """Accumulated state as of the last COMPLETE batch: the UNION
+        of all per-batch DELTA snapshots (selected numerically —
+        lexicographic name sort would pick 'docs_b9' over 'docs_b10').
+        Deltas are disjoint by construction (docs are url-anti-joined,
+        bands/sigs key on new docs, an edge always touches a doc new
+        in its batch), so the union needs no dedup."""
+        from functools import reduce
+
         last = self.batch_no - 1
         if last < 0:
             return None
-        return self.ck.load(f"{kind}_b{last}")
+        return reduce(
+            lambda a, c: a.unionByName(c),
+            (self.ck.load(f"{kind}_b{n}") for n in range(last + 1)),
+        )
 
     def process_batch(self, pages: DataFrame) -> DataFrame:
         """Fold a batch of pages into the state; returns the updated
@@ -102,9 +113,17 @@ class IncrementalDedup:
             new_docs = new_docs.join(
                 old_docs.select("url"), "url", "left_anti"
             )
+        # stage the docs DELTA first: downstream consumers (sketch UDF,
+        # verify joins, cluster universe) read the materialized parquet
+        # instead of re-running the caller's lineage per consumer
+        new_docs = self.ck.stage_write(new_docs, f"docs_b{b}")
         sigs = attach_signature(new_docs.select("doc_id", "text"), cfg)
-        new_bands = emit_bands(sigs, cfg)
-        new_sigs = sigs.select("doc_id", "signature")
+        new_bands = self.ck.stage_write(
+            emit_bands(sigs, cfg), f"bands_b{b}"
+        )
+        new_sigs = self.ck.stage_write(
+            sigs.select("doc_id", "signature"), f"sigs_b{b}"
+        )
 
         all_docs = (
             new_docs
@@ -140,20 +159,22 @@ class IncrementalDedup:
             .where(F.col("jaccard") >= cfg.jaccard_threshold)
             .select("a", "b")
         )
+        # two-phase commit: stage all five snapshots (Parquet writes),
+        # then ONE atomic manifest update — a crash mid-batch leaves no
+        # docs without their band rows (which would silently exempt
+        # them from future duplicate probes).  docs/bands/sigs/edges
+        # snapshots are per-batch DELTAS: write cost is O(batch) and
+        # total state storage is O(corpus), where full-state rewrites
+        # were O(corpus) per batch = O(corpus × batches) total — the
+        # difference between a stream that keeps up and one that slows
+        # with every batch.  Clusters stay a FULL snapshot: they are
+        # the (one-row-per-doc) OUTPUT of the batch, not folded state.
+        verified = self.ck.stage_write(verified, f"edges_b{b}")
         all_edges = (
             verified
             if old_edges is None
-            else old_edges.unionByName(verified).distinct()
+            else old_edges.unionByName(verified)
         )
-
-        # two-phase commit: stage all five snapshots (Parquet writes),
-        # then ONE atomic manifest update — a crash mid-batch leaves no
-        # docs without their band rows (which would silently exempt them
-        # from future duplicate probes)
-        all_docs = self.ck.stage_write(all_docs, f"docs_b{b}")
-        self.ck.stage_write(all_bands, f"bands_b{b}")
-        self.ck.stage_write(all_sigs, f"sigs_b{b}")
-        all_edges = self.ck.stage_write(all_edges, f"edges_b{b}")
         clusters = cluster_assignments(all_docs, all_edges)
         clusters = self.ck.stage_write(clusters, f"clusters_b{b}")
         self.ck.commit([f"{k}_b{b}" for k in self._KINDS])

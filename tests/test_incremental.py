@@ -48,22 +48,47 @@ def test_duplicate_url_across_batches_ignored(spark, tiny_corpus, tmp_path):
 
 
 def test_state_selection_numeric_and_complete(spark, tmp_path):
-    """Regression: snapshot selection must be numeric (docs_b10 > docs_b9,
-    though lexicographically smaller) and skip incomplete batches."""
+    """Regression: batch selection must be numeric (b10 > b9 though
+    lexicographically smaller), skip incomplete batches, and the
+    resident state must be the union of all committed DELTAS."""
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
     from metacache_mpi_spark.streaming.incremental import IncrementalDedup
 
     ck = CheckpointManager(spark, str(tmp_path / "ck"))
     kinds = IncrementalDedup._KINDS
-    for b in (9, 10):
+    # eleven committed delta batches 0..10 (so the numeric-vs-lexi
+    # distinction between b9 and b10 is exercised)
+    for b in range(11):
         marker = spark.createDataFrame([(b,)], "marker long")
         for kind in kinds:
             ck.stage_write(marker, f"{kind}_b{b}")
         ck.commit([f"{k}_b{b}" for k in kinds])
-    # batch 11 is INCOMPLETE (docs only, simulating old-code partial state)
+    # batch 11 is INCOMPLETE (docs only) — ignored, reprocessed
     ck.save(spark.createDataFrame([(11,)], "marker long"), "docs_b11")
 
     inc = IncrementalDedup(spark, ck)
     assert inc.batch_no == 11  # resumes after b10, reprocessing b11
-    (row,) = inc._state("docs").collect()
-    assert row["marker"] == 10  # not b9 (lexicographic), not b11 (partial)
+    markers = sorted(
+        r["marker"] for r in inc._state("docs").collect()
+    )
+    assert markers == list(range(11))  # all deltas, not b11 (partial)
+
+
+def test_snapshots_are_deltas(spark, tmp_path):
+    """Write cost per batch must be O(batch): the batch-N docs/edges
+    snapshots hold only batch-N rows, never the accumulated corpus."""
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.sources.pages import generate_pages
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    pages, _ = generate_pages(n_pages=120, seed=5)
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    inc = IncrementalDedup(spark, ck)
+    sizes = []
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        batch = spark.createDataFrame(pages.iloc[lo:hi][["url", "text"]])
+        inc.process_batch(batch)
+        sizes.append(ck.load(f"docs_b{len(sizes)}").count())
+    assert sizes == [40, 40, 40]          # deltas, not 40/80/120
+    # resident state is the union
+    assert inc._state("docs").count() == 120
