@@ -81,22 +81,62 @@ class IncrementalDedup:
         ]
         return max(complete, default=-1)
 
+    _DELTA_KINDS = ("docs", "bands", "sigs", "edges")
+
+    def _compact_base(self) -> int:
+        """Highest batch n with a committed compacted base for every
+        delta kind, or -1."""
+        last = self.batch_no - 1
+        bases = [
+            int(s.name.split("_c")[-1])
+            for s in self.ck.snapshots()
+            if s.name.startswith("docs_c")
+            and int(s.name.split("_c")[-1]) <= last
+        ]
+        return max(
+            (
+                n
+                for n in bases
+                if all(
+                    self.ck.has(f"{k}_c{n}") for k in self._DELTA_KINDS
+                )
+            ),
+            default=-1,
+        )
+
     def _state(self, kind: str) -> DataFrame | None:
-        """Accumulated state as of the last COMPLETE batch: the UNION
-        of all per-batch DELTA snapshots (selected numerically —
-        lexicographic name sort would pick 'docs_b9' over 'docs_b10').
-        Deltas are disjoint by construction (docs are url-anti-joined,
-        bands/sigs key on new docs, an edge always touches a doc new
-        in its batch), so the union needs no dedup."""
+        """Accumulated state as of the last COMPLETE batch: the newest
+        compacted base (if any) plus the UNION of the per-batch DELTA
+        snapshots after it (selected numerically — lexicographic name
+        sort would pick 'docs_b9' over 'docs_b10').  Deltas are
+        disjoint by construction (docs are url-anti-joined, bands/sigs
+        key on new docs, an edge always touches a doc new in its
+        batch), so the union needs no dedup."""
         from functools import reduce
 
         last = self.batch_no - 1
         if last < 0:
             return None
-        return reduce(
-            lambda a, c: a.unionByName(c),
-            (self.ck.load(f"{kind}_b{n}") for n in range(last + 1)),
-        )
+        base = self._compact_base()
+        parts = [self.ck.load(f"{kind}_c{base}")] if base >= 0 else []
+        parts += [
+            self.ck.load(f"{kind}_b{n}") for n in range(base + 1, last + 1)
+        ]
+        return reduce(lambda a, c: a.unionByName(c), parts)
+
+    def compact(self) -> None:
+        """Fold every delta up to the last complete batch into ONE
+        compacted snapshot per state kind (atomic commit).  Call every
+        K batches: bounds the union depth / file count `_state` pays,
+        the same way a log-structured store merges its levels.  Old
+        deltas stay on disk (snapshots are immutable); they simply stop
+        being read."""
+        last = self.batch_no - 1
+        if last < 0:
+            return
+        for kind in self._DELTA_KINDS:
+            self.ck.stage_write(self._state(kind), f"{kind}_c{last}")
+        self.ck.commit([f"{k}_c{last}" for k in self._DELTA_KINDS])
 
     def process_batch(self, pages: DataFrame) -> DataFrame:
         """Fold a batch of pages into the state; returns the updated

@@ -92,3 +92,33 @@ def test_snapshots_are_deltas(spark, tmp_path):
     assert sizes == [40, 40, 40]          # deltas, not 40/80/120
     # resident state is the union
     assert inc._state("docs").count() == 120
+
+
+def test_compaction_preserves_state_and_results(spark, tmp_path):
+    """compact() folds deltas into one base per kind; later batches
+    read base+new deltas and produce identical clusters to the
+    uncompacted run."""
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.sources.pages import generate_pages
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    pages, _ = generate_pages(n_pages=150, seed=8)
+
+    def run(root, compact_after_two):
+        ck = CheckpointManager(spark, str(tmp_path / root))
+        inc = IncrementalDedup(spark, ck)
+        out = None
+        for i, (lo, hi) in enumerate(((0, 50), (50, 100), (100, 150))):
+            batch = spark.createDataFrame(
+                pages.iloc[lo:hi][["url", "text"]]
+            )
+            out = inc.process_batch(batch)
+            if compact_after_two and i == 1:
+                inc.compact()
+                assert ck.has("docs_c1")
+                assert inc._state("docs").count() == 100
+        return sorted(
+            (r["doc_id"], r["cluster_id"]) for r in out.collect()
+        )
+
+    assert run("plain", False) == run("compacted", True)
