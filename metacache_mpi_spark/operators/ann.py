@@ -66,8 +66,9 @@ def _ranked_topk(scored: DataFrame, k: int, cols: list[str]) -> DataFrame:
     k-row merge), and the rank window then runs over only k rows.  A
     bare global row_number window would funnel ALL rows through one
     partition."""
-    top = scored.orderBy(F.desc("cos_micro"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    order_col = "cos_micro" if "cos_micro" in scored.columns else cols[-1]
+    top = scored.orderBy(F.desc(order_col), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc(order_col), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(*cols, "rank")
 
 
@@ -317,6 +318,164 @@ def ivf_topk(
         )
     )
     return _ranked_topk(scored, k, ["vec_id", "bucket", "cos_micro"])
+
+
+def _driver_sample(emb: DataFrame, sample: int, cols=("vec_id", "embedding")):
+    """Bounded deterministic training sample — hash-threshold filter,
+    never a global sort (see train_ivf_centroids)."""
+    n = emb.count()
+    sel = emb.select(*cols, F.xxhash64("vec_id").alias("_h"))
+    if n > sample:
+        frac_ppm = min(1_000_000, int(4_000_000 * sample / n))
+        sel = sel.where(F.pmod(F.col("_h"), F.lit(1_000_000)) < frac_ppm)
+    rows = sorted(sel.collect(), key=lambda r: (r["_h"], r["vec_id"]))
+    return rows[:sample]
+
+
+def _l2n(x: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(x, axis=-1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return x / nrm
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 12,
+    sample: int = 4096,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks (m subspaces × k centroids each):
+    the third ANN rung after sign-LSH bucketing and IVF — at 10^12
+    vectors the corpus lives as m uint8 codes per vector (m bytes vs
+    4·dim), and queries scan codes with a per-query lookup table
+    instead of touching floats (Jégou et al., TPAMI'11 — public
+    method).  Vectors are L2-normalized first so asymmetric inner
+    product == cosine.  Trains driver-side on the same bounded
+    hash-threshold sample as IVF; returns (m, k, dim/m) float64.
+    """
+    rows = _driver_sample(emb, sample)
+    x = _l2n(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        kk = min(k, xs.shape[0])
+        cents = xs[rng.choice(xs.shape[0], size=kk, replace=False)]
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(kk):
+                mask = a == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        if kk < k:  # degenerate tiny corpus: pad with copies
+            cents = np.vstack([cents, cents[: k - kk]])
+        books[j] = cents
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """Append ``codes`` (array<int>, one code per subspace) — the
+    corpus-wide encode pass, one Arrow batch × codebook matmul per
+    partition (same shape as ivf_assign)."""
+    spark = emb.sparkSession
+    b = spark.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64)
+    )
+
+    @F.pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        books = b.value
+        m, k, dsub = books.shape
+        x = _l2n(np.array(vecs.tolist(), dtype=np.float64))
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            d = (
+                -2.0 * (xs @ books[j].T)
+                + (books[j] * books[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.withColumn("codes", _enc(F.col("embedding")))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+    rerank: bool = True,
+    oversample: int = 5,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation: ONE per-query
+    lookup table (m × n_codes partial inner products, micro-int
+    literals) and a JVM-side score = Σⱼ table[j][codes[j]] — the scan
+    never touches float vectors, only the m-byte codes.  Returns
+    (vec_id, score_micro, rank); recall vs the brute cosine lane is
+    gated in pytest.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m=m, k=n_codes)
+    enc = pq_encode(emb, codebooks) if encoded is None else encoded
+    q_rows = emb.where(F.col("vec_id") == query_vec_id).select(
+        "embedding"
+    ).collect()
+    if not q_rows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not found in embeddings"
+        )
+    q = _l2n(np.asarray(q_rows[0]["embedding"], dtype=np.float64))
+    mm, kk, dsub = codebooks.shape
+    table = np.empty((mm, kk), dtype=np.int64)
+    for j in range(mm):
+        table[j] = np.round(
+            codebooks[j] @ q[j * dsub : (j + 1) * dsub] * 1_000_000
+        )
+    tab = F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in table[j]])
+            for j in range(mm)
+        ]
+    )
+    score = None
+    for j in range(mm):
+        t = F.element_at(
+            F.element_at(tab, j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        score = t if score is None else score + t
+    scored = (
+        enc.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", score.alias("score_micro"))
+    )
+    if not rerank:
+        return _ranked_topk(scored, k, ["vec_id", "score_micro"])
+    # production shape: ADC SHORTLIST (k × oversample codes-only scan)
+    # → exact re-rank of the shortlist against the float vectors — the
+    # shortlist is tiny, so the expensive exact pass touches
+    # k·oversample rows, not the corpus
+    short = scored.orderBy(
+        F.desc("score_micro"), F.asc("vec_id")
+    ).limit(k * oversample)
+    qdf = emb.sparkSession.createDataFrame([(q.tolist(),)], "qe array<double>")
+    exact = (
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(qdf))
+        .select("vec_id", _cos_micro("embedding", "qe").alias("cos_micro"))
+    )
+    return _ranked_topk(exact, k, ["vec_id", "cos_micro"])
 
 
 def _sign_bucket(col: str):
