@@ -34,24 +34,35 @@ DEFAULT_GAP = -2
 _SEED_LEN = 16
 
 
-def _seed_diagonal(q: np.ndarray, t: np.ndarray) -> int | None:
-    """Diagonal offset (target_pos − query_pos) of the first common
-    ``_SEED_LEN``-gram between query and target, or None when the two
-    sequences share no seed — the anchor for the banded DP."""
+def _seed_diagonals(
+    q: np.ndarray, t: np.ndarray, max_diags: int = 4
+) -> list[int]:
+    """Candidate band anchors: diagonal offsets (target_pos −
+    query_pos) of common ``_SEED_LEN``-grams, most-voted first, capped
+    at ``max_diags``.  A repeated seed (template text present at two
+    target sites) yields several diagonals — the band must cover ALL
+    of them or the DP silently misses the true site.  Empty when the
+    sequences share no seed."""
     from ..functions.hashing import poly_window_hashes
 
     L = min(_SEED_LEN, q.size, t.size)
     if L == 0:
-        return None
+        return []
     hq = poly_window_hashes(q, L)
     ht = poly_window_hashes(t, L)
     if hq.size == 0 or ht.size == 0:
-        return None
-    common, iq, it = np.intersect1d(hq, ht, return_indices=True)
-    for j in range(common.size):
-        if np.array_equal(q[iq[j] : iq[j] + L], t[it[j] : it[j] + L]):
-            return int(it[j]) - int(iq[j])
-    return None
+        return []
+    t_pos: dict[int, list[int]] = {}
+    for pos, h in enumerate(ht.tolist()):
+        t_pos.setdefault(h, []).append(pos)
+    votes: dict[int, int] = {}
+    for iq, h in enumerate(hq.tolist()):
+        for it_ in t_pos.get(h, ())[:8]:
+            if np.array_equal(q[iq : iq + L], t[it_ : it_ + L]):
+                d = it_ - iq
+                votes[d] = votes.get(d, 0) + 1
+    ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [d for d, _ in ranked[:max_diags]]
 
 
 def align_semi_global(
@@ -70,14 +81,18 @@ def align_semi_global(
     (``12M1I3M``).  ``band``: optional half-width (scores outside the
     band are -inf), the reference's banded variant
     (alignment.h:185-221) — callers size it from the indel budget.
-    Because the target's leading flank is FREE, the band is anchored on
-    a SEEDED diagonal (first common 16-gram between query and target),
-    not the main diagonal: a verbatim hit at target offset 20 with
-    band=3 must stay inside the band.  If no seed exists the DP falls
-    back to the full matrix (correct, slower) — banding is an
-    optimization, never a semantics change.  Deterministic tie-break:
-    diagonal > up (I) > left (D), and the leftmost best end column
-    wins.
+    Because the target's leading flank is FREE, bands are anchored on
+    SEEDED diagonals (common 16-grams, most-voted first, up to 4 — a
+    repeated seed needs a band over EVERY candidate site), and the
+    best end considers a trailing query overhang from any computed
+    cell (``h[i,j] + gap·(m−i)``), so a query hanging past the target
+    end scores its I-run instead of falling off the band.  With no
+    seed at all the DP falls back to the full matrix.  Banding remains
+    an approximation beyond those cases (as in any banded aligner): an
+    optimum using > ``band`` indels off every seeded diagonal is
+    missed.  Deterministic tie-breaks: diagonal > up (I) > left (D);
+    unbanded: leftmost best end in the last row; banded: lowest
+    (row, column) best end.
     """
     m, n = len(query), len(target)
     if m == 0:
@@ -92,34 +107,59 @@ def align_semi_global(
         move[i, 0] = 2
     q = np.frombuffer(query.encode("utf-8"), dtype=np.uint8)
     t = np.frombuffer(target.encode("utf-8"), dtype=np.uint8)
-    diag = 0
+    diags: list[int] = []
     if band is not None:
-        d = _seed_diagonal(q, t)
-        if d is None:
+        diags = _seed_diagonals(q, t)
+        if not diags:
             band = None  # no anchor — full DP keeps correctness
-        else:
-            diag = d
     for i in range(1, m + 1):
-        lo, hi = (1, n) if band is None else (
-            max(1, i + diag - band), min(n, i + diag + band)
-        )
-        for j in range(lo, hi + 1):
-            sub = match if q[i - 1] == t[j - 1] else mismatch
-            best, mv = h[i - 1, j - 1] + sub, 1
-            up = h[i - 1, j] + gap
-            if up > best:
-                best, mv = up, 2
-            left = h[i, j - 1] + gap
-            if left > best:
-                best, mv = left, 3
-            h[i, j] = best
-            move[i, j] = mv
-    # free trailing target gap: best over the last row, leftmost wins
-    j_end = int(np.argmax(h[m, :]))
-    score = int(h[m, j_end])
+        if band is None:
+            intervals = [(1, n)]
+        else:
+            spans = sorted(
+                (max(1, i + d - band), min(n, i + d + band))
+                for d in diags
+            )
+            intervals = []
+            for lo, hi in spans:
+                if lo > hi:
+                    continue
+                if intervals and lo <= intervals[-1][1] + 1:
+                    intervals[-1] = (
+                        intervals[-1][0], max(intervals[-1][1], hi)
+                    )
+                else:
+                    intervals.append((lo, hi))
+        for lo, hi in intervals:
+            for j in range(lo, hi + 1):
+                sub = match if q[i - 1] == t[j - 1] else mismatch
+                best, mv = h[i - 1, j - 1] + sub, 1
+                up = h[i - 1, j] + gap
+                if up > best:
+                    best, mv = up, 2
+                left = h[i, j - 1] + gap
+                if left > best:
+                    best, mv = left, 3
+                h[i, j] = best
+                move[i, j] = mv
+    if band is None:
+        # free trailing target gap: best over the last row, leftmost
+        i_end, tail = m, 0
+        j_end = int(np.argmax(h[m, :]))
+        score = int(h[m, j_end])
+    else:
+        # any computed cell may end the aligned region, with the rest
+        # of the query as a trailing I-run (gap each) — the run's cells
+        # need not lie inside the band
+        ext = h[1:, :] + gap * (m - np.arange(1, m + 1))[:, None]
+        flat = int(np.argmax(ext))
+        i_end = flat // (n + 1) + 1
+        j_end = flat % (n + 1)
+        score = int(ext[i_end - 1, j_end])
+        tail = m - i_end
     # backtrace
-    ops: list[str] = []
-    i, j = m, j_end
+    ops: list[str] = ["I"] * tail
+    i, j = i_end, j_end
     while i > 0:
         mv = move[i, j]
         if mv == 1:

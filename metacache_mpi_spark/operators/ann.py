@@ -233,13 +233,7 @@ def train_ivf_centroids(
     draw 4k rows.  The ≤4·sample survivors are driver-sorted by the
     same hash for a deterministic final sample.
     """
-    n = emb.count()
-    sel = emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("_h"))
-    if n > sample:
-        # 4× margin: P(fewer than `sample` survivors) is negligible
-        frac_ppm = min(1_000_000, int(4_000_000 * sample / n))
-        sel = sel.where(F.pmod(F.col("_h"), F.lit(1_000_000)) < frac_ppm)
-    rows = sorted(sel.collect(), key=lambda r: (r["_h"], r["vec_id"]))[:sample]
+    rows = _driver_sample(emb, sample)
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     n_centroids = min(n_centroids, x.shape[0])
     rng = np.random.RandomState(seed)
@@ -356,6 +350,8 @@ def train_pq_codebooks(
     hash-threshold sample as IVF; returns (m, k, dim/m) float64.
     """
     rows = _driver_sample(emb, sample)
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
     x = _l2n(np.array([r["embedding"] for r in rows], dtype=np.float64))
     dim = x.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -373,9 +369,9 @@ def train_pq_codebooks(
                 mask = a == c
                 if mask.any():
                     cents[c] = xs[mask].mean(axis=0)
-        if kk < k:  # degenerate tiny corpus: pad with copies
-            cents = np.vstack([cents, cents[: k - kk]])
-        books[j] = cents
+        # degenerate tiny corpus: cycle the kk real centroids up to k
+        # (np.resize repeats; vstack of a short prefix cannot reach k)
+        books[j] = np.resize(cents, (k, dsub)) if kk < k else cents
     return books
 
 

@@ -60,8 +60,19 @@ class IncrementalDedup:
         self.ck = checkpoints
         self.cfg = cfg
         self.batch_no = self._last_batch() + 1
+        # delta-format guard: state written by the legacy
+        # cumulative-snapshot code would be silently DOUBLE-COUNTED by
+        # the delta union (batch-0 docs in every snapshot) — refuse it
+        # loudly instead of corrupting clusters
+        if self.batch_no > 0 and not self.ck.has(self._FMT_MARKER):
+            raise ValueError(
+                f"checkpoint dir {self.ck.root!r} holds legacy "
+                "cumulative snapshots, not per-batch deltas — "
+                "reprocess into a fresh checkpoint dir"
+            )
 
     _KINDS = ("docs", "bands", "sigs", "edges", "clusters")
+    _FMT_MARKER = "state_fmt_deltas"
 
     def _last_batch(self) -> int:
         """Highest batch number with ALL five snapshots committed.
@@ -132,7 +143,9 @@ class IncrementalDedup:
         deltas stay on disk (snapshots are immutable); they simply stop
         being read."""
         last = self.batch_no - 1
-        if last < 0:
+        if last < 0 or self._compact_base() == last:
+            # nothing to fold (or already compacted at this batch —
+            # re-staging would overwrite the very path _state reads)
             return
         for kind in self._DELTA_KINDS:
             self.ck.stage_write(self._state(kind), f"{kind}_c{last}")
@@ -217,6 +230,14 @@ class IncrementalDedup:
         )
         clusters = cluster_assignments(all_docs, all_edges)
         clusters = self.ck.stage_write(clusters, f"clusters_b{b}")
-        self.ck.commit([f"{k}_b{b}" for k in self._KINDS])
+        names = [f"{k}_b{b}" for k in self._KINDS]
+        if b == 0:
+            # the format marker rides the first atomic commit
+            self.ck.stage_write(
+                self.spark.createDataFrame([(2,)], "fmt long"),
+                self._FMT_MARKER,
+            )
+            names.append(self._FMT_MARKER)
+        self.ck.commit(names)
         self.batch_no += 1
         return clusters

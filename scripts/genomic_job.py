@@ -58,8 +58,11 @@ def cmd_build(spark, args) -> dict:
     )
 
     cfg = _cfg_from_args(args)
+    # GLOBAL target id: record_idx is per-file (bio sources window by
+    # file), so a directory/glob input would collide ids across files —
+    # hash (file, record_idx) instead (content-addressed, like doc_id)
     seqs = read_sequences(spark, args.targets).select(
-        F.col("record_idx").alias("tgt"), "seq", "header"
+        F.xxhash64("file", "record_idx").alias("tgt"), "seq", "header"
     )
     tmap = {
         r["tgt"]: r["tid"]
@@ -113,22 +116,36 @@ def cmd_query(spark, args) -> dict:
     cfg = GenomicConfig(**meta["cfg"])
     out = {"mode": "query"}
     if args.reads2:
+        # paired mates pair up by within-file record position; the
+        # global qid hashes mate-1's identity
         r1 = read_sequences(spark, args.reads).select(
-            F.col("record_idx").alias("qid"), F.col("seq").alias("seq1")
+            F.xxhash64("file", "record_idx").alias("qid"),
+            F.col("record_idx").alias("ridx"),
+            F.col("seq").alias("seq1"),
         )
         r2 = read_sequences(spark, args.reads2).select(
-            F.col("record_idx").alias("qid"), F.col("seq").alias("seq2")
+            F.col("record_idx").alias("ridx"), F.col("seq").alias("seq2")
         )
-        cands = query_index_paired(r1.join(r2, "qid"), index, cfg)
+        cands = query_index_paired(
+            r1.join(r2, "ridx").select("qid", "seq1", "seq2"), index, cfg
+        )
     else:
         reads = read_sequences(spark, args.reads).select(
-            F.col("record_idx").alias("qid"), "seq"
+            F.xxhash64("file", "record_idx").alias("qid"), "seq"
         )
         cands = query_index(reads, index, cfg)
     if args.out:
+        # read the written snapshot back: cands.count() and the
+        # classification below would otherwise re-run the whole
+        # sketch/probe chain per action (dedup_job discipline)
         cands.write.mode("overwrite").parquet(
             os.path.join(args.out, "candidates.parquet")
         )
+        cands = spark.read.parquet(
+            os.path.join(args.out, "candidates.parquet")
+        )
+    else:
+        cands = cands.persist()
     out["candidates"] = cands.count()
     if args.nodes:
         tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
@@ -184,9 +201,13 @@ def cmd_info(spark, args) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    # shared flags must live on a PARENT parser: on the top-level
+    # parser they are only accepted BEFORE the subcommand token
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cores", default=None)
     sub = ap.add_subparsers(dest="mode", required=True)
 
-    b = sub.add_parser("build")
+    b = sub.add_parser("build", parents=[common])
     b.add_argument("--targets", required=True)
     b.add_argument("--db", required=True)
     b.add_argument("--k", type=int, default=16)
@@ -195,22 +216,21 @@ def main() -> None:
     b.add_argument("--winstride", type=int, default=113)
     b.add_argument("--max-cand", type=int, default=2)
 
-    q = sub.add_parser("query")
+    q = sub.add_parser("query", parents=[common])
     q.add_argument("--db", required=True)
     q.add_argument("--reads", required=True)
     q.add_argument("--reads2", default=None)
     q.add_argument("--nodes", default=None)
     q.add_argument("--out", default=None)
 
-    m = sub.add_parser("merge")
+    m = sub.add_parser("merge", parents=[common])
     m.add_argument("--results", nargs="+", required=True)
     m.add_argument("--out", required=True)
     m.add_argument("--db", required=True)
 
-    i = sub.add_parser("info")
+    i = sub.add_parser("info", parents=[common])
     i.add_argument("--db", required=True)
 
-    ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
     from metacache_mpi_spark.session import get_spark

@@ -56,6 +56,11 @@ def test_state_selection_numeric_and_complete(spark, tmp_path):
 
     ck = CheckpointManager(spark, str(tmp_path / "ck"))
     kinds = IncrementalDedup._KINDS
+    ck.stage_write(
+        spark.createDataFrame([(2,)], "fmt long"),
+        IncrementalDedup._FMT_MARKER,
+    )
+    ck.commit([IncrementalDedup._FMT_MARKER])
     # eleven committed delta batches 0..10 (so the numeric-vs-lexi
     # distinction between b9 and b10 is exercised)
     for b in range(11):
@@ -122,3 +127,22 @@ def test_compaction_preserves_state_and_results(spark, tmp_path):
         )
 
     assert run("plain", False) == run("compacted", True)
+
+
+def test_legacy_cumulative_state_is_refused(spark, tmp_path):
+    """A checkpoint dir written by the old cumulative-snapshot code
+    (no delta format marker) must be refused loudly — unioning
+    cumulative snapshots as deltas would double-count silently."""
+    import pytest
+
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    ck = CheckpointManager(spark, str(tmp_path / "legacy"))
+    kinds = IncrementalDedup._KINDS
+    marker = spark.createDataFrame([(0,)], "marker long")
+    for kind in kinds:
+        ck.stage_write(marker, f"{kind}_b0")
+    ck.commit([f"{k}_b0" for k in kinds])
+    with pytest.raises(ValueError, match="legacy cumulative"):
+        IncrementalDedup(spark, ck)
