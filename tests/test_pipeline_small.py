@@ -83,3 +83,32 @@ def test_clusters_invariant_under_partitioning(spark):
         res.unpersist()
     assert outs[0] == outs[1]
     assert len(outs[0]) == 200
+
+
+def test_pipeline_degenerate_inputs(spark):
+    """The verify-skill flow as a pinned test: empty text, null text,
+    sub-shingle-length text, and duplicate urls must flow through the
+    FULL pipeline without throwing, with the P11 filters and the
+    null-signature path doing their jobs."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+
+    body = "some perfectly ordinary page body text for the pipeline " * 4
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/empty", ""),
+            ("http://a.example/null", None),
+            ("http://a.example/short", "tiny"),       # < shingle_k
+            ("http://a.example/dup", body),
+            ("http://a.example/dup", body),           # duplicate url
+            ("http://a.example/ok", body + " unique tail"),
+        ],
+        "url string, text string",
+    )
+    res = dedup_pipeline(pages)
+    clusters = res.clusters.collect()
+    # empty + null dropped, dup url collapsed -> 3 surviving docs
+    assert len(clusters) == 3
+    assert res.signatures.where(F.col("signature").isNull()).count() == 1
+    res.unpersist()
