@@ -354,7 +354,9 @@ def train_pq_codebooks(
         raise ValueError("cannot train PQ codebooks on an empty corpus")
     x = _l2n(np.array([r["embedding"] for r in rows], dtype=np.float64))
     dim = x.shape[1]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    if dim % m != 0:
+        # user-facing input contract — must survive python -O
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     rng = np.random.RandomState(seed)
     books = np.empty((m, k, dsub))

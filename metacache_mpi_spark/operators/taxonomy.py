@@ -166,19 +166,37 @@ class Taxonomy:
 def classify_lca(
     candidates: DataFrame,
     taxonomy: Taxonomy,
-    target_taxid: dict[int, int],
+    target_taxid: dict[int, int] | DataFrame,
     hits_min: int = 1,
     hits_diff_fraction: float = 0.8,
     highest_rank: str = "domain",
 ) -> DataFrame:
     """A4 LCA-voting over per-query candidates (qid, tgt, hits, rank).
 
-    Distributed: grouped Arrow UDF per query; taxonomy + target→taxid
-    map ride as broadcast variables.
+    Distributed: grouped Arrow UDF per query; the taxonomy rides as a
+    broadcast variable.  ``target_taxid`` is either a small dict
+    (broadcast, the in-memory path) or a ``(tgt, taxid)`` DataFrame
+    dim — the scale-safe form at 10^7+ targets: the taxid resolves by
+    a relational join (AQE broadcasts it only when it actually fits),
+    never through driver memory.
     """
     spark = candidates.sparkSession
     b_tax = spark.sparkContext.broadcast(taxonomy)
-    b_map = spark.sparkContext.broadcast(target_taxid)
+    if isinstance(target_taxid, DataFrame):
+        b_map = None
+        # left join: candidates without a resolvable taxon keep a null
+        # _ttax and are skipped below, matching the dict path's
+        # "not in tmap" behavior (candidates.h insert(): !cand.tax →
+        # no-op)
+        candidates = candidates.join(
+            target_taxid.select(
+                "tgt", F.col("taxid").alias("_ttax")
+            ),
+            "tgt",
+            "left",
+        )
+    else:
+        b_map = spark.sparkContext.broadcast(target_taxid)
     highest = RANK_POS[highest_rank]
 
     def _classify(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -195,7 +213,6 @@ def classify_lca(
         - a fold above highestRank (or an empty ranked LCA) →
           unclassified."""
         tax: Taxonomy = b_tax.value
-        tmap = b_map.value
         qid = int(pdf["qid"].iloc[0])
         pdf = pdf.sort_values(["hits", "tgt"], ascending=[False, True])
         unclassified = pd.DataFrame(
@@ -203,11 +220,19 @@ def classify_lca(
         )
         # candidates without a resolvable taxon are never inserted into
         # the candidate list (candidates.h insert(): !cand.tax → no-op)
-        cands = [
-            (int(h), tmap[int(t)])
-            for h, t in zip(pdf["hits"], pdf["tgt"])
-            if int(t) in tmap
-        ]
+        if b_map is None:
+            cands = [
+                (int(h), int(t))
+                for h, t in zip(pdf["hits"], pdf["_ttax"])
+                if pd.notna(t)
+            ]
+        else:
+            tmap = b_map.value
+            cands = [
+                (int(h), tmap[int(t)])
+                for h, t in zip(pdf["hits"], pdf["tgt"])
+                if int(t) in tmap
+            ]
         if not cands:
             return unclassified
         best = cands[0][0]
@@ -422,7 +447,13 @@ def abundance_estimate_df(
         shares.join(totals.select("up", "tot"), "up")
         .select(
             "at",
-            F.expr("(n * base * 1000000) div tot").alias("c_micro"),
+            # product runs through DECIMAL(38,0): in ANSI mode the
+            # BIGINT form throws once n·base exceeds ~9.2e12 (real at
+            # corpus scale); `div` on decimals still yields BIGINT, so
+            # downstream arithmetic and the DuckDB oracle are unchanged
+            F.expr(
+                "(cast(n as decimal(38,0)) * base * 1000000) div tot"
+            ).alias("c_micro"),
         )
         .groupBy("at")
         .agg(F.sum("c_micro").alias("redist_micro"))

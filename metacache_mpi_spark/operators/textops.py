@@ -74,9 +74,11 @@ def ngram_jaccard_pairs(
     path below approximates exactly this at scale.
     """
     # the discriminative-shingle subtree is referenced four times below
-    # (sizes, keep-join, both self-join sides) — materialize it once
-    # instead of recomputing the explode+distinct chain per reference
-    disc = discriminative_shingles(docs, k, cap).localCheckpoint(eager=False)
+    # (sizes, keep-join, both self-join sides) — pin it once with
+    # persist() instead of recomputing the explode+distinct chain per
+    # reference (NOT localCheckpoint: .rdd under AQE executes upstream
+    # shuffles serially on the driver — see plans/pipeline.py)
+    disc = discriminative_shingles(docs, k, cap).persist()
     sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = disc.alias("x")
     y = disc.alias("y")
@@ -208,12 +210,12 @@ def minhash_lsh_pairs(
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """Distinct candidate pairs colliding in ≥1 LSH band."""
-    # both self-join sides reference the bucket table — materialize it
-    # once (the shingle explode + two aggregations are the dominant cost
-    # and would otherwise run twice; same move as ngram_jaccard_pairs)
-    b = lsh_band_buckets(docs, k, lanes, band_rows).localCheckpoint(
-        eager=False
-    )
+    # both self-join sides reference the bucket table — pin it once
+    # with persist() (the shingle explode + two aggregations are the
+    # dominant cost and would otherwise run twice; same move as
+    # ngram_jaccard_pairs — and NOT localCheckpoint, whose .rdd call
+    # under AQE executes upstream shuffles serially on the driver)
+    b = lsh_band_buckets(docs, k, lanes, band_rows).persist()
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, ["band", "bucket"])
@@ -338,11 +340,12 @@ def simhash_banded_pairs(
     if bands is None:
         bands = max_hamming + 1
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
-    # fp feeds the band emission AND both verify sides — materialize the
-    # (one-row-per-doc) fingerprint table once instead of recomputing
-    # the UDF/aggregation chain three times (same move as
-    # ngram_jaccard_pairs' discriminative-shingle subtree)
-    fp = fp.localCheckpoint(eager=False)
+    # fp feeds the band emission AND both verify sides — pin the
+    # (one-row-per-doc) fingerprint table once with persist() instead
+    # of recomputing the UDF/aggregation chain three times (same move
+    # as ngram_jaccard_pairs; NOT localCheckpoint — its .rdd call under
+    # AQE executes upstream shuffles serially on the driver)
+    fp = fp.persist()
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fp.select(

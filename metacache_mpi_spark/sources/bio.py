@@ -170,12 +170,27 @@ def read_paired_interleaved(spark: SparkSession, path: str, fmt: str = "auto") -
 
 def sniff_format(path: str) -> str:
     """S5 dispatch: extension first, first-byte sniff fallback
-    (``>`` → fasta, ``@`` → fastq)."""
+    (``>`` → fasta, ``@`` → fastq).  Directory and glob inputs sniff
+    their first (sorted) member file — a directory of ``.fastq`` files
+    must dispatch as fastq, not fall through to the fasta default."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".fa", ".fasta", ".fna", ".ffn", ".faa", ".frn"):
         return "fasta"
     if ext in (".fq", ".fastq"):
         return "fastq"
+    if os.path.isdir(path):
+        members = sorted(
+            e for e in os.listdir(path)
+            if not e.startswith((".", "_"))
+        )
+        if members:
+            return sniff_format(os.path.join(path, members[0]))
+    elif any(c in path for c in "*?["):
+        import glob as _glob
+
+        matches = sorted(_glob.glob(path))
+        if matches:
+            return sniff_format(matches[0])
     try:
         with open(path, "rb") as f:
             first = f.read(1)

@@ -12,8 +12,9 @@ mode_merge, mode_info) on the Spark engine::
     ... merge --results shard1_out shard2_out --out merged
     ... info --db /data/db
 
-``build`` persists the inverted index as parquet plus a JSON sidecar
-(config + target→taxid map from ``taxid|N`` headers); ``query`` probes
+``build`` persists the inverted index as parquet plus a
+``targets.parquet`` dim (tgt, taxid from ``taxid|N`` headers, header)
+and a JSON config sidecar; ``query`` probes
 it, classifies by ranked LCA when a taxonomy is given, and writes
 candidates/assignments; ``merge`` re-aggregates per-shard candidate
 lists (S12/J8 — proven ≡ global index); ``info`` prints bucket-size
@@ -41,6 +42,24 @@ def _cfg_from_args(args):
     )
 
 
+def _with_file_index(df):
+    """Add ``fidx``: the file's rank in the sorted distinct file list.
+
+    Mate-1/mate-2 file lists correspond positionally after sorting, so
+    joining on (fidx, record_idx) pairs mates deterministically even
+    for directory/glob inputs.  The distinct-file collect is bounded by
+    the file count, never the record count.
+    """
+    from pyspark.sql import functions as F
+
+    files = sorted(
+        r["file"] for r in df.select("file").distinct().collect()
+    )
+    pairs = [x for f, i in zip(files, range(len(files))) for x in (f, i)]
+    fmap = F.create_map(*[F.lit(x) for x in pairs])
+    return df.withColumn("fidx", fmap[F.col("file")])
+
+
 def _load_db(spark, db):
     with open(os.path.join(db, "meta.json")) as fh:
         meta = json.load(fh)
@@ -64,17 +83,21 @@ def cmd_build(spark, args) -> dict:
     seqs = read_sequences(spark, args.targets).select(
         F.xxhash64("file", "record_idx").alias("tgt"), "seq", "header"
     )
-    tmap = {
-        r["tgt"]: r["tid"]
-        for r in seqs.select(
-            "tgt", taxid_from_header().alias("tid")
-        ).collect()
-        if r["tid"] is not None
-    }
+    # target metadata is a parquet DIM, not a driver-side dict: the
+    # reference replicates taxa metadata on every rank
+    # (/root/reference/src/sketch_database.h:545-560), but at 10^7+
+    # targets a driver collect is a memory bound — query/merge join
+    # this dim instead (AQE broadcasts it while it fits)
+    targets_dim = seqs.select(
+        "tgt", taxid_from_header().alias("taxid"), "header"
+    )
     index = build_index(seqs.select("tgt", "seq"), cfg)
     os.makedirs(args.db, exist_ok=True)
     index.write.mode("overwrite").parquet(
         os.path.join(args.db, "index.parquet")
+    )
+    targets_dim.write.mode("overwrite").parquet(
+        os.path.join(args.db, "targets.parquet")
     )
     with open(os.path.join(args.db, "meta.json"), "w") as fh:
         json.dump(
@@ -86,7 +109,6 @@ def cmd_build(spark, args) -> dict:
                     "winstride": cfg.winstride,
                     "max_candidates": cfg.max_candidates,
                 },
-                "target_taxid": {str(k): v for k, v in tmap.items()},
             },
             fh,
         )
@@ -116,18 +138,28 @@ def cmd_query(spark, args) -> dict:
     cfg = GenomicConfig(**meta["cfg"])
     out = {"mode": "query"}
     if args.reads2:
-        # paired mates pair up by within-file record position; the
-        # global qid hashes mate-1's identity
-        r1 = read_sequences(spark, args.reads).select(
+        # paired mates pair up by (file position, within-file record
+        # position): record_idx alone is per-file, so multi-file
+        # --reads/--reads2 inputs would cross-pair mates from different
+        # files (many-to-many on ridx).  Mate files correspond by
+        # sorted order, mirroring the reference's sequence_pair_reader
+        # over matched file lists; the global qid hashes mate-1's
+        # identity.
+        r1 = _with_file_index(read_sequences(spark, args.reads)).select(
             F.xxhash64("file", "record_idx").alias("qid"),
+            "fidx",
             F.col("record_idx").alias("ridx"),
             F.col("seq").alias("seq1"),
         )
-        r2 = read_sequences(spark, args.reads2).select(
-            F.col("record_idx").alias("ridx"), F.col("seq").alias("seq2")
+        r2 = _with_file_index(read_sequences(spark, args.reads2)).select(
+            "fidx",
+            F.col("record_idx").alias("ridx"),
+            F.col("seq").alias("seq2"),
         )
         cands = query_index_paired(
-            r1.join(r2, "ridx").select("qid", "seq1", "seq2"), index, cfg
+            r1.join(r2, ["fidx", "ridx"]).select("qid", "seq1", "seq2"),
+            index,
+            cfg,
         )
     else:
         reads = read_sequences(spark, args.reads).select(
@@ -149,9 +181,18 @@ def cmd_query(spark, args) -> dict:
     out["candidates"] = cands.count()
     if args.nodes:
         tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
-        tmap = {int(k): v for k, v in meta["target_taxid"].items()}
+        # targets dim joins in relationally (see cmd_build); legacy DBs
+        # carry the map in meta.json — keep reading those
+        if "target_taxid" in meta:
+            tdim = {int(k): v for k, v in meta["target_taxid"].items()}
+        else:
+            tdim = (
+                spark.read.parquet(os.path.join(args.db, "targets.parquet"))
+                .where(F.col("taxid").isNotNull())
+                .select("tgt", "taxid")
+            )
         assigned = classify_lca(
-            cands, tax, tmap, hits_min=cfg.hits_min_effective
+            cands, tax, tdim, hits_min=cfg.hits_min_effective
         )
         if args.out:
             assigned.write.mode("overwrite").parquet(
