@@ -20,9 +20,17 @@ Each ``process_batch``:
 3. gates candidates on signature agreement (lane-1 of the verify
    ladder, from the persisted sketch store), then verifies survivors
    (exact Jaccard) against the doc store;
-4. appends edges and recomputes connected components over the full edge
-   list (edges are tiny relative to the corpus; at 10^12-doc scale this
-   step would re-cluster only affected components).
+4. re-clusters ONLY the components touched by the batch's new edges:
+   the previous ``clusters`` snapshot contributes star pseudo-edges
+   (member → old cluster id) for touched components, CC runs over
+   new edges ∪ pseudo-edges, and untouched components carry their
+   assignment forward unchanged — CC input is ∝ the affected
+   subgraph, never the accumulated edge list (the reference's merge
+   mode likewise re-inserts only the new candidates,
+   /root/reference/src/mode_merge.cpp:209-264).
+
+Every ``compact_every`` batches the per-kind deltas fold into one
+compacted base (LSM-style), bounding the union depth ``_state`` pays.
 
 Invariant (tested): processing a corpus in k batches yields the same
 clusters as one batch.
@@ -55,10 +63,17 @@ class IncrementalDedup:
         spark: SparkSession,
         checkpoints: CheckpointManager,
         cfg: DedupConfig = DEFAULT_CONFIG,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.ck = checkpoints
         self.cfg = cfg
+        # fold deltas into a compacted base every N batches (0 = never):
+        # keeps the per-kind union depth bounded on long-running streams
+        self.compact_every = compact_every
+        # CC input edge count of the last batch (new + pseudo edges) —
+        # observability for the ∝-affected-subgraph contract
+        self.last_cc_edges: int | None = None
         self.batch_no = self._last_batch() + 1
         # delta-format guard: state written by the legacy
         # cumulative-snapshot code would be silently DOUBLE-COUNTED by
@@ -151,6 +166,59 @@ class IncrementalDedup:
             self.ck.stage_write(self._state(kind), f"{kind}_c{last}")
         self.ck.commit([f"{k}_c{last}" for k in self._DELTA_KINDS])
 
+    def _recluster_affected(
+        self, new_docs: DataFrame, new_edges: DataFrame
+    ) -> DataFrame:
+        """Updated (doc_id, cluster_id) over all docs, re-running CC
+        only on the subgraph the batch touched.
+
+        The previous clusters snapshot encodes all prior connectivity
+        as stars (member → component min-id).  A full-graph component
+        can only change if it contains a new edge, so:
+
+        - components holding a new-edge endpoint are "affected": their
+          members re-enter CC as (member, old_cluster_id) pseudo-edges
+          (connectivity-preserving, O(members) not O(old edges));
+        - CC runs over new edges ∪ pseudo-edges only;
+        - every other component carries its row forward verbatim;
+        - new docs without edges become singletons.
+
+        cluster_id = min doc_id in the component holds in every case,
+        so k-batch == one-shot stays exact (tested).
+        """
+        b = self.batch_no
+        prev = self.ck.load(f"clusters_b{b - 1}") if b > 0 else None
+        if prev is None:
+            self.last_cc_edges = None
+            return cluster_assignments(new_docs, new_edges)
+        endpoints = (
+            new_edges.select(F.col("a").alias("doc_id"))
+            .unionByName(new_edges.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        affected_cids = (
+            prev.join(endpoints, "doc_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        affected = prev.join(affected_cids, "cluster_id", "left_semi")
+        pseudo = affected.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"))
+        sub_edges = new_edges.select("a", "b").unionByName(pseudo)
+        # both inputs are materialized parquet (edges delta + clusters
+        # snapshot), so this count is a cheap scan — it feeds the
+        # ∝-affected-subgraph metric, not the plan
+        self.last_cc_edges = sub_edges.count()
+        recompute_universe = (
+            affected.select("doc_id")
+            .unionByName(new_docs.select("doc_id"))
+            .distinct()
+        )
+        recomputed = cluster_assignments(recompute_universe, sub_edges)
+        carried = prev.join(affected_cids, "cluster_id", "left_anti")
+        return carried.unionByName(recomputed)
+
     def process_batch(self, pages: DataFrame) -> DataFrame:
         """Fold a batch of pages into the state; returns the updated
         (doc_id, cluster_id) assignment over ALL docs seen so far."""
@@ -158,7 +226,6 @@ class IncrementalDedup:
         old_docs = self._state("docs")
         old_bands = self._state("bands")
         old_sigs = self._state("sigs")
-        old_edges = self._state("edges")
 
         new_docs = prepare_docs(pages)
         if old_docs is not None:
@@ -223,12 +290,7 @@ class IncrementalDedup:
         # with every batch.  Clusters stay a FULL snapshot: they are
         # the (one-row-per-doc) OUTPUT of the batch, not folded state.
         verified = self.ck.stage_write(verified, f"edges_b{b}")
-        all_edges = (
-            verified
-            if old_edges is None
-            else old_edges.unionByName(verified)
-        )
-        clusters = cluster_assignments(all_docs, all_edges)
+        clusters = self._recluster_affected(new_docs, verified)
         clusters = self.ck.stage_write(clusters, f"clusters_b{b}")
         names = [f"{k}_b{b}" for k in self._KINDS]
         if b == 0:
@@ -240,4 +302,8 @@ class IncrementalDedup:
             names.append(self._FMT_MARKER)
         self.ck.commit(names)
         self.batch_no += 1
+        # LSM cadence: fold the delta chain into one base every K
+        # batches so _state's union depth stays ≤ K on long streams
+        if self.compact_every > 0 and self.batch_no % self.compact_every == 0:
+            self.compact()
         return clusters

@@ -146,3 +146,61 @@ def test_legacy_cumulative_state_is_refused(spark, tmp_path):
     ck.commit([f"{k}_b0" for k in kinds])
     with pytest.raises(ValueError, match="legacy cumulative"):
         IncrementalDedup(spark, ck)
+
+
+def test_recluster_touches_only_affected_subgraph(spark, tmp_path):
+    """CC input per batch must be ∝ the affected subgraph (batch edges
+    + members of touched components), never the accumulated edge
+    list."""
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.sources.pages import generate_pages
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    pages, _ = generate_pages(n_pages=150, seed=13)
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    inc = IncrementalDedup(spark, ck)
+    inc.process_batch(spark.createDataFrame(pages[["url", "text"]]))
+    edges_b0 = ck.load("edges_b0").count()
+    assert edges_b0 >= 5  # corpus has real duplicate structure
+
+    # batch 1: 3 unique-ish pages + ONE copy of a batch-0 page
+    import pandas as pd
+
+    b1 = pd.DataFrame(
+        {
+            "url": [f"http://late.example/{i}" for i in range(4)],
+            "text": [
+                pages.iloc[0]["text"] + " fresh tail alpha",
+                pages.iloc[1]["text"] + " fresh tail beta gamma",
+                "tiny new page about nothing in particular at all",
+                pages.iloc[7]["text"],  # exact text copy, new url
+            ],
+        }
+    )
+    inc.process_batch(spark.createDataFrame(b1))
+    edges_b1 = ck.load("edges_b1").count()
+    assert edges_b1 >= 1  # the copy produced at least one new edge
+    # CC saw new edges + star edges of the touched components only —
+    # a full re-cluster would have seen all edges_b0 + edges_b1
+    assert inc.last_cc_edges < edges_b0 + edges_b1
+    assert inc.last_cc_edges <= edges_b1 + 3 * max(edges_b1, 3)
+
+
+def test_auto_compaction_bounds_delta_depth(spark, tmp_path):
+    """With compact_every=2, a 4-batch stream folds its deltas so
+    _state never unions more than compact_every chains."""
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.sources.pages import generate_pages
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    pages, _ = generate_pages(n_pages=120, seed=21)
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    inc = IncrementalDedup(spark, ck, compact_every=2)
+    for lo, hi in ((0, 30), (30, 60), (60, 90), (90, 120)):
+        inc.process_batch(
+            spark.createDataFrame(pages.iloc[lo:hi][["url", "text"]])
+        )
+    # after batches 0..3 with cadence 2: compacted at b1 and b3
+    assert ck.has("docs_c1") and ck.has("docs_c3")
+    assert inc._compact_base() == 3
+    assert inc._state("docs").count() == 120
