@@ -98,13 +98,6 @@ def align_semi_global(
     if m == 0:
         return 0, 0, ""
     neg = -(10**9)
-    # H[i][j] = best score of query[:i] vs target[..j] (j = target cols)
-    h = np.full((m + 1, n + 1), neg, dtype=np.int64)
-    move = np.zeros((m + 1, n + 1), dtype=np.uint8)  # 1=diag 2=up(I) 3=left(D)
-    h[0, :] = 0          # free leading target gap
-    for i in range(1, m + 1):
-        h[i, 0] = i * gap
-        move[i, 0] = 2
     q = np.frombuffer(query.encode("utf-8"), dtype=np.uint8)
     t = np.frombuffer(target.encode("utf-8"), dtype=np.uint8)
     diags: list[int] = []
@@ -112,10 +105,77 @@ def align_semi_global(
         diags = _seed_diagonals(q, t)
         if not diags:
             band = None  # no anchor — full DP keeps correctness
-    for i in range(1, m + 1):
-        if band is None:
-            intervals = [(1, n)]
-        else:
+
+    def _row_ops(prev_diag, prev_up, seed, sub, lo, hi):
+        """One interval of one row, fully vectorized.  diag/up depend
+        only on row i−1 (elementwise); the left-gap recurrence
+        ``h[j] = max(best2[j], h[j−1] + gap)`` unrolls to
+        ``h[j] = gap·j + max_{k≤j}(v[k] − gap·k)`` with
+        v = [seed, best2…] — a prefix max (np.maximum.accumulate)
+        after subtracting the gap ramp.  Tie-breaks match the scalar
+        loop exactly: up beats diag only strictly (mv2), left beats
+        both only strictly (row > best2)."""
+        diag_v = prev_diag + sub
+        up_v = prev_up + gap
+        best2 = np.maximum(diag_v, up_v)
+        mv2 = np.where(up_v > diag_v, 2, 1).astype(np.uint8)
+        k = np.arange(lo - 1, hi + 1, dtype=np.int64)
+        v = np.concatenate(([seed], best2))
+        run = np.maximum.accumulate(v - gap * k)
+        row = gap * k[1:] + run[1:]
+        mv = np.where(row > best2, np.uint8(3), mv2)
+        return row, mv
+
+    if band is None:
+        # dense full DP (fallback / oracle path): O(m·n) memory
+        # H[i][j] = best of query[:i] vs target[..j] (j = target cols)
+        h = np.full((m + 1, n + 1), neg, dtype=np.int64)
+        move = np.zeros((m + 1, n + 1), dtype=np.uint8)  # 1=diag 2=up(I) 3=left(D)
+        h[0, :] = 0          # free leading target gap
+        h[1:, 0] = gap * np.arange(1, m + 1)
+        move[1:, 0] = 2
+        for i in range(1, m + 1):
+            sub = np.where(t == q[i - 1], match, mismatch).astype(np.int64)
+            h[i, 1:], move[i, 1:] = _row_ops(
+                h[i - 1, :-1], h[i - 1, 1:], h[i, 0], sub, 1, n
+            )
+        # free trailing target gap: best over the last row, leftmost
+        i_end, tail = m, 0
+        j_end = int(np.argmax(h[m, :]))
+        score = int(h[m, j_end])
+
+        def get_move(i, j):
+            return int(move[i, j])
+
+    else:
+        # banded: SPARSE per-row interval storage — O(m·band·|diags|)
+        # cells and memory, never a dense (m×n) matrix (a 6 kb pair's
+        # dense DP is ~300 MB of fill + scan; the band touches <3%
+        # of it).  Semantics are identical to the dense loop over a
+        # neg-initialized matrix: out-of-band reads see ``neg``.
+        moves: list[list[tuple[int, np.ndarray]]] = [[] for _ in range(m + 1)]
+        prev_ivs: list[tuple[int, int, np.ndarray]] = []
+        # ending rule: any computed cell may end the aligned region,
+        # with the rest of the query as a trailing I-run (gap each) —
+        # the run's cells need not lie inside the band.  Column 0 of
+        # row 1 (ext = gap·m) seeds the scan, replicating the dense
+        # argmax's first-cell-wins tie-break.
+        best_ext, i_end, j_end = gap * m, 1, 0
+
+        def _span_prev(i, a, b, ivs):
+            """h[i−1, a..b] materialized from the interval store."""
+            if i == 1:
+                return np.zeros(b - a + 1, dtype=np.int64)
+            out = np.full(b - a + 1, neg, dtype=np.int64)
+            if a == 0:
+                out[0] = (i - 1) * gap
+            for plo, phi, vals in ivs:
+                s, e = max(a, plo), min(b, phi)
+                if s <= e:
+                    out[s - a : e - a + 1] = vals[s - plo : e - plo + 1]
+            return out
+
+        for i in range(1, m + 1):
             spans = sorted(
                 (max(1, i + d - band), min(n, i + d + band))
                 for d in diags
@@ -130,38 +190,38 @@ def align_semi_global(
                     )
                 else:
                     intervals.append((lo, hi))
-        for lo, hi in intervals:
-            for j in range(lo, hi + 1):
-                sub = match if q[i - 1] == t[j - 1] else mismatch
-                best, mv = h[i - 1, j - 1] + sub, 1
-                up = h[i - 1, j] + gap
-                if up > best:
-                    best, mv = up, 2
-                left = h[i, j - 1] + gap
-                if left > best:
-                    best, mv = left, 3
-                h[i, j] = best
-                move[i, j] = mv
-    if band is None:
-        # free trailing target gap: best over the last row, leftmost
-        i_end, tail = m, 0
-        j_end = int(np.argmax(h[m, :]))
-        score = int(h[m, j_end])
-    else:
-        # any computed cell may end the aligned region, with the rest
-        # of the query as a trailing I-run (gap each) — the run's cells
-        # need not lie inside the band
-        ext = h[1:, :] + gap * (m - np.arange(1, m + 1))[:, None]
-        flat = int(np.argmax(ext))
-        i_end = flat // (n + 1) + 1
-        j_end = flat % (n + 1)
-        score = int(ext[i_end - 1, j_end])
-        tail = m - i_end
+            cur_ivs: list[tuple[int, int, np.ndarray]] = []
+            for lo, hi in intervals:
+                pspan = _span_prev(i, lo - 1, hi, prev_ivs)
+                sub = np.where(
+                    t[lo - 1 : hi] == q[i - 1], match, mismatch
+                ).astype(np.int64)
+                seed = i * gap if lo == 1 else neg
+                row, mv = _row_ops(
+                    pspan[:-1], pspan[1:], seed, sub, lo, hi
+                )
+                cur_ivs.append((lo, hi, row))
+                moves[i].append((lo, mv))
+                ext = row + gap * (m - i)
+                jl = int(np.argmax(ext))
+                if int(ext[jl]) > best_ext:
+                    best_ext, i_end, j_end = int(ext[jl]), i, lo + jl
+            prev_ivs = cur_ivs
+        score, tail = best_ext, m - i_end
+
+        def get_move(i, j):
+            if j == 0:
+                return 2
+            for lo, mv in moves[i]:
+                if lo <= j < lo + mv.size:
+                    return int(mv[j - lo])
+            return 0  # out-of-band (never on a winning path)
+
     # backtrace
     ops: list[str] = ["I"] * tail
     i, j = i_end, j_end
     while i > 0:
-        mv = move[i, j]
+        mv = get_move(i, j)
         if mv == 1:
             ops.append("M")
             i, j = i - 1, j - 1
