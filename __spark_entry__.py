@@ -85,6 +85,44 @@ buckets AS (SELECT doc_id, CAST(floor(lane / 2) AS BIGINT) AS band,
 """
 )
 
+# md5-mode pipeline funnel (sketch_mode="md5", k=8, s=8, 4 bands × 2
+# rows, bucket cap 254): capped band-bucket candidates, the
+# ≥min_sig_lanes (4) signature-estimate gate, and the τ=0.6 exact
+# shingle-Jaccard verify — the DuckDB twin of dedup_pipeline's funnel
+_MD5_PIPE_CTE = (
+    _BUCKETS_CTE
+    + """,
+bsizes AS (SELECT band, bucket, count(*) AS n FROM buckets
+           GROUP BY band, bucket),
+bkeep AS (SELECT band, bucket FROM bsizes WHERE n BETWEEN 2 AND 254),
+cands AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS band_hits
+          FROM buckets x JOIN bkeep USING (band, bucket)
+          JOIN buckets y USING (band, bucket)
+          WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+"""
+)
+
+_MD5_PIPE_VERIFIED_CTE = (
+    _MD5_PIPE_CTE
+    + """,
+gated AS (SELECT c.a, c.b FROM cands c
+          JOIN mh ma ON ma.doc_id = c.a
+          JOIN mh mb ON mb.doc_id = c.b AND mb.lane = ma.lane
+          WHERE ma.minh = mb.minh
+          GROUP BY c.a, c.b HAVING count(*) >= 4),
+gsh AS (SELECT * FROM sh0
+        WHERE doc_id IN (SELECT a FROM gated UNION SELECT b FROM gated)),
+ginter AS (SELECT g.a, g.b, count(*) AS c
+           FROM gated g JOIN gsh x ON x.doc_id = g.a
+           JOIN gsh y ON y.doc_id = g.b AND y.sh = x.sh
+           GROUP BY g.a, g.b),
+gsz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+mpairs AS (SELECT i.a, i.b FROM ginter i
+           JOIN gsz sa ON sa.doc_id = i.a JOIN gsz sb ON sb.doc_id = i.b
+           WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.6)
+"""
+)
+
 _HEX_HIGH = "('8','9','a','b','c','d','e','f')"
 
 # windowed bottom-4 md5 sketch of the documents table as a genomic
@@ -451,12 +489,30 @@ def _q_merge_topk(spark, sf_dir):
     return merge_topk_sources(_t(spark, sf_dir, "events"))
 
 
-def _q_pipeline_lsh_pairs(spark, sf_dir):
-    """Production pandas-UDF MinHash/LSH over documents (rows-only)."""
+def _q_pipeline_lsh_pairs_kperm(spark, sf_dir):
+    """Production pandas-UDF MinHash/LSH over documents (pytest-gated;
+    bench measures THIS lane — the contract entry below runs the same
+    pipeline code under the md5 sketch mode so DuckDB can gate it)."""
     from metacache_mpi_spark.config import DedupConfig
     from metacache_mpi_spark.operators.lsh import lsh_candidate_pairs
 
     cfg = DedupConfig(shingle_k=8)
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), cfg)
+
+
+def _q_pipeline_lsh_pairs(spark, sf_dir):
+    """The pipeline's candidate generator (attach_signature →
+    emit_bands → prune/cap → in-array pair expansion) under
+    ``sketch_mode="md5"`` — identical operators and thresholds to the
+    production lane, SQL-expressible signature, full DuckDB oracle
+    (the sketch_rows_md5 discipline applied to the dedup pipeline)."""
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.operators.lsh import lsh_candidate_pairs
+
+    cfg = DedupConfig(
+        shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
+        sketch_mode="md5",
+    )
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), cfg)
 
 
@@ -770,8 +826,9 @@ def _q_genomic_candidates_merged_md5(spark, sf_dir):
     return merge_query_results(shard_results, cfg)
 
 
-def _q_pipeline_clusters(spark, sf_dir):
-    """Full production pipeline on documents (rows-only check)."""
+def _q_pipeline_clusters_kperm(spark, sf_dir):
+    """Full production pipeline on documents (pytest-gated; flagship
+    entry() and bench run THIS lane)."""
     from pyspark.sql import functions as F
 
     from metacache_mpi_spark.config import DedupConfig
@@ -784,6 +841,28 @@ def _q_pipeline_clusters(spark, sf_dir):
     return dedup_pipeline(docs, cfg).clusters
 
 
+def _q_pipeline_clusters(spark, sf_dir):
+    """Full dedup_pipeline (prepare → sketch → bands → cap → gate →
+    Jaccard verify → connected components) under ``sketch_mode="md5"``:
+    the same pipeline code path as production with the SQL-expressible
+    sketch, so the ENTIRE funnel down to cluster assignments is
+    oracle-gated in DuckDB.  The winnow/substring lane is inert in this
+    mode (declared in DedupConfig.sketch_mode)."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    )
+    cfg = DedupConfig(
+        shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
+        sketch_mode="md5",
+    )
+    return dedup_pipeline(docs, cfg).clusters
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -791,7 +870,7 @@ def _q_pipeline_clusters(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: production dedup pipeline over sf0.001 documents."""
-    return _q_pipeline_clusters(spark, "/root/testdata/sf0.001")
+    return _q_pipeline_clusters_kperm(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -900,6 +979,24 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets x JOIN buckets y
               ON x.band = y.band AND x.bucket = y.bucket
             WHERE x.doc_id < y.doc_id
+        """,
+        "pipeline_lsh_pairs": f"""
+            WITH {_MD5_PIPE_CTE}
+            SELECT a, b, CAST(band_hits AS BIGINT) AS band_hits
+            FROM cands WHERE band_hits >= 1
+        """,
+        "pipeline_clusters": f"""
+            WITH RECURSIVE {_MD5_PIPE_VERIFIED_CTE},
+            sym AS (SELECT a AS u, b AS v FROM mpairs
+                    UNION SELECT b, a FROM mpairs),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+                UNION
+                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+            )
+            SELECT node AS doc_id, min(m) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "simhash_fingerprints": f"""
             WITH {_simhash_votes_sql()}

@@ -69,12 +69,25 @@ class DedupConfig:
     # --- hashing seeds for the k-permutation MinHash lanes
     minhash_seed: int = 0x9E3779B9
 
+    # --- sketch lane selection
+    # "kperm": production lane — Arrow-batched k-permutation MinHash
+    #   (integer lanes, xxhash64 band buckets).
+    # "md5": oracle lane — per-lane min of md5(lane ':' shingle) as hex
+    #   STRINGS, computed entirely in Catalyst expressions with
+    #   concat-string band buckets.  Byte-identical to ANSI SQL a DuckDB
+    #   oracle can run (the sketch_rows_md5 discipline from the genomic
+    #   lifecycle applied to the dedup pipeline); the substring/winnow
+    #   lane is inert in this mode (fps = null).
+    sketch_mode: str = "kperm"
+
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.sketch_size:
             raise ValueError(
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"must equal sketch_size ({self.sketch_size})"
             )
+        if self.sketch_mode not in ("kperm", "md5"):
+            raise ValueError(f"unknown sketch_mode {self.sketch_mode!r}")
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -45,13 +45,34 @@ PAIR_EXPANSION = (
 )
 
 
+def md5_signature_expr(k: int, s: int, text_col: str = "text") -> "F.Column":
+    """SQL-expressible MinHash twin: lane i = min over k-shingles of
+    ``md5(i ':' shingle)`` (hex string, lexicographic min) — the textops
+    ``minhash_signatures`` formula packed into one array<string> column
+    with no groupBy, so it drops into the pipeline where the pandas-UDF
+    signature normally rides.  Null when the text holds no shingle
+    (< k chars), matching the production lane's null rule."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(0, {s - 1}), lane -> "
+        f"array_min(transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> md5(concat(lane, ':', substring({text_col}, i, {k})))))) "
+        f"ELSE NULL END"
+    )
+
+
 def attach_signature(
     df: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     out_col: str = "signature",
 ) -> DataFrame:
-    """Add the MinHash signature column (Arrow-batched pandas UDF)."""
+    """Add the MinHash signature column (Arrow-batched pandas UDF; the
+    ``md5`` sketch mode swaps in the Catalyst-expression twin)."""
+    if cfg.sketch_mode == "md5":
+        return df.withColumn(
+            out_col, md5_signature_expr(cfg.shingle_k, cfg.sketch_size, text_col)
+        )
     udf = make_minhash_udf(cfg.shingle_k, cfg.sketch_size, cfg.minhash_seed)
     return df.withColumn(out_col, udf(F.col(text_col)))
 
@@ -72,14 +93,17 @@ def emit_bands(
         f"transform(sequence(0, {cfg.bands - 1}), "
         f"b -> slice({sig_col}, b * {r} + 1, {r}))"
     )
+    # md5 mode keys buckets by the concatenated lane strings (the SQL
+    # oracle's string_agg) instead of xxhash64, which DuckDB lacks
+    bucket = (
+        F.concat_ws("|", "band_sig").alias("bucket")
+        if cfg.sketch_mode == "md5"
+        else F.xxhash64("band", "band_sig").alias("bucket")
+    )
     return (
         sigs.where(F.col(sig_col).isNotNull())
         .select(F.col(id_col), F.posexplode(band_arrays).alias("band", "band_sig"))
-        .select(
-            id_col,
-            "band",
-            F.xxhash64("band", "band_sig").alias("bucket"),
-        )
+        .select(id_col, "band", bucket)
     )
 
 

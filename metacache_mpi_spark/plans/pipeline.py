@@ -133,6 +133,22 @@ def dedup_pipeline(
         # the final cluster-id universe from one cache.  (Round 2 kept
         # docs and signatures as two cached tables and paid four
         # corpus-sized verify joins; the fused table pays two.)
+        if cfg.sketch_mode == "md5":
+            # oracle lane: the whole sketch is Catalyst expressions
+            # (array<string> signature); simhash/winnow stay null —
+            # the substring lane is inert (fp_hits never reaches
+            # min_fp_hits) and the SimHash annotation rides as null
+            from ..operators.lsh import md5_signature_expr
+
+            return docs.select(
+                F.col(id_col).alias("doc_id"),
+                md5_signature_expr(
+                    cfg.shingle_k, cfg.sketch_size
+                ).alias("signature"),
+                F.lit(None).cast("long").alias("simhash"),
+                F.lit(None).cast("array<long>").alias("fps"),
+                "text",
+            )
         mapper = make_sketch_mapper(
             cfg.shingle_k, cfg.sketch_size, cfg.minhash_seed, cfg.winnow_w,
             carry_text=True,
@@ -160,6 +176,10 @@ def dedup_pipeline(
             F.lit(-1).alias("band"),
             F.explode("fps").alias("bucket"),
         )
+        if cfg.sketch_mode == "md5":
+            # md5-mode LSH buckets are strings; keep the (empty) fp
+            # lane union type-consistent
+            fps = fps.withColumn("bucket", F.col("bucket").cast("string"))
         return two_lane_candidate_pairs(
             bands.unionByName(fps), cfg, "doc_id"
         )

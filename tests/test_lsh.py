@@ -168,3 +168,37 @@ def test_prefilter_candidates_gate(spark):
     # (1,2): 4 shared lanes -> kept; (1,3) band-only: 2 lanes -> dropped;
     # (1,3) fp-lane (fp_hits=5 >= 3) -> bypasses the gate
     assert got == {(1, 2, 0), (1, 3, 5)}
+
+
+def test_md5_sketch_mode_matches_textops_lane(spark, tiny_corpus):
+    """sketch_mode="md5" runs the PIPELINE operators (attach_signature
+    → emit_bands → cap → expand) over the exact formula the textops
+    md5 lane implements (minhash_lsh_pairs) — the two must emit the
+    same candidate pair set when the bucket cap doesn't bind."""
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.operators.lsh import lsh_candidate_pairs
+    from metacache_mpi_spark.operators.textops import minhash_lsh_pairs
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    # deterministic subset — limit() picks an arbitrary 200 rows PER
+    # EXECUTION, so the two (uncached) sides would see different docs
+    docs = (
+        load_pages(spark, tiny_corpus)
+        .where("pmod(doc_id, 2) = 0")
+        .select("doc_id", "text")
+    )
+    cfg = DedupConfig(
+        shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
+        sketch_mode="md5", max_docs_per_bucket=10_000,
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(docs, cfg).collect()
+    }
+    want = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            docs, k=8, lanes=8, band_rows=2
+        ).collect()
+    }
+    assert got == want and len(got) > 0
