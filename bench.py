@@ -96,7 +96,9 @@ def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
     return total, per
 
 
-def run_dedup_at(corpus_dir: str, cores: int) -> float:
+def run_dedup_at(
+    corpus_dir: str, cores: int, bucketed_warehouse: str | None = None
+) -> float:
     """One full dedup pipeline over the corpus; returns wall seconds.
     JVM startup AND the Python-UDF worker pool are warmed outside the
     timed window (cluster/worker start time is not throughput)."""
@@ -116,7 +118,10 @@ def run_dedup_at(corpus_dir: str, cores: int) -> float:
         F.sum(_warm(F.col("id")))
     ).collect()
     t0 = time.time()
-    res = dedup_pipeline(load_pages(spark, corpus_dir))
+    res = dedup_pipeline(
+        load_pages(spark, corpus_dir),
+        bucketed_warehouse=bucketed_warehouse,
+    )
     res.clusters.count()
     dt = time.time() - t0
     spark.stop()
@@ -318,6 +323,45 @@ def main() -> None:
             out["dedup_marginal_scaling"] = {
                 "docs_delta": d_docs,
                 "invalid_window": True,
+            }
+
+        # capacity + scaling datapoint at 500k pages (fixed per-job
+        # latency is ~15% of the 200k run at 16 cores; at 500k the raw
+        # pair sits closer to the marginal efficiency) and the bucketed-
+        # warehouse variant of the same run — the deployment shape whose
+        # verify joins read the corpus with zero exchanges.  ONE pair
+        # (no reps): ~6 min of bench budget.
+        if os.environ.get("SPARK_GRAFT_SCALING_500K", "1") != "0":
+            import shutil
+
+            big_pages = 500_000
+            big_dir = f"/tmp/bench_corpus_{big_pages}"
+            if not os.path.exists(f"{big_dir}/pages.parquet"):
+                write_corpus(big_dir, n_pages=big_pages, seed=42)
+            tb_low = run_dedup_at(big_dir, CORES_LOW)
+            tb_high = run_dedup_at(big_dir, CORES_HIGH)
+            eff500 = (tb_low / tb_high) / (CORES_HIGH / CORES_LOW)
+            out["dedup_scaling_500k"] = {
+                "docs": big_pages,
+                "cores_low": CORES_LOW,
+                "cores_high": CORES_HIGH,
+                "sec_low": round(tb_low, 2),
+                "sec_high": round(tb_high, 2),
+                "docs_per_sec_low": round(big_pages / tb_low, 1),
+                "docs_per_sec_high": round(big_pages / tb_high, 1),
+                "efficiency": round(eff500, 3),
+            }
+            wh = "/tmp/bench_bucketed_wh"
+            shutil.rmtree(wh, ignore_errors=True)
+            tb_bucketed = run_dedup_at(
+                big_dir, CORES_HIGH, bucketed_warehouse=wh
+            )
+            out["dedup_500k_bucketed"] = {
+                "docs": big_pages,
+                "cores": CORES_HIGH,
+                "sec": round(tb_bucketed, 2),
+                "docs_per_sec": round(big_pages / tb_bucketed, 1),
+                "plain_sec_same_cores": round(tb_high, 2),
             }
 
         s_low, n_docs = min(

@@ -100,8 +100,19 @@ def dedup_pipeline(
     checkpoints: CheckpointManager | None = None,
     id_col: str = "doc_id",
     canonicalize_urls: bool = False,
+    bucketed_warehouse: str | None = None,
 ) -> DedupResult:
-    """Run the full pipeline. ``pages`` needs (url, text[, doc_id])."""
+    """Run the full pipeline. ``pages`` needs (url, text[, doc_id]).
+
+    ``bucketed_warehouse``: directory for a ``bucketBy(doc_id)``
+    catalog table holding the sketch+text corpus state.  Every verify
+    join back to the corpus (both attach sides, the CC universe) then
+    reads a bucketed scan — Catalyst elides the corpus-side Exchange
+    entirely (plans/bucketing.py; the reference's build-time partition-
+    by-feature, mode_build.cpp:847-1074).  This is the deployment shape
+    for repeated/incremental verify passes at 10^12 docs: the corpus
+    shuffles ZERO times after the one bucketed write.
+    """
     metrics: dict = {}
 
     def stage(name: str, compute):
@@ -157,8 +168,35 @@ def dedup_pipeline(
             mapper, schema=SKETCH_TEXT_SCHEMA
         )
 
-    signatures = stage("signatures", _signatures)
-    if checkpoints is None:
+    if bucketed_warehouse is not None:
+        import hashlib
+        import os as _os
+
+        from .bucketing import read_bucketed, write_bucketed
+
+        spark = pages.sparkSession
+        # deterministic per-warehouse table name; the bucketed write IS
+        # the materialization (no persist/count needed — consumers read
+        # the catalog table, never the UDF lineage)
+        table = "mcs_sigs_" + hashlib.md5(
+            bucketed_warehouse.encode()
+        ).hexdigest()[:10]
+        sig_df = (
+            checkpoints.get_or_compute("signatures", _signatures)
+            if checkpoints is not None
+            else _signatures()
+        )
+        write_bucketed(
+            sig_df,
+            table,
+            bucket_col="doc_id",
+            num_buckets=spark.sparkContext.defaultParallelism,
+            path=_os.path.join(bucketed_warehouse, table),
+        )
+        signatures = read_bucketed(spark, table)
+    else:
+        signatures = stage("signatures", _signatures)
+    if checkpoints is None and bucketed_warehouse is None:
         # The cache must be POPULATED before the main job: its consumer
         # stages have no dependency edges between them, so the scheduler
         # launches them concurrently against a cold cache and each

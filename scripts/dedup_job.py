@@ -34,6 +34,13 @@ def main() -> None:
         help="page identity = canonical URL; repeated crawls collapse "
         "to the newest warc_ts before sketching (operators/webops.py)",
     )
+    ap.add_argument(
+        "--bucketed-warehouse",
+        default=None,
+        help="write the sketch+text corpus state as a bucketBy(doc_id) "
+        "catalog table under this dir; verify joins then read bucketed "
+        "scans with no corpus-side shuffle (plans/bucketing.py)",
+    )
     args = ap.parse_args()
 
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
@@ -51,6 +58,7 @@ def main() -> None:
         load_pages(spark, args.input),
         checkpoints=ck,
         canonicalize_urls=args.canonicalize_urls,
+        bucketed_warehouse=args.bucketed_warehouse,
     )
     # one row per surviving doc, served from the pipeline's own
     # snapshot/cache — res.docs would re-scan + re-dedup the corpus

@@ -54,3 +54,52 @@ def test_bucketed_roundtrip_values(spark, tmp_path):
     back = read_bucketed(spark, "corpus_rt")
     assert back.count() == 100
     assert {r["doc_id"] for r in back.collect()} == set(range(100))
+
+
+def test_pipeline_bucketed_warehouse_matches_and_elides_exchange(
+    spark, tiny_corpus, tmp_path
+):
+    """Job-level: dedup_pipeline(bucketed_warehouse=...) produces the
+    same pairs/clusters as the plain run, and its verify join feeds
+    from bucketed corpus scans with no corpus-side Exchange."""
+    from metacache_mpi_spark.operators.verify import gate_and_attach
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    pages = load_pages(spark, tiny_corpus).where("pmod(doc_id, 3) = 0")
+    plain = dedup_pipeline(pages)
+    bucketed = dedup_pipeline(
+        pages, bucketed_warehouse=str(tmp_path / "wh")
+    )
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(bucketed.pairs, ["a", "b", "dup_kind"]) == rows(
+        plain.pairs, ["a", "b", "dup_kind"]
+    )
+    assert rows(bucketed.clusters, ["doc_id", "cluster_id"]) == rows(
+        plain.clusters, ["doc_id", "cluster_id"]
+    )
+
+    # the full verify plan reads the corpus through bucketed scans
+    plan = bucketed.pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+
+    # and the attach join itself (both corpus sides) is exchange-free
+    # on the corpus side under the shuffle-join regime
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(5).selectExpr(
+            "id AS a", "id + 1 AS b", "2L AS band_hits", "0L AS fp_hits"
+        )
+        j = gate_and_attach(probe, bucketed.signatures)
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert jplan.count("Bucketed: true") == 2
+    # exchanges only on the (pair-sized) probe side: two joins → at
+    # most two probe-side exchanges, zero on the two corpus scans (an
+    # un-bucketed corpus would add one exchange per scan side → 4)
+    assert jplan.count("+- Exchange") <= 2
