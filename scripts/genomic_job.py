@@ -156,6 +156,15 @@ def cmd_query(spark, args) -> dict:
             F.col("record_idx").alias("ridx"),
             F.col("seq").alias("seq2"),
         )
+        n1 = r1.select("fidx").distinct().count()
+        n2 = r2.select("fidx").distinct().count()
+        if n1 != n2:
+            # positional file correspondence is the pairing contract —
+            # unequal lists would silently drop or mispair mates
+            raise ValueError(
+                f"--reads has {n1} file(s) but --reads2 has {n2}; "
+                "paired mode needs matching file lists"
+            )
         cands = query_index_paired(
             r1.join(r2, ["fidx", "ridx"]).select("qid", "seq1", "seq2"),
             index,

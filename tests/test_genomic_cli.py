@@ -176,3 +176,23 @@ def test_single_end_query_matches_api(spark, cli_fixture, built_db):
     out = genomic_job.cmd_query(spark, args)
     assert out["candidates"] > 0
     assert out["classified"] > 0
+
+
+def test_paired_query_rejects_mismatched_file_lists(
+    spark, cli_fixture, built_db, tmp_path
+):
+    import shutil
+
+    lonely = tmp_path / "lonely"
+    lonely.mkdir()
+    src = sorted(os.listdir(cli_fixture["reads2"]))[0]
+    shutil.copy(os.path.join(cli_fixture["reads2"], src), lonely / src)
+    args = argparse.Namespace(
+        db=built_db,
+        reads=cli_fixture["reads1"],  # two files
+        reads2=str(lonely),           # one file
+        nodes=None,
+        out=None,
+    )
+    with pytest.raises(ValueError, match="matching file lists"):
+        genomic_job.cmd_query(spark, args)
