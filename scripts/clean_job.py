@@ -45,6 +45,12 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--cores", default=None)
+    ap.add_argument(
+        "--bucketed-warehouse",
+        default=None,
+        help="route the dedup stage's verify joins through a "
+        "bucketBy(doc_id) corpus table (plans/bucketing.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -109,7 +115,9 @@ def main() -> None:
     counts["after_quality"] = gated.count()
 
     # 4. near-duplicate dedup; survivors = cluster representative
-    res = dedup_pipeline(gated)
+    res = dedup_pipeline(
+        gated, bucketed_warehouse=args.bucketed_warehouse
+    )
     reps = res.clusters.groupBy("cluster_id").agg(
         F.min("doc_id").alias("doc_id")
     )
