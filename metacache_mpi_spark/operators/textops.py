@@ -74,11 +74,18 @@ def ngram_jaccard_pairs(
     path below approximates exactly this at scale.
     """
     # the discriminative-shingle subtree is referenced four times below
-    # (sizes, keep-join, both self-join sides) — pin it once with
-    # persist() instead of recomputing the explode+distinct chain per
-    # reference (NOT localCheckpoint: .rdd under AQE executes upstream
-    # shuffles serially on the driver — see plans/pipeline.py)
-    disc = discriminative_shingles(docs, k, cap).persist()
+    # (sizes, keep-join, both self-join sides) — pin it once instead of
+    # recomputing the explode+distinct chain per reference.  Pin choice
+    # is MEASURED, not doctrinal: this table is corpus×shingles-sized
+    # (millions of short rows), and caching it via persist() costs 2×
+    # the whole query (6.6 s vs 3.6 s at sf0.1, steady-state A/B) —
+    # the storage write+read of the wide explode dwarfs the driver-side
+    # stage scheduling the localCheckpoint trap note warns about, which
+    # only bites UDF-heavy lineages (plans/pipeline.py).  Small pinned
+    # tables (band buckets, per-doc fingerprints) use persist().
+    disc = discriminative_shingles(docs, k, cap).localCheckpoint(
+        eager=False
+    )
     sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = disc.alias("x")
     y = disc.alias("y")
