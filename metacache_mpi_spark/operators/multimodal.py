@@ -106,6 +106,10 @@ def _decode_ppm(b: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("16-bit PPM needs a codec")
+    if w <= 0 or h <= 0:
+        # same loud failure as the BMP path — a 0-dim raster would
+        # flow NaN features downstream instead of erroring here
+        raise ValueError("degenerate PPM dimensions")
     raster = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
     return raster.reshape(h, w, 3).copy()
 

@@ -298,8 +298,12 @@ def verified_dup_pairs(
                     "b": sel["b"].to_numpy(dtype="int64"),
                     "jaccard": np.asarray(jacs, dtype="float64"),
                     "dup_kind": pd.Series(kinds, dtype="object"),
-                    "sim_a": sel["sim_a"].to_numpy(dtype="int64"),
-                    "sim_b": sel["sim_b"].to_numpy(dtype="int64"),
+                    # nullable Int64: the md5 sketch mode carries null
+                    # simhash columns, and a bare int64 cast turns the
+                    # NaNs Arrow delivers into garbage (-2^63) — or
+                    # raises outright on stricter numpy versions
+                    "sim_a": pd.array(sel["sim_a"], dtype="Int64"),
+                    "sim_b": pd.array(sel["sim_b"], dtype="Int64"),
                 }
             )
 

@@ -43,12 +43,14 @@ def _cfg_from_args(args):
 
 
 def _with_file_index(df):
-    """Add ``fidx``: the file's rank in the sorted distinct file list.
+    """Add ``fidx``: the file's rank in the sorted distinct file list;
+    returns (df, n_files).
 
     Mate-1/mate-2 file lists correspond positionally after sorting, so
     joining on (fidx, record_idx) pairs mates deterministically even
     for directory/glob inputs.  The distinct-file collect is bounded by
-    the file count, never the record count.
+    the file count, never the record count — and the count rides back
+    to the caller so the pairing guard needs no extra corpus scan.
     """
     from pyspark.sql import functions as F
 
@@ -57,7 +59,7 @@ def _with_file_index(df):
     )
     pairs = [x for f, i in zip(files, range(len(files))) for x in (f, i)]
     fmap = F.create_map(*[F.lit(x) for x in pairs])
-    return df.withColumn("fidx", fmap[F.col("file")])
+    return df.withColumn("fidx", fmap[F.col("file")]), len(files)
 
 
 def _load_db(spark, db):
@@ -145,19 +147,8 @@ def cmd_query(spark, args) -> dict:
         # sorted order, mirroring the reference's sequence_pair_reader
         # over matched file lists; the global qid hashes mate-1's
         # identity.
-        r1 = _with_file_index(read_sequences(spark, args.reads)).select(
-            F.xxhash64("file", "record_idx").alias("qid"),
-            "fidx",
-            F.col("record_idx").alias("ridx"),
-            F.col("seq").alias("seq1"),
-        )
-        r2 = _with_file_index(read_sequences(spark, args.reads2)).select(
-            "fidx",
-            F.col("record_idx").alias("ridx"),
-            F.col("seq").alias("seq2"),
-        )
-        n1 = r1.select("fidx").distinct().count()
-        n2 = r2.select("fidx").distinct().count()
+        r1, n1 = _with_file_index(read_sequences(spark, args.reads))
+        r2, n2 = _with_file_index(read_sequences(spark, args.reads2))
         if n1 != n2:
             # positional file correspondence is the pairing contract —
             # unequal lists would silently drop or mispair mates
@@ -165,6 +156,17 @@ def cmd_query(spark, args) -> dict:
                 f"--reads has {n1} file(s) but --reads2 has {n2}; "
                 "paired mode needs matching file lists"
             )
+        r1 = r1.select(
+            F.xxhash64("file", "record_idx").alias("qid"),
+            "fidx",
+            F.col("record_idx").alias("ridx"),
+            F.col("seq").alias("seq1"),
+        )
+        r2 = r2.select(
+            "fidx",
+            F.col("record_idx").alias("ridx"),
+            F.col("seq").alias("seq2"),
+        )
         cands = query_index_paired(
             r1.join(r2, ["fidx", "ridx"]).select("qid", "seq1", "seq2"),
             index,

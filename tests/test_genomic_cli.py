@@ -123,16 +123,19 @@ def test_paired_multifile_mates_never_cross_files(
     row per true mate pair — byte-identical to the ground truth."""
     from metacache_mpi_spark.sources.bio import read_sequences
 
-    r1 = genomic_job._with_file_index(
+    r1, n1 = genomic_job._with_file_index(
         read_sequences(spark, cli_fixture["reads1"])
-    ).select(
+    )
+    r2, n2 = genomic_job._with_file_index(
+        read_sequences(spark, cli_fixture["reads2"])
+    )
+    assert n1 == n2 == 2
+    r1 = r1.select(
         "fidx",
         F.col("record_idx").alias("ridx"),
         F.col("seq").alias("seq1"),
     )
-    r2 = genomic_job._with_file_index(
-        read_sequences(spark, cli_fixture["reads2"])
-    ).select(
+    r2 = r2.select(
         "fidx",
         F.col("record_idx").alias("ridx"),
         F.col("seq").alias("seq2"),

@@ -137,3 +137,8 @@ def test_real_decode_bmp_through_spark(spark):
     for mid in (10, 11):
         assert out[mid][:2] == [2.0, 2.0]  # (w, h)
         assert np.allclose(out[mid], want)
+
+
+def test_decode_ppm_degenerate_dims_raise():
+    with pytest.raises(ValueError, match="degenerate"):
+        mm.decode_image(b"P6\n0 5\n255\n")

@@ -112,3 +112,28 @@ def test_pipeline_degenerate_inputs(spark):
     assert len(clusters) == 3
     assert res.signatures.where(F.col("signature").isNull()).count() == 1
     res.unpersist()
+
+
+def test_md5_mode_pairs_carry_null_simhash(spark):
+    """sketch_mode="md5" carries simhash as NULL end-to-end: verified
+    pairs must emit simhash_hamming = null, never a garbage int from a
+    NaN->int64 cast (the r4 review finding)."""
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    pages = spark.createDataFrame(
+        [
+            ("http://a", base),
+            ("http://b", base + "tail"),
+            ("http://c", "something entirely different altogether here"),
+        ],
+        "url string, text string",
+    )
+    cfg = DedupConfig(
+        shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
+        sketch_mode="md5",
+    )
+    pairs = dedup_pipeline(pages, cfg).pairs.collect()
+    assert len(pairs) >= 1  # a/b are near-dups
+    assert all(r["simhash_hamming"] is None for r in pairs)
