@@ -334,7 +334,9 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SCALING_500K", "1") != "0":
             import shutil
 
-            big_pages = 500_000
+            big_pages = int(
+                os.environ.get("SPARK_GRAFT_BIG_PAGES", "500000")
+            )
             big_dir = f"/tmp/bench_corpus_{big_pages}"
             if not os.path.exists(f"{big_dir}/pages.parquet"):
                 write_corpus(big_dir, n_pages=big_pages, seed=42)
