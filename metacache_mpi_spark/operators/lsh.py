@@ -51,7 +51,14 @@ def md5_signature_expr(k: int, s: int, text_col: str = "text") -> "F.Column":
     ``minhash_signatures`` formula packed into one array<string> column
     with no groupBy, so it drops into the pipeline where the pandas-UDF
     signature normally rides.  Null when the text holds no shingle
-    (< k chars), matching the production lane's null rule."""
+    (< k chars), matching the production lane's null rule.
+
+    Scale note: the transform materializes ~len(text) 32-char md5
+    strings per lane per row, so a multi-MB document costs hundreds of
+    MB of transient executor memory.  This lane exists for ORACLE
+    parity at fixture scale (DuckDB runs the same SQL); production
+    corpora use the streaming kperm lane — see
+    ``DedupConfig.sketch_mode``."""
     return F.expr(
         f"CASE WHEN length({text_col}) >= {k} THEN "
         f"transform(sequence(0, {s - 1}), lane -> "

@@ -177,22 +177,31 @@ def dedup_pipeline(
         spark = pages.sparkSession
         # deterministic per-warehouse table name; the bucketed write IS
         # the materialization (no persist/count needed — consumers read
-        # the catalog table, never the UDF lineage)
+        # the catalog table, never the UDF lineage).  WRITE-ONCE
+        # contract: a warehouse dir pins ONE corpus's sketch state — if
+        # the table already exists in this session it is REUSED as-is
+        # (the amortization the bucketing exists for: repeated verify
+        # passes never re-sketch or re-shuffle the corpus).  Re-writing
+        # here instead would yank the files out from under any earlier
+        # result's still-lazy DataFrames.  Point a NEW corpus at a NEW
+        # warehouse dir (or drop the table) — reusing a dir across
+        # corpora returns the stored corpus, deliberately.
         table = "mcs_sigs_" + hashlib.md5(
             bucketed_warehouse.encode()
         ).hexdigest()[:10]
-        sig_df = (
-            checkpoints.get_or_compute("signatures", _signatures)
-            if checkpoints is not None
-            else _signatures()
-        )
-        write_bucketed(
-            sig_df,
-            table,
-            bucket_col="doc_id",
-            num_buckets=spark.sparkContext.defaultParallelism,
-            path=_os.path.join(bucketed_warehouse, table),
-        )
+        if not spark.catalog.tableExists(table):
+            sig_df = (
+                checkpoints.get_or_compute("signatures", _signatures)
+                if checkpoints is not None
+                else _signatures()
+            )
+            write_bucketed(
+                sig_df,
+                table,
+                bucket_col="doc_id",
+                num_buckets=spark.sparkContext.defaultParallelism,
+                path=_os.path.join(bucketed_warehouse, table),
+            )
         signatures = read_bucketed(spark, table)
     else:
         signatures = stage("signatures", _signatures)

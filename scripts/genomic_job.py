@@ -42,24 +42,63 @@ def _cfg_from_args(args):
     )
 
 
-def _with_file_index(df):
-    """Add ``fidx``: the file's rank in the sorted distinct file list;
-    returns (df, n_files).
+def _list_local_files(path):
+    """Sorted member files for a local dir / glob / single file, or
+    None when the path isn't locally resolvable (e.g. an hdfs: URI)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if not e.startswith((".", "_"))
+            and os.path.isfile(os.path.join(path, e))
+        )
+    if any(c in path for c in "*?["):
+        m = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        return m or None
+    if os.path.isfile(path):
+        return [path]
+    return None
+
+
+def _with_file_index(df, path):
+    """Add ``fidx``: the file's rank in the sorted file list; returns
+    (df, n_files).
 
     Mate-1/mate-2 file lists correspond positionally after sorting, so
     joining on (fidx, record_idx) pairs mates deterministically even
-    for directory/glob inputs.  The distinct-file collect is bounded by
-    the file count, never the record count — and the count rides back
-    to the caller so the pairing guard needs no extra corpus scan.
+    for directory/glob inputs.  Local paths enumerate OS-side (zero
+    Spark jobs — ``input_file_name`` URIs are url-decoded to match);
+    non-local URIs fall back to one distinct-scan whose collect is
+    bounded by the file count.  An input file that fails to map raises
+    per-row instead of silently dropping its reads from the join.
     """
     from pyspark.sql import functions as F
 
-    files = sorted(
-        r["file"] for r in df.select("file").distinct().collect()
-    )
-    pairs = [x for f, i in zip(files, range(len(files))) for x in (f, i)]
+    local = _list_local_files(path)
+    if local is not None:
+        files = [os.path.abspath(f) for f in local]
+        # normalize file:///a%20b URIs back to plain paths
+        key = F.url_decode(
+            F.regexp_replace(F.col("file"), r"^file:/*", "/")
+        )
+    else:
+        files = sorted(
+            r["file"] for r in df.select("file").distinct().collect()
+        )
+        key = F.col("file")
+    pairs = [x for i, f in enumerate(files) for x in (f, i)]
     fmap = F.create_map(*[F.lit(x) for x in pairs])
-    return df.withColumn("fidx", fmap[F.col("file")]), len(files)
+    fidx = F.when(fmap[key].isNotNull(), fmap[key]).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("input file failed to map to a mate index: "),
+                F.col("file"),
+            )
+        )
+    )
+    return df.withColumn("fidx", fidx), len(files)
 
 
 def _load_db(spark, db):
@@ -147,8 +186,12 @@ def cmd_query(spark, args) -> dict:
         # sorted order, mirroring the reference's sequence_pair_reader
         # over matched file lists; the global qid hashes mate-1's
         # identity.
-        r1, n1 = _with_file_index(read_sequences(spark, args.reads))
-        r2, n2 = _with_file_index(read_sequences(spark, args.reads2))
+        r1, n1 = _with_file_index(
+            read_sequences(spark, args.reads), args.reads
+        )
+        r2, n2 = _with_file_index(
+            read_sequences(spark, args.reads2), args.reads2
+        )
         if n1 != n2:
             # positional file correspondence is the pairing contract —
             # unequal lists would silently drop or mispair mates

@@ -103,3 +103,38 @@ def test_pipeline_bucketed_warehouse_matches_and_elides_exchange(
     # most two probe-side exchanges, zero on the two corpus scans (an
     # un-bucketed corpus would add one exchange per scan side → 4)
     assert jplan.count("+- Exchange") <= 2
+
+
+def test_bucketed_warehouse_is_write_once(spark, tiny_corpus, tmp_path):
+    """A second pipeline run against the same warehouse REUSES the
+    stored sketch table (no rewrite — rewriting would invalidate the
+    first result's lazy DataFrames) and reproduces the same clusters."""
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    wh = str(tmp_path / "wh_once")
+    pages = load_pages(spark, tiny_corpus).where("pmod(doc_id, 3) = 1")
+    first = dedup_pipeline(pages, bucketed_warehouse=wh)
+    c1 = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in first.clusters.collect()
+    )
+    import os
+
+    table_dir = next(
+        os.path.join(wh, d) for d in os.listdir(wh)
+        if d.startswith("mcs_sigs_")
+    )
+    mtime = max(
+        os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    )
+    second = dedup_pipeline(pages, bucketed_warehouse=wh)
+    c2 = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in second.clusters.collect()
+    )
+    assert c1 == c2
+    mtime2 = max(
+        os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    )
+    assert mtime2 == mtime  # table files untouched by the second run

@@ -124,10 +124,10 @@ def test_paired_multifile_mates_never_cross_files(
     from metacache_mpi_spark.sources.bio import read_sequences
 
     r1, n1 = genomic_job._with_file_index(
-        read_sequences(spark, cli_fixture["reads1"])
+        read_sequences(spark, cli_fixture["reads1"]), cli_fixture["reads1"]
     )
     r2, n2 = genomic_job._with_file_index(
-        read_sequences(spark, cli_fixture["reads2"])
+        read_sequences(spark, cli_fixture["reads2"]), cli_fixture["reads2"]
     )
     assert n1 == n2 == 2
     r1 = r1.select(
