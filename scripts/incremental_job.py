@@ -1,0 +1,80 @@
+"""Streaming-shaped entry point: fold ONE batch of pages into the
+persistent dedup state (the reference's resident-index REPL loop,
+/root/reference/src/mode_query.cpp:269-315, as a re-runnable job).
+
+Each invocation processes ``--input`` as one batch against the state
+in ``--state``: new docs are sketched, probed against the resident
+band index, verified, and clustered — connected components re-run ONLY
+over the components the batch touched (streaming/incremental.py).
+Re-running with the same input is a no-op (urls already ingested are
+skipped).  State compacts automatically every ``--compact-every``
+batches (LSM cadence)::
+
+    zip -qr /tmp/mcs.zip metacache_mpi_spark
+    spark-submit --master <master> --py-files /tmp/mcs.zip \
+        scripts/incremental_job.py --input <batch_dir> --state <state_dir> \
+        [--generate N --seed S] [--out <clusters_dir>]
+
+Prints ONE JSON line: batch number, new docs, CC edge count (new +
+touched-component stars — the ∝-affected-subgraph metric), totals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.session import get_spark
+    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    if args.generate:
+        write_corpus(args.input, n_pages=args.generate, seed=args.seed)
+
+    spark = get_spark(args.cores, app_name="incremental-dedup")
+    t0 = time.time()
+    inc = IncrementalDedup(
+        spark,
+        CheckpointManager(spark, args.state),
+        compact_every=args.compact_every,
+    )
+    batch_no = inc.batch_no
+    clusters = inc.process_batch(load_pages(spark, args.input))
+    if args.out:
+        clusters.write.mode("overwrite").parquet(args.out)
+    total_docs = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    new_docs = inc.ck.load(f"docs_b{batch_no}").count()
+    print(
+        json.dumps(
+            {
+                "batch": batch_no,
+                "new_docs": new_docs,
+                "cc_edges": inc.last_cc_edges,
+                "total_docs": total_docs,
+                "clusters": n_clusters,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
