@@ -167,12 +167,6 @@ def cmd_query(spark, args) -> dict:
         query_index,
         query_index_paired,
     )
-    from metacache_mpi_spark.operators.taxonomy import (
-        Taxonomy,
-        classify_lca,
-        parse_nodes_dmp,
-        taxon_counts,
-    )
     from metacache_mpi_spark.sources.bio import read_sequences
 
     index, meta = _load_db(spark, args.db)
@@ -234,29 +228,47 @@ def cmd_query(spark, args) -> dict:
         cands = cands.persist()
     out["candidates"] = cands.count()
     if args.nodes:
-        tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
-        # targets dim joins in relationally (see cmd_build); legacy DBs
-        # carry the map in meta.json — keep reading those
-        if "target_taxid" in meta:
-            tdim = {int(k): v for k, v in meta["target_taxid"].items()}
-        else:
-            tdim = (
-                spark.read.parquet(os.path.join(args.db, "targets.parquet"))
-                .where(F.col("taxid").isNotNull())
-                .select("tgt", "taxid")
-            )
-        assigned = classify_lca(
-            cands, tax, tdim, hits_min=cfg.hits_min_effective
+        out.update(
+            _classify_and_write(spark, args, cands, meta, cfg, args.out)
         )
-        if args.out:
-            assigned.write.mode("overwrite").parquet(
-                os.path.join(args.out, "assignments.parquet")
-            )
-        out["classified"] = assigned.where(
-            F.col("taxid").isNotNull()
-        ).count()
-        out["taxa"] = taxon_counts(assigned).count()
     return out
+
+
+def _classify_and_write(spark, args, cands, meta, cfg, out_dir) -> dict:
+    """Ranked-LCA classification tail shared by query and merge: load
+    the taxonomy, join the targets dim (or a legacy meta.json map),
+    classify, optionally persist assignments; returns the count dict."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.taxonomy import (
+        Taxonomy,
+        classify_lca,
+        parse_nodes_dmp,
+        taxon_counts,
+    )
+
+    tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
+    # targets dim joins in relationally (see cmd_build); legacy DBs
+    # carry the map in meta.json — keep reading those
+    if "target_taxid" in meta:
+        tdim = {int(k): v for k, v in meta["target_taxid"].items()}
+    else:
+        tdim = (
+            spark.read.parquet(os.path.join(args.db, "targets.parquet"))
+            .where(F.col("taxid").isNotNull())
+            .select("tgt", "taxid")
+        )
+    assigned = classify_lca(
+        cands, tax, tdim, hits_min=cfg.hits_min_effective
+    )
+    if out_dir:
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "assignments.parquet")
+        )
+    return {
+        "classified": assigned.where(F.col("taxid").isNotNull()).count(),
+        "taxa": taxon_counts(assigned).count(),
+    }
 
 
 def cmd_merge(spark, args) -> dict:
@@ -279,11 +291,21 @@ def cmd_merge(spark, args) -> dict:
     merged.write.mode("overwrite").parquet(
         os.path.join(args.out, "candidates.parquet")
     )
-    return {
+    merged = spark.read.parquet(
+        os.path.join(args.out, "candidates.parquet")
+    )
+    out = {
         "mode": "merge",
         "shards": len(shards),
         "merged_candidates": merged.count(),
     }
+    if args.nodes:
+        # the reference's merge mode classifies the merged candidate
+        # lists (mode_merge.cpp taxonomy options + classification.h)
+        out.update(
+            _classify_and_write(spark, args, merged, meta, cfg, args.out)
+        )
+    return out
 
 
 def cmd_info(spark, args) -> dict:
@@ -322,6 +344,7 @@ def main() -> None:
     m.add_argument("--results", nargs="+", required=True)
     m.add_argument("--out", required=True)
     m.add_argument("--db", required=True)
+    m.add_argument("--nodes", default=None)
 
     i = sub.add_parser("info", parents=[common])
     i.add_argument("--db", required=True)

@@ -199,3 +199,29 @@ def test_paired_query_rejects_mismatched_file_lists(
     )
     with pytest.raises(ValueError, match="matching file lists"):
         genomic_job.cmd_query(spark, args)
+
+
+def test_merge_classifies_like_reference(
+    spark, cli_fixture, built_db, tmp_path
+):
+    """The reference's merge mode classifies merged candidate lists
+    (mode_merge.cpp); self-merge with --nodes must reproduce the
+    single-shard query's classification counts exactly."""
+    q = argparse.Namespace(
+        db=built_db,
+        reads=cli_fixture["reads1"],
+        reads2=None,
+        nodes=cli_fixture["nodes"],
+        out=str(tmp_path / "q"),
+    )
+    qout = genomic_job.cmd_query(spark, q)
+    m = argparse.Namespace(
+        db=built_db,
+        results=[str(tmp_path / "q"), str(tmp_path / "q")],
+        out=str(tmp_path / "m"),
+        nodes=cli_fixture["nodes"],
+    )
+    mout = genomic_job.cmd_merge(spark, m)
+    assert mout["merged_candidates"] == qout["candidates"]
+    assert mout["classified"] == qout["classified"]
+    assert mout["taxa"] == qout["taxa"]
