@@ -309,11 +309,73 @@ def cmd_merge(spark, args) -> dict:
 
 
 def cmd_info(spark, args) -> dict:
+    """``info`` submodes mirroring the reference's mode_info.cpp:
+    ``statistics`` (default — bucket-size moments,
+    show_database_statistics), ``targets`` (show_target_info),
+    ``lineages`` (show_lineage_table, needs --nodes), and
+    ``featurecounts`` (show_feature_counts).  Table-shaped submodes
+    write parquet under --out; the JSON line carries the moments."""
+    from pyspark.sql import functions as F
+
     from metacache_mpi_spark.operators.relational import bucket_size_stats
 
     index, meta = _load_db(spark, args.db)
-    row = bucket_size_stats(index, ["feature"]).collect()[0].asDict()
-    return {"mode": "info", **meta["cfg"], **row}
+    what = getattr(args, "what", "statistics") or "statistics"
+    out = {"mode": "info", "what": what, **meta["cfg"]}
+    if what == "statistics":
+        row = bucket_size_stats(index, ["feature"]).collect()[0].asDict()
+        return {**out, **row}
+    if what == "targets":
+        dim = spark.read.parquet(os.path.join(args.db, "targets.parquet"))
+        if args.out:
+            dim.write.mode("overwrite").parquet(args.out)
+        return {
+            **out,
+            "targets": dim.count(),
+            "with_taxid": dim.where(F.col("taxid").isNotNull()).count(),
+        }
+    if what == "featurecounts":
+        fc = index.groupBy("feature").agg(
+            F.count(F.lit(1)).alias("n_locations")
+        )
+        if args.out:
+            fc.write.mode("overwrite").parquet(args.out)
+        row = fc.agg(
+            F.count(F.lit(1)).alias("features"),
+            F.max("n_locations").alias("max_locations"),
+            F.avg("n_locations").alias("mean_locations"),
+        ).collect()[0]
+        return {
+            **out,
+            "features": row["features"],
+            "max_locations": row["max_locations"],
+            "mean_locations": round(row["mean_locations"], 3),
+        }
+    if what == "lineages":
+        if not args.nodes:
+            raise ValueError("info lineages needs --nodes <nodes.dmp>")
+        from metacache_mpi_spark.operators.taxonomy import (
+            Taxonomy,
+            parse_nodes_dmp,
+        )
+
+        tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
+        dim = spark.read.parquet(
+            os.path.join(args.db, "targets.parquet")
+        ).where(F.col("taxid").isNotNull())
+        # taxa metadata is driver-resident exactly as in the reference
+        # (sketch_database.h:545-560): one ranked lineage per DISTINCT
+        # taxid, joined back to the target dim
+        taxids = [r["taxid"] for r in dim.select("taxid").distinct().collect()]
+        lin = spark.createDataFrame(
+            [(t, tax.ranked_lineage(int(t))) for t in taxids],
+            "taxid long, ranked_lineage array<long>",
+        )
+        table = dim.select("tgt", "taxid").join(lin, "taxid")
+        if args.out:
+            table.write.mode("overwrite").parquet(args.out)
+        return {**out, "targets": table.count(), "taxa": len(taxids)}
+    raise ValueError(f"unknown info submode {what!r}")
 
 
 def main() -> None:
@@ -347,7 +409,15 @@ def main() -> None:
     m.add_argument("--nodes", default=None)
 
     i = sub.add_parser("info", parents=[common])
+    i.add_argument(
+        "what",
+        nargs="?",
+        default="statistics",
+        choices=["statistics", "targets", "lineages", "featurecounts"],
+    )
     i.add_argument("--db", required=True)
+    i.add_argument("--nodes", default=None)
+    i.add_argument("--out", default=None)
 
     args = ap.parse_args()
 

@@ -225,3 +225,38 @@ def test_merge_classifies_like_reference(
     assert mout["merged_candidates"] == qout["candidates"]
     assert mout["classified"] == qout["classified"]
     assert mout["taxa"] == qout["taxa"]
+
+
+def test_info_submodes(spark, cli_fixture, built_db, tmp_path):
+    """info statistics/targets/lineages/featurecounts — the reference's
+    mode_info.cpp submode surface."""
+    base = dict(db=built_db, nodes=None, out=None)
+    stats = genomic_job.cmd_info(
+        spark, argparse.Namespace(**base, what="statistics")
+    )
+    assert stats["n_buckets"] > 0
+    targets = genomic_job.cmd_info(
+        spark, argparse.Namespace(**base, what="targets")
+    )
+    assert targets["targets"] == 2 and targets["with_taxid"] == 2
+    fc = genomic_job.cmd_info(
+        spark,
+        argparse.Namespace(
+            db=built_db, nodes=None, out=str(tmp_path / "fc"),
+            what="featurecounts",
+        ),
+    )
+    assert fc["features"] == stats["n_buckets"]
+    assert fc["max_locations"] == stats["max_sz"]
+    lin = genomic_job.cmd_info(
+        spark,
+        argparse.Namespace(
+            db=built_db, nodes=cli_fixture["nodes"],
+            out=str(tmp_path / "lin"), what="lineages",
+        ),
+    )
+    assert lin["targets"] == 2 and lin["taxa"] == 2
+    rows = spark.read.parquet(str(tmp_path / "lin")).collect()
+    # species 5 under genus 4 under domain 2 under root 1
+    by_tax = {r["taxid"]: r["ranked_lineage"] for r in rows}
+    assert 4 in by_tax[5] and 2 in by_tax[5]
