@@ -9,8 +9,9 @@ mode_merge, mode_info) on the Spark engine::
         build --targets t.fasta --db /data/db [--k 16 --sketch 16 ...]
     ... query --db /data/db --reads r.fastq [--reads2 mate2.fastq] \
         [--nodes nodes.dmp] [--out outdir]
-    ... merge --results shard1_out shard2_out --out merged
-    ... info --db /data/db
+    ... merge --results shard1_out shard2_out --out merged [--nodes ...]
+    ... annotate --input seqs.fasta --mapping acc2taxid.tsv --out dir
+    ... info [statistics|targets|lineages|featurecounts] --db /data/db
 
 ``build`` persists the inverted index as parquet plus a
 ``targets.parquet`` dim (tgt, taxid from ``taxid|N`` headers, header)
@@ -378,6 +379,37 @@ def cmd_info(spark, args) -> dict:
     raise ValueError(f"unknown info submode {what!r}")
 
 
+def cmd_annotate(spark, args) -> dict:
+    """``annotate`` mode (mode_annotate.cpp): rewrite sequence headers
+    to carry ``taxid|<n>|`` from an accession2taxid mapping (0 when
+    unmapped — the reference's explicit not-found marker) and write the
+    annotated sequences as FASTA text partitions under --out."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.annotate import annotate_with_taxid
+    from metacache_mpi_spark.sources.bio import (
+        read_accession2taxid,
+        read_sequences,
+    )
+
+    seqs = read_sequences(spark, args.input).select("header", "seq")
+    mapping = read_accession2taxid(spark, args.mapping)
+    ann = annotate_with_taxid(seqs, mapping, idtype=args.idtype).persist()
+    ann.select(
+        F.concat(
+            F.lit(">"), F.col("header"), F.lit("\n"), F.col("seq")
+        ).alias("value")
+    ).write.mode("overwrite").text(args.out)
+    total = ann.count()
+    unmapped = ann.where(F.col("header").contains("taxid|0|")).count()
+    return {
+        "mode": "annotate",
+        "sequences": total,
+        "annotated": total - unmapped,
+        "unmapped": unmapped,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # shared flags must live on a PARENT parser: on the top-level
@@ -408,6 +440,14 @@ def main() -> None:
     m.add_argument("--db", required=True)
     m.add_argument("--nodes", default=None)
 
+    a = sub.add_parser("annotate", parents=[common])
+    a.add_argument("--input", required=True)
+    a.add_argument("--mapping", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument(
+        "--idtype", default="accver", choices=["acc", "accver", "gi"]
+    )
+
     i = sub.add_parser("info", parents=[common])
     i.add_argument(
         "what",
@@ -429,6 +469,7 @@ def main() -> None:
         "build": cmd_build,
         "query": cmd_query,
         "merge": cmd_merge,
+        "annotate": cmd_annotate,
         "info": cmd_info,
     }[args.mode](spark, args)
     result["sec"] = round(time.time() - t0, 2)

@@ -260,3 +260,33 @@ def test_info_submodes(spark, cli_fixture, built_db, tmp_path):
     # species 5 under genus 4 under domain 2 under root 1
     by_tax = {r["taxid"]: r["ranked_lineage"] for r in rows}
     assert 4 in by_tax[5] and 2 in by_tax[5]
+
+
+def test_annotate_mode(spark, cli_fixture, tmp_path):
+    """annotate mode: headers gain taxid|N| tokens from an
+    accession2taxid mapping; unmapped sequences get taxid|0|."""
+    fa = tmp_path / "seqs.fasta"
+    fa.write_text(
+        ">AB123456.1 first\nACGTACGT\n"
+        ">XY999999.2 second\nGGGGCCCC\n"
+    )
+    tsv = tmp_path / "map.tsv"
+    tsv.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "AB123456\tAB123456.1\t77\t1\n"
+    )
+    args = argparse.Namespace(
+        input=str(fa),
+        mapping=str(tsv),
+        out=str(tmp_path / "annotated"),
+        idtype="accver",
+    )
+    out = genomic_job.cmd_annotate(spark, args)
+    assert out == {
+        "mode": "annotate", "sequences": 2, "annotated": 1, "unmapped": 1,
+    }
+    text = "".join(
+        r["value"] + "\n"
+        for r in spark.read.text(str(tmp_path / "annotated")).collect()
+    )
+    assert "taxid|77|" in text and "taxid|0|" in text
