@@ -340,7 +340,10 @@ def cmd_info(spark, args) -> dict:
             F.count(F.lit(1)).alias("n_locations")
         )
         if args.out:
+            # read the snapshot back (dedup_job discipline): the
+            # moments below would otherwise re-run the groupBy
             fc.write.mode("overwrite").parquet(args.out)
+            fc = spark.read.parquet(args.out)
         row = fc.agg(
             F.count(F.lit(1)).alias("features"),
             F.max("n_locations").alias("max_locations"),
@@ -350,7 +353,11 @@ def cmd_info(spark, args) -> dict:
             **out,
             "features": row["features"],
             "max_locations": row["max_locations"],
-            "mean_locations": round(row["mean_locations"], 3),
+            "mean_locations": (
+                round(row["mean_locations"], 3)
+                if row["mean_locations"] is not None
+                else None  # empty index: moments are null, not a crash
+            ),
         }
     if what == "lineages":
         if not args.nodes:
@@ -400,13 +407,21 @@ def cmd_annotate(spark, args) -> dict:
             F.lit(">"), F.col("header"), F.lit("\n"), F.col("seq")
         ).alias("value")
     ).write.mode("overwrite").text(args.out)
+    # three outcomes, counted from the written tokens: annotated
+    # (taxid|N|, N>0), unmapped (explicit taxid|0| — the reference's
+    # not-found marker), untagged (no accession/gi extractable from
+    # the header at all → annotate_with_taxid leaves it untouched)
     total = ann.count()
+    tagged = ann.where(
+        F.col("header").rlike(r"taxid\|\d+\|")
+    ).count()
     unmapped = ann.where(F.col("header").contains("taxid|0|")).count()
     return {
         "mode": "annotate",
         "sequences": total,
-        "annotated": total - unmapped,
+        "annotated": tagged - unmapped,
         "unmapped": unmapped,
+        "untagged": total - tagged,
     }
 
 

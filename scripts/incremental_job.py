@@ -37,8 +37,6 @@ def main() -> None:
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
     from metacache_mpi_spark.session import get_spark
     from metacache_mpi_spark.sources.pages import load_pages, write_corpus

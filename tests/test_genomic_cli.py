@@ -283,10 +283,38 @@ def test_annotate_mode(spark, cli_fixture, tmp_path):
     )
     out = genomic_job.cmd_annotate(spark, args)
     assert out == {
-        "mode": "annotate", "sequences": 2, "annotated": 1, "unmapped": 1,
+        "mode": "annotate", "sequences": 2, "annotated": 1,
+        "unmapped": 1, "untagged": 0,
     }
     text = "".join(
         r["value"] + "\n"
         for r in spark.read.text(str(tmp_path / "annotated")).collect()
     )
     assert "taxid|77|" in text and "taxid|0|" in text
+
+
+def test_annotate_counts_untagged_headers(spark, tmp_path):
+    """Headers with no extractable accession get NO token (the
+    reference leaves them untouched) and must be counted as untagged,
+    never as annotated (r4 review finding)."""
+    fa = tmp_path / "mixed.fasta"
+    fa.write_text(
+        ">AB123456.1 mapped\nACGT\n"
+        ">contig one with no accession here\nGGGG\n"
+    )
+    tsv = tmp_path / "m.tsv"
+    tsv.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "AB123456\tAB123456.1\t77\t1\n"
+    )
+    out = genomic_job.cmd_annotate(
+        spark,
+        argparse.Namespace(
+            input=str(fa), mapping=str(tsv),
+            out=str(tmp_path / "o"), idtype="accver",
+        ),
+    )
+    assert out == {
+        "mode": "annotate", "sequences": 2, "annotated": 1,
+        "unmapped": 0, "untagged": 1,
+    }
