@@ -215,51 +215,38 @@ def minhash_lsh_pairs(
     k: int = NGRAM_K,
     lanes: int = MINHASH_LANES,
     band_rows: int = BAND_ROWS,
-    split_at: int = 1024,
 ) -> DataFrame:
     """Distinct candidate pairs colliding in ≥1 LSH band.
 
     Pairs expand IN the collected member array after one
-    groupBy(band, bucket) — the same shape as the production lane's
-    ``bucket_join_pairs``, but EXACT (this is the uncapped oracle
-    mirror of the DuckDB self-join SQL, same pair set): bucket sizes
-    are counted FIRST (map-side partial agg — the repo's count-first
-    discipline, prune_buckets), normal buckets collect + expand
-    in-array, and the rare over-``split_at`` bucket routes through a
-    distributed self-join instead — a degenerate corpus (10^4 docs
-    sharing one band signature) must never build an m²-struct single
-    row or an m-element aggregation array on one reducer.  Measured
-    faster than the old always-self-join form (2.6 vs 5.1 s cold,
-    1.6 vs 1.9 s steady at sf0.1)."""
+    groupBy(band, bucket) — the production lane's shape
+    (``bucket_join_pairs``) minus the cap: this is the UNCAPPED oracle
+    mirror of the DuckDB self-join SQL, so the result set is exact.
+    One shuffle, no pinned bucket table; measured 1.4-1.9 s vs the old
+    self-join's 1.9-5.1 s at sf0.1 (guarded split variants cost 2-5×:
+    sizes/semi-join passes re-shuffle the 64-char md5 bucket keys).
+
+    Degenerate-input boundary (declared, like the O(n²) brute
+    oracles): a bucket of m members builds an m²/2-struct row, so
+    >~10⁴ docs sharing a band signature will stress one task — at
+    which point the uncapped QUERY is degenerate in any engine
+    (DuckDB's self-join emits the same m²/2 rows).  Production corpora
+    use the capped lanes (``lsh.candidate_pairs`` /
+    ``bucket_join_pairs``), which drop or sample such buckets
+    (the reference's overpopulated-feature rule)."""
     from .lsh import PAIR_EXPANSION
 
-    # split_at caps in-array work at ~split_at²/2 structs per bucket
-    # row; three consumers (sizes, small-bucket collect, hot-bucket join) —
-    # pin the per-doc bucket table once (small: docs × bands rows)
-    b = lsh_band_buckets(docs, k, lanes, band_rows).persist()
-    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    small = sizes.where((F.col("n") >= 2) & (F.col("n") <= split_at))
-    big = sizes.where(F.col("n") > split_at)
+    b = lsh_band_buckets(docs, k, lanes, band_rows)
     grouped = (
-        b.join(small.select("band", "bucket"), ["band", "bucket"], "left_semi")
-        .groupBy("band", "bucket")
+        b.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    pairs = grouped.select(
-        F.explode(F.expr(PAIR_EXPANSION)).alias("p")
-    ).select("p.a", "p.b")
-    hot = b.join(
-        big.select("band", "bucket").hint("shuffle_hash"),
-        ["band", "bucket"],
-        "left_semi",
+    return (
+        grouped.select(F.explode(F.expr(PAIR_EXPANSION)).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
     )
-    x, y = hot.alias("x"), hot.alias("y")
-    hot_pairs = (
-        x.join(y, ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-    )
-    return pairs.unionByName(hot_pairs).distinct()
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

@@ -202,26 +202,3 @@ def test_md5_sketch_mode_matches_textops_lane(spark, tiny_corpus):
         ).collect()
     }
     assert got == want and len(got) > 0
-
-
-def test_minhash_pairs_hot_bucket_split_equivalence(spark, tiny_corpus):
-    """The size-split (in-array for normal buckets, distributed
-    self-join for over-split_at buckets) must be invisible in the
-    result: forcing every bucket down the hot path yields the same
-    pair set."""
-    from metacache_mpi_spark.operators.textops import minhash_lsh_pairs
-    from metacache_mpi_spark.sources.pages import load_pages
-
-    docs = (
-        load_pages(spark, tiny_corpus)
-        .where("pmod(doc_id, 4) = 0")
-        .select("doc_id", "text")
-    )
-    want = {
-        (r["a"], r["b"]) for r in minhash_lsh_pairs(docs).collect()
-    }
-    got = {
-        (r["a"], r["b"])
-        for r in minhash_lsh_pairs(docs, split_at=2).collect()
-    }
-    assert got == want and len(want) > 0
