@@ -170,6 +170,30 @@ def _occ(pat: str) -> str:
     )
 
 
+# batched brute-force cosine top-k (N queries, per-query ranking) —
+# the oracle for BOTH ann_batch_topk and ann_ivf_batch_topk (the IVF
+# entry pins nprobe = n_centroids, so probing is exhaustive and the
+# result must equal brute force bit-for-bit)
+_ANN_BATCH_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id % 100 = 7),
+    scored AS (SELECT q.query_id, e.vec_id,
+                      CAST(floor(
+                        list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                        / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[]))
+                               * list_dot_product(q.qe, q.qe))
+                        * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    ranked AS (SELECT query_id, vec_id, cos_micro,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_micro DESC, vec_id ASC)
+                        AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cos_micro, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
 _ANN_SCORE = """
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (SELECT e.vec_id, e.label,
@@ -374,6 +398,45 @@ def _q_ann_lsh_dup_pairs(spark, sf_dir):
 
     return sign_banded_dup_pairs(
         _t(spark, sf_dir, "embeddings"), bands=16, rows_per_band=2
+    )
+
+
+def _batch_queries(spark, sf_dir):
+    """Deterministic ANN query batch: every 100th embedding (5 queries
+    at sf0.01) — the N-query retrieval shape of the reference's batched
+    query loop (src/querying.h:1309-1387)."""
+    from pyspark.sql import functions as F
+
+    return _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 100 == 7
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def _q_ann_batch_topk(spark, sf_dir):
+    """Batched brute-force cosine top-k: N queries, one corpus scan,
+    per-query distributed top-k — the exactness baseline for batch
+    retrieval (semantic decontamination / reference-corpus dedup)."""
+    from metacache_mpi_spark.operators.ann import cosine_batch_topk
+
+    return cosine_batch_topk(
+        _t(spark, sf_dir, "embeddings"), _batch_queries(spark, sf_dir), k=5
+    )
+
+
+def _q_ann_ivf_batch_topk(spark, sf_dir):
+    """Batched IVF ANN through the real probe machinery (trained
+    centroids → per-query probe buckets → bucket equi join → two-level
+    per-query top-k), pinned to nprobe = n_centroids so every bucket is
+    probed and DuckDB's brute SQL is an exact oracle.  Partial-probe
+    (nprobe < n_centroids) recall is gated in pytest."""
+    from metacache_mpi_spark.operators.ann import ivf_batch_topk
+
+    return ivf_batch_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _batch_queries(spark, sf_dir),
+        k=5,
+        n_centroids=8,
+        nprobe=8,
     )
 
 
@@ -897,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "ann_lsh_bucketed": _q_ann_lsh_bucketed,
+        "ann_batch_topk": _q_ann_batch_topk,
+        "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
         "ann_lsh_dup_pairs": _q_ann_lsh_dup_pairs,
         "lang_confusion_stats": _q_lang_confusion_stats,
         "value_moments": _q_value_moments,
@@ -1154,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb))
                      * 1000000.0 + 0.5) AS BIGINT) >= 350000
         """,
+        "ann_batch_topk": _ANN_BATCH_TOPK_SQL,
+        "ann_ivf_batch_topk": _ANN_BATCH_TOPK_SQL,
         "ann_lsh_bucketed": """
             WITH wb AS (
               SELECT vec_id, embedding,

@@ -72,6 +72,165 @@ def _ranked_topk(scored: DataFrame, k: int, cols: list[str]) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(*cols, "rank")
 
 
+def _per_query_topk(
+    scored: DataFrame, k: int, order_col: str, out_cols: list[str]
+) -> DataFrame:
+    """Per-query top-k over (query_id, vec_id, score) rows, scale-safe.
+
+    Two-level: row_number per (query_id, source-partition) keeps only k
+    rows per query per input partition, then the global per-query window
+    ranks the ≤ k·P survivors.  Both levels shuffle, but no single task
+    ever sorts one query's full corpus-sized candidate list — the
+    single-level ``Window.partitionBy(query_id)`` funnel would put a
+    10^12-row scan through one task per query.  (The reference's query
+    loop keeps a bounded per-query candidate heap per thread and merges,
+    src/querying.h:1309-1387 — same shape.)  The Arrow lane
+    (:func:`pq_batch_topk`) goes further and emits its shortlists
+    map-side, before any shuffle."""
+    tagged = scored.withColumn("_part", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "_part").orderBy(
+        F.desc(order_col), F.asc("vec_id")
+    )
+    pruned = (
+        tagged.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(order_col), F.asc("vec_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(*out_cols, "rank")
+    )
+
+
+def cosine_batch_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Batched brute-force cosine top-k: N query vectors against the
+    corpus in ONE job — no per-query driver collect, no per-query Spark
+    job (the reference's query mode is inherently batched,
+    src/querying.h:1309-1387).
+
+    ``queries``: (query_id, embedding) — the small side by contract
+    (a retrieval/decontamination batch), broadcast into a nested-loop
+    join so the corpus streams exactly once for all queries.  Corpus
+    rows whose vec_id equals the query_id are excluded (self-match).
+    Returns (query_id, vec_id, cos_micro, rank).
+    """
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_micro("embedding", "qe").alias("cos_micro"),
+        )
+    )
+    return _per_query_topk(
+        scored, k, "cos_micro", ["query_id", "vec_id", "cos_micro"]
+    )
+
+
+def ivf_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """Batched IVF ANN: every query joins only its ``nprobe`` probed
+    centroid lists — the queries-DataFrame form of :func:`ivf_topk`
+    (which takes one ``query_vec_id`` and collects its embedding).
+
+    Shape: centroids broadcast once; one vectorized pandas UDF assigns
+    each QUERY its nprobe nearest buckets (exploded to (query_id,
+    bucket, qe)); the corpus is assigned once (:func:`ivf_assign`) and
+    equi-joins the broadcast probe rows on ``bucket`` — each corpus row
+    is scored only against the queries probing its bucket, ~nprobe/
+    n_centroids of the full cross product.  With the assignment as a
+    partition key at deployment, the probed buckets are a pruned scan.
+    Per-query top-k via the two-level window (:func:`_per_query_topk`).
+
+    Exactness: with ``nprobe >= n_centroids`` every bucket is probed and
+    the result equals :func:`cosine_batch_topk` bit-for-bit (the
+    contract entry pins this so DuckDB's brute SQL is a valid oracle);
+    partial-probe recall is gated in pytest.  Returns (query_id,
+    vec_id, cos_micro, rank).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_centroids)
+    spark = emb.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    nprobe_eff = min(nprobe, cents.shape[0])
+    b_c = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        c = b_c.value
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        idx = np.argsort(d, axis=1)[:, :nprobe_eff].astype("int32")
+        return pd.Series(list(idx))
+
+    probed = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(_probes(F.col("embedding"))).alias("bucket"),
+    )
+    assigned = ivf_assign(emb, centroids)
+    scored = (
+        assigned.join(F.broadcast(probed), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_micro("embedding", "qe").alias("cos_micro"),
+        )
+    )
+    return _per_query_topk(
+        scored, k, "cos_micro", ["query_id", "vec_id", "cos_micro"]
+    )
+
+
+def lsh_bucketed_batch_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Batched sign-bucket ANN: each query searches only its own
+    sign-bit bucket — the queries-DataFrame form of
+    :func:`lsh_bucketed_topk`.  Bucket ids are pure JVM expressions on
+    both sides; the probe is one equi join of the corpus against the
+    broadcast query batch.  Returns (query_id, vec_id, bucket,
+    cos_micro, rank)."""
+    withb = emb.withColumn("bucket", _sign_bucket("embedding"))
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    ).withColumn("bucket", _sign_bucket("qe"))
+    scored = (
+        withb.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "bucket",
+            _cos_micro("embedding", "qe").alias("cos_micro"),
+        )
+    )
+    return _per_query_topk(
+        scored, k, "cos_micro", ["query_id", "vec_id", "bucket", "cos_micro"]
+    )
+
+
 def cosine_dup_pairs(emb: DataFrame, tau: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
 
@@ -474,6 +633,119 @@ def pq_topk(
         .select("vec_id", _cos_micro("embedding", "qe").alias("cos_micro"))
     )
     return _ranked_topk(exact, k, ["vec_id", "cos_micro"])
+
+
+def pq_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+    rerank: bool = True,
+    oversample: int = 5,
+) -> DataFrame:
+    """Batched PQ ANN (asymmetric distance): the queries-DataFrame form
+    of :func:`pq_topk` — N queries answered by ONE codes-only corpus
+    scan, no per-query job.
+
+    The query batch is collected ONCE (it is the small side by
+    contract — a retrieval batch, not a corpus) and compiled into a
+    broadcast LUT tensor of partial inner products, (n_queries, m,
+    n_codes) int64 micros.  One ``mapInPandas`` pass then scores every
+    (query, corpus-row) pair from the m-byte codes — a NumPy gather+sum
+    per Arrow batch — and emits only each query's per-batch top
+    ``k·oversample`` shortlist rows: the prune happens MAP-SIDE, before
+    any shuffle, so shuffle volume is ~n_queries · k·oversample rows
+    per input partition regardless of corpus size.  The global
+    per-query shortlist then re-ranks exactly against the float vectors
+    (touching k·oversample rows per query, not the corpus).
+
+    Returns (query_id, vec_id, cos_micro, rank) — with ``rerank=False``
+    (codes-only ADC) returns (query_id, vec_id, score_micro, rank).
+    Recall vs :func:`cosine_batch_topk` is gated in pytest.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m=m, k=n_codes)
+    enc = pq_encode(emb, codebooks) if encoded is None else encoded
+    q_rows = queries.select("query_id", "embedding").collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            "query_id long, vec_id long, "
+            + ("cos_micro long" if rerank else "score_micro long")
+            + ", rank int",
+        )
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    Q = _l2n(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    mm, kk, dsub = codebooks.shape
+    # LUT[q, j, c] = round(1e6 · <codebook[j][c], Q[q] subvector j>)
+    lut = np.round(
+        np.einsum("jcd,qjd->qjc", codebooks, Q.reshape(len(qids), mm, dsub))
+        * 1_000_000
+    ).astype(np.int64)
+    spark = emb.sparkSession
+    b = spark.sparkContext.broadcast((qids, lut))
+    shortlist_n = k * oversample
+
+    def _scan(batches):
+        ids, tab = b.value  # (nq,), (nq, m, kk)
+        nq = ids.shape[0]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            s = np.zeros((nq, n), dtype=np.int64)
+            for j in range(tab.shape[1]):
+                s += tab[:, j, codes[:, j]]
+            # self-match mask: a query drawn from the corpus must not
+            # retrieve itself
+            s[ids[:, None] == vec_ids[None, :]] = np.iinfo(np.int64).min
+            take = min(shortlist_n, n)
+            # per-batch per-query shortlist — the map-side prune
+            top = np.argpartition(-s, take - 1, axis=1)[:, :take]
+            out_q = np.repeat(ids, take)
+            out_v = vec_ids[top.ravel()]
+            out_s = np.take_along_axis(s, top, axis=1).ravel()
+            keep = out_s != np.iinfo(np.int64).min
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "vec_id": out_v[keep],
+                    "score_micro": out_s[keep],
+                }
+            )
+
+    scored = enc.select("vec_id", "codes").mapInPandas(
+        _scan, schema="query_id long, vec_id long, score_micro long"
+    )
+    short = _per_query_topk(
+        scored, shortlist_n, "score_micro",
+        ["query_id", "vec_id", "score_micro"],
+    ).drop("rank")
+    if not rerank:
+        return _per_query_topk(
+            short, k, "score_micro", ["query_id", "vec_id", "score_micro"]
+        )
+    qdf = spark.createDataFrame(
+        [(int(i), q.tolist()) for i, q in zip(qids, Q)],
+        "query_id long, qe array<double>",
+    )
+    exact = (
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_micro("embedding", "qe").alias("cos_micro"),
+        )
+    )
+    return _per_query_topk(
+        exact, k, "cos_micro", ["query_id", "vec_id", "cos_micro"]
+    )
 
 
 def _sign_bucket(col: str):
