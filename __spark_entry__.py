@@ -579,21 +579,41 @@ def _q_pipeline_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), cfg)
 
 
-def _q_genomic_candidates(spark, sf_dir):
-    """Reference-native lifecycle (rows-only): deterministic synthetic
-    genomes → windowed bottom-s sketch index → planted-fragment reads →
-    contiguous-range hit counting → top-k candidates."""
-    import numpy as np
+# The kperm (production Mueller-hash) sketch is not SQL-reproducible,
+# but everything DOWNSTREAM of it is: each kperm genomic entry writes
+# its Spark-computed sketch rows here as parquet and the DuckDB oracle
+# runs the probe/range/top-k lifecycle in SQL over the SAME rows
+# (read_parquet).  The hashing itself stays bit-exactness-gated in
+# pytest (test_hashing); this closes the former `no_oracle` gap for the
+# join/agg/top-k machinery.  Contract note: the driver (like
+# selfcheck.py) executes the Spark query before its oracle SQL, so the
+# view exists when DuckDB reads it.
+_ORACLE_VIEW_ROOT = "/tmp/mcs_oracle_views"
 
+
+def _materialize_view(df: DataFrame, name: str) -> DataFrame:
+    import os
+
+    path = os.path.join(_ORACLE_VIEW_ROOT, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _q_genomic_candidates(spark, sf_dir):
+    """Reference-native lifecycle, oracle-gated via the materialized
+    sketch view: deterministic synthetic genomes → windowed bottom-s
+    kperm sketch index → planted-fragment reads → feature probe (J1) →
+    contiguous-range hit counting (A1) → top-k + hitsMin (A2/P12).
+    The sketch rows (index AND query side) are parquet views; the
+    DuckDB twin runs the identical lifecycle SQL over them."""
     from metacache_mpi_spark.operators.genomic import (
         GenomicConfig,
+        _sketch_rows,
+        _top_candidates,
         build_index,
-        query_index,
     )
 
-    rng = np.random.RandomState(42)
-    dna = lambda n: "".join("ACGT"[i] for i in rng.randint(0, 4, size=n))  # noqa: E731
-    genomes = [(t, dna(600)) for t in range(6)]
+    rng, genomes = _genomic_fixture(spark)
     reads = []
     for qid in range(18):
         t = qid % 6
@@ -602,7 +622,14 @@ def _q_genomic_candidates(spark, sf_dir):
     cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57)
     tdf = spark.createDataFrame(genomes, "tgt long, seq string")
     qdf = spark.createDataFrame(reads, "qid long, seq string")
-    return query_index(qdf, build_index(tdf, cfg), cfg)
+    index = _materialize_view(build_index(tdf, cfg), "kperm_tidx")
+    qsk = _materialize_view(_sketch_rows(qdf, cfg, "qid"), "kperm_qsk")
+    matches = (
+        qsk.withColumnRenamed("win", "qwin")
+        .join(index, "feature")
+        .select("qid", "tgt", "win")
+    )
+    return _top_candidates(matches, cfg)
 
 
 def _genomic_fixture(spark):
@@ -617,13 +644,19 @@ def _genomic_fixture(spark):
 
 
 def _q_genomic_candidates_paired(spark, sf_dir):
-    """Paired-end lifecycle (rows-only): both mates' matches accumulate
-    into ONE candidate set per query; the window span derives from the
-    combined read length (classification.cpp:217-219)."""
+    """Paired-end lifecycle on the kperm sketch, oracle-gated via
+    materialized views: both mates' matches accumulate into ONE
+    candidate set per query; the A1 span is a per-query column derived
+    from the combined read length (classification.cpp:217-219).  The
+    mate sketch rows and the per-query span table are parquet views
+    the DuckDB twin reads."""
+    from pyspark.sql import functions as F
+
     from metacache_mpi_spark.operators.genomic import (
         GenomicConfig,
+        _sketch_rows,
+        _top_candidates,
         build_index,
-        query_index_paired,
     )
 
     rng, genomes = _genomic_fixture(spark)
@@ -637,18 +670,44 @@ def _q_genomic_candidates_paired(spark, sf_dir):
     cfg = GenomicConfig(k=8, sketch_size=8, winlen=64, winstride=57)
     tdf = spark.createDataFrame(genomes, "tgt long, seq string")
     qdf = spark.createDataFrame(reads, "qid long, seq1 string, seq2 string")
-    return query_index_paired(qdf, build_index(tdf, cfg), cfg)
+    # identical accumulation to query_index_paired (querying.h:49-75):
+    # both mates sketch under the SAME qid, so their rows union into one
+    # match set per query
+    mates = qdf.select("qid", F.col("seq1").alias("seq")).unionByName(
+        qdf.select("qid", F.col("seq2").alias("seq"))
+    )
+    index = _materialize_view(build_index(tdf, cfg), "kperm_p_tidx")
+    qsk = _materialize_view(_sketch_rows(mates, cfg, "qid"), "kperm_p_qsk")
+    span = _materialize_view(
+        qdf.select(
+            "qid",
+            (
+                F.lit(2)
+                + F.floor((F.length("seq1") + F.length("seq2")) / cfg.winstride)
+            ).cast("long").alias("nw_q"),
+        ),
+        "kperm_p_span",
+    )
+    matches = (
+        qsk.withColumnRenamed("win", "qwin")
+        .join(index, "feature")
+        .select("qid", "tgt", "win")
+        .join(span.hint("shuffle_hash"), "qid")
+    )
+    return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
 
 
 def _q_genomic_candidates_merged(spark, sf_dir):
-    """A3 merge-below-rank (rows-only): candidates merged at genus level
-    before top-k (candidates.h:242-283)."""
+    """A3 merge-below-rank on the kperm sketch, oracle-gated via
+    materialized views: candidates merged at genus level before top-k
+    (candidates.h:242-283).  The taxonomy lift dim is a 6-row literal
+    mirrored as VALUES in the DuckDB twin."""
     from metacache_mpi_spark.operators.genomic import (
         GenomicConfig,
+        _per_target_best,
+        _sketch_rows,
         build_index,
         merge_candidates_below_rank,
-        probe_matches,
-        _per_target_best,
     )
     from metacache_mpi_spark.operators.taxonomy import Taxonomy
 
@@ -671,7 +730,13 @@ def _q_genomic_candidates_merged(spark, sf_dir):
               **{t: "species" for t in range(10, 16)}},
     )
     target_taxid = {t: 10 + t for t in range(6)}
-    matches = probe_matches(qdf, build_index(tdf, cfg), cfg)
+    index = _materialize_view(build_index(tdf, cfg), "kperm_m_tidx")
+    qsk = _materialize_view(_sketch_rows(qdf, cfg, "qid"), "kperm_m_qsk")
+    matches = (
+        qsk.withColumnRenamed("win", "qwin")
+        .join(index, "feature")
+        .select("qid", "tgt", "win")
+    )
     # UNTRUNCATED per-target best ranges (the reference lifts taxa at
     # insert time, before its bounded candidate list), then genus merge
     per_target = _per_target_best(matches, cfg)
@@ -1680,4 +1745,93 @@ def oracle_sql() -> dict[str, str]:
     # (mode_merge.cpp:209-264 — features are target-partitioned, so
     # per-shard top-k re-aggregation loses nothing)
     out["genomic_candidates_merged_md5"] = out["genomic_candidates_md5"]
+
+    # ---- kperm lanes over materialized sketch views --------------------
+    # The production Mueller-hash sketch is pytest-gated (bit-exact,
+    # test_hashing); the lifecycle downstream of it is gated HERE: the
+    # Spark entries write their sketch rows to _ORACLE_VIEW_ROOT and
+    # these twins run the identical probe/range/top-k SQL over the same
+    # rows.  hitsMin = sketch_size // 3 = 2 for the s=8 fixtures.
+    def _kperm_lifecycle(tidx: str, qsk: str) -> str:
+        return f"""
+            tidx AS (SELECT tgt, win, feature
+                     FROM read_parquet('{_ORACLE_VIEW_ROOT}/{tidx}/*.parquet')),
+            qsk AS (SELECT qid, feature
+                    FROM read_parquet('{_ORACLE_VIEW_ROOT}/{qsk}/*.parquet')),
+            m AS (SELECT q.qid, t.tgt, t.win FROM qsk q JOIN tidx t USING (feature)),
+            pw AS (SELECT qid, tgt, win, count(*) AS whits
+                   FROM m GROUP BY qid, tgt, win)
+        """
+
+    _KPERM_RANKED = """
+        best AS (SELECT qid, tgt, hits, win AS win_beg,
+                        row_number() OVER (PARTITION BY qid, tgt
+                                           ORDER BY hits DESC, win ASC) AS rn
+                 FROM rng),
+        pt AS (SELECT qid, tgt, hits, win_beg FROM best WHERE rn = 1)
+    """
+    out["genomic_candidates"] = f"""
+        WITH {_kperm_lifecycle("kperm_tidx", "kperm_qsk")},
+        rng AS (SELECT qid, tgt, win,
+                       CAST(sum(whits) OVER (PARTITION BY qid, tgt ORDER BY win
+                            RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING)
+                            AS BIGINT) AS hits
+                FROM pw),
+        {_KPERM_RANKED},
+        topk AS (SELECT qid, tgt, hits, win_beg,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY hits DESC, tgt ASC) AS rank
+                 FROM pt)
+        SELECT qid, tgt, hits, win_beg, CAST(rank AS INT) AS rank
+        FROM topk WHERE rank <= 2 AND hits >= 2
+    """
+    out["genomic_candidates_paired"] = f"""
+        WITH {_kperm_lifecycle("kperm_p_tidx", "kperm_p_qsk")},
+        nw AS (SELECT qid, nw_q
+               FROM read_parquet('{_ORACLE_VIEW_ROOT}/kperm_p_span/*.parquet')),
+        rng AS (SELECT s.qid, s.tgt, s.win,
+                       CAST(sum(e.whits) AS BIGINT) AS hits
+                FROM pw s
+                JOIN nw ON nw.qid = s.qid
+                JOIN pw e ON e.qid = s.qid AND e.tgt = s.tgt
+                         AND e.win >= s.win
+                         AND e.win <= s.win + nw.nw_q - 1
+                GROUP BY s.qid, s.tgt, s.win),
+        {_KPERM_RANKED},
+        topk AS (SELECT qid, tgt, hits, win_beg,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY hits DESC, tgt ASC) AS rank
+                 FROM pt)
+        SELECT qid, tgt, hits, win_beg, CAST(rank AS INT) AS rank
+        FROM topk WHERE rank <= 2 AND hits >= 2
+    """
+    # A3 merge-below-rank: lift per-target UNTRUNCATED best ranges to
+    # genus via the literal dim, max-hits per (query, merged taxon)
+    # with the (hits desc, win_beg asc, tgt asc) tie-break, then top-4
+    out["genomic_candidates_merged"] = f"""
+        WITH {_kperm_lifecycle("kperm_m_tidx", "kperm_m_qsk")},
+        rng AS (SELECT qid, tgt, win,
+                       CAST(sum(whits) OVER (PARTITION BY qid, tgt ORDER BY win
+                            RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING)
+                            AS BIGINT) AS hits
+                FROM pw),
+        {_KPERM_RANKED},
+        lift(tgt, taxid) AS (VALUES (0, 100), (1, 100), (2, 100),
+                                    (3, 101), (4, 101), (5, 101)),
+        lifted AS (SELECT pt.qid, l.taxid, pt.hits, pt.win_beg, pt.tgt
+                   FROM pt JOIN lift l USING (tgt)),
+        ptax AS (SELECT qid, taxid, hits FROM
+                   (SELECT qid, taxid, hits,
+                           row_number() OVER (PARTITION BY qid, taxid
+                                              ORDER BY hits DESC, win_beg ASC,
+                                                       tgt ASC) AS rn
+                    FROM lifted)
+                 WHERE rn = 1),
+        topk AS (SELECT qid, taxid, hits,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY hits DESC, taxid ASC) AS rank
+                 FROM ptax)
+        SELECT qid, CAST(taxid AS BIGINT) AS taxid, hits, CAST(rank AS INT) AS rank
+        FROM topk WHERE rank <= 4 AND hits >= 2
+    """
     return out
