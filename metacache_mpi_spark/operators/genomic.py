@@ -176,18 +176,20 @@ def query_index_paired_md5(
     return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
 
 
-def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> DataFrame:
-    """targets(tgt, seq) → inverted index (feature, tgt, win).
+def _apply_index_postprocess(
+    rows: DataFrame, cfg: GenomicConfig
+) -> DataFrame:
+    """P17 cap / P13 prune over raw (feature, tgt, win) rows — shared
+    by :func:`build_index` and :func:`modify_index`.
 
-    Location lists are capped at ``max_locs_per_feature`` keeping the
-    smallest (tgt, win) deterministically — the reference keeps
+    Cap: location lists are capped at ``max_locs_per_feature`` keeping
+    the smallest (tgt, win) deterministically — the reference keeps
     insertion order (single-writer per rank); a distributed build has
     no global insertion order, so the deterministic total order stands
     in (divergence documented).  With ``remove_overpopulated``,
     features whose TOTAL location count exceeds the cap are dropped
     entirely (D3/D4 global count + prune).
     """
-    rows = _sketch_rows(targets, cfg, "tgt")
     counts = rows.groupBy("feature").agg(F.count(F.lit(1)).alias("n"))
     # feature-count sets scale with the index — shuffle join, never a
     # broadcast build (see prune_buckets)
@@ -219,6 +221,43 @@ def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> Dat
         .select("feature", "tgt", "win")
     )
     return small.unionByName(big_capped)
+
+
+def build_index(targets: DataFrame, cfg: GenomicConfig = GenomicConfig()) -> DataFrame:
+    """targets(tgt, seq) → inverted index (feature, tgt, win), with the
+    P17 location cap / optional P13 prune applied
+    (:func:`_apply_index_postprocess`)."""
+    return _apply_index_postprocess(_sketch_rows(targets, cfg, "tgt"), cfg)
+
+
+def modify_index(
+    index: DataFrame,
+    new_targets: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+) -> DataFrame:
+    """``modify`` mode: extend an existing inverted index with new
+    target sequences WITHOUT re-sketching the stored corpus
+    (/root/reference/src/main.cpp:72-73, src/modes.h:55,
+    ``main_mode_build_modify`` in src/mode_build.cpp — the reference
+    re-opens the DB and inserts new sequences into the live hash table,
+    then re-applies post-processing).
+
+    Only the NEW targets are sketched; the union re-applies the P17
+    cap.  For the default cap mode this is EXACTLY equivalent to a
+    from-scratch ``build(old ∪ new)``: the cap keeps each feature's
+    smallest ``max_locs_per_feature`` (tgt, win) locations, and any
+    location in the true smallest-k of the union that came from the old
+    corpus is necessarily within the old index's kept smallest-k —
+    capping is an idempotent selection (pytest
+    ``test_modify_equals_rebuild``).  With ``remove_overpopulated`` the
+    same one-way information loss as the reference applies: a feature
+    already pruned from the stored index cannot contribute its old
+    locations again, so its union count only reflects new rows — the
+    DB, like the reference's, no longer holds what it dropped.
+    """
+    new_rows = _sketch_rows(new_targets, cfg, "tgt")
+    u = index.select("feature", "tgt", "win").unionByName(new_rows)
+    return _apply_index_postprocess(u, cfg)
 
 
 def remove_ambiguous_features(
@@ -359,10 +398,19 @@ def query_index(
     queries: DataFrame,
     index: DataFrame,
     cfg: GenomicConfig = GenomicConfig(),
+    match_filter=None,
 ) -> DataFrame:
     """queries(qid, seq) × index → top-k candidates per query:
-    (qid, tgt, hits, win_beg) with hits ≥ hitsMin (J1 + A1 + A2 + P12)."""
-    return _top_candidates(probe_matches(queries, index, cfg), cfg)
+    (qid, tgt, hits, win_beg) with hits ≥ hitsMin (J1 + A1 + A2 + P12).
+
+    ``match_filter``: optional callable applied to the raw (qid, tgt,
+    win) match set BEFORE candidate aggregation — the slot where the
+    reference filters ``allhits`` (clade exclusion,
+    classification.cpp:174-181; see taxonomy.exclude_truth_clade)."""
+    m = probe_matches(queries, index, cfg)
+    if match_filter is not None:
+        m = match_filter(m)
+    return _top_candidates(m, cfg)
 
 
 def query_index_paired(
@@ -370,6 +418,7 @@ def query_index_paired(
     index: DataFrame,
     cfg: GenomicConfig = GenomicConfig(),
     insert_size_max: int = 0,
+    match_filter=None,
 ) -> DataFrame:
     """Paired-end query lifecycle: queries(qid, seq1, seq2) → top-k
     candidates with BOTH mates' matches accumulated into one candidate
@@ -387,6 +436,10 @@ def query_index_paired(
         "qid", F.col("seq1").alias("seq")
     ).unionByName(queries.select("qid", F.col("seq2").alias("seq")))
     matches = probe_matches(mates, index, cfg)
+    if match_filter is not None:
+        # same slot as single-end: raw accumulated mate matches, before
+        # the span attach and candidate aggregation
+        matches = match_filter(matches)
     # per-query window span from total read length (reference formula)
     span = queries.select(
         "qid",

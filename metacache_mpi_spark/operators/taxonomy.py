@@ -371,6 +371,78 @@ def exclude_clade(
     return candidates.where(~F.col("tgt").isin(list(inside)))
 
 
+def exclude_truth_clade(
+    matches: DataFrame,
+    taxonomy: Taxonomy,
+    target_taxid,
+    truth: DataFrame,
+    rank: str,
+) -> DataFrame:
+    """P15 per-query clade exclusion (`-exclude <rank>`,
+    /root/reference/src/classification.cpp:174-181 +
+    ``remove_hits_on_rank`` :141-157): for every query whose ground
+    truth is known, drop raw matches whose target's ancestor at
+    ``rank`` equals the truth taxon's ancestor at ``rank`` — the
+    leave-one-clade-out evaluation filter, applied BEFORE candidate
+    aggregation exactly as the reference filters ``allhits``.
+
+    ``target_taxid``: (tgt, taxid) DataFrame or dict.  ``truth``:
+    (qid, truth_taxid).  Ancestor lookups run driver-side over the
+    DISTINCT taxids (taxa metadata is driver-resident in the reference
+    too, sketch_database.h:545-560) and join back as broadcast dims —
+    never a per-match Python call.  Null handling mirrors the
+    reference's pointer equality: a match is dropped iff both ancestors
+    resolve equal INCLUDING the both-null case; queries with no truth
+    keep all matches.
+    """
+    spark = matches.sparkSession
+    if isinstance(target_taxid, dict):
+        tdim = spark.createDataFrame(
+            list(target_taxid.items()), "tgt long, taxid long"
+        )
+    else:
+        tdim = target_taxid.select("tgt", "taxid")
+    taxids = {
+        r["taxid"]
+        for r in tdim.select("taxid").distinct().collect()
+        if r["taxid"] is not None
+    } | {
+        r["truth_taxid"]
+        for r in truth.select("truth_taxid").distinct().collect()
+        if r["truth_taxid"] is not None
+    }
+    anc = spark.createDataFrame(
+        [(int(t), taxonomy.ancestor_at_rank(int(t), rank)) for t in taxids],
+        "taxid long, anc long",
+    )
+    # -1 stands in for "no ancestor at this rank" so the equality below
+    # reproduces the reference's null == null pointer comparison
+    tgt_anc = tdim.join(F.broadcast(anc), "taxid", "left").select(
+        "tgt", F.coalesce("anc", F.lit(-1)).alias("_tanc")
+    )
+    q_anc = truth.join(
+        F.broadcast(anc),
+        truth["truth_taxid"] == anc["taxid"],
+        "left",
+    ).select(
+        "qid",
+        F.when(
+            truth["truth_taxid"].isNotNull(),
+            F.coalesce("anc", F.lit(-1)),
+        ).alias("_qanc"),
+    )
+    return (
+        matches.join(F.broadcast(tgt_anc), "tgt", "left")
+        .join(F.broadcast(q_anc), "qid", "left")
+        .where(
+            F.col("_qanc").isNull()
+            | F.col("_tanc").isNull()
+            | (F.col("_tanc") != F.col("_qanc"))
+        )
+        .drop("_tanc", "_qanc")
+    )
+
+
 def taxon_counts(assignments: DataFrame) -> DataFrame:
     """A5: reads per assigned taxon."""
     return (

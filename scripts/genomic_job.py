@@ -1,14 +1,19 @@
-"""Reference-CLI-shaped genomic entry point: build / query / merge / info.
+"""Reference-CLI-shaped genomic entry point:
+build / modify / query / merge / annotate / info.
 
 Mirrors the mode surface of the reference binary
-(/root/reference/src/main.cpp modes: mode_build, mode_query,
-mode_merge, mode_info) on the Spark engine::
+(/root/reference/src/main.cpp modes: mode_build incl. the modify
+variant, mode_query, mode_merge, mode_annotate, mode_info) on the
+Spark engine::
 
     zip -qr /tmp/mcs.zip metacache_mpi_spark
     spark-submit --py-files /tmp/mcs.zip scripts/genomic_job.py \
         build --targets t.fasta --db /data/db [--k 16 --sketch 16 ...]
+    ... modify --targets more.fasta --db /data/db \
+        [--remove-overpopulated]
     ... query --db /data/db --reads r.fastq [--reads2 mate2.fastq] \
-        [--nodes nodes.dmp] [--out outdir]
+        [--nodes nodes.dmp] [--out outdir] [--truth [map.tsv]] \
+        [--precision] [--exclude RANK] [--abundance-per RANK]
     ... merge --results shard1_out shard2_out --out merged [--nodes ...]
     ... annotate --input seqs.fasta --mapping acc2taxid.tsv --out dir
     ... info [statistics|targets|lineages|featurecounts] --db /data/db
@@ -110,29 +115,18 @@ def _load_db(spark, db):
 
 
 def cmd_build(spark, args) -> dict:
-    from pyspark.sql import functions as F
-
     from metacache_mpi_spark.operators.genomic import build_index
-    from metacache_mpi_spark.sources.bio import (
-        read_sequences,
-        taxid_from_header,
-    )
 
     cfg = _cfg_from_args(args)
     # GLOBAL target id: record_idx is per-file (bio sources window by
     # file), so a directory/glob input would collide ids across files —
-    # hash (file, record_idx) instead (content-addressed, like doc_id)
-    seqs = read_sequences(spark, args.targets).select(
-        F.xxhash64("file", "record_idx").alias("tgt"), "seq", "header"
-    )
-    # target metadata is a parquet DIM, not a driver-side dict: the
+    # hash (file, record_idx) instead (content-addressed, like doc_id).
+    # Target metadata is a parquet DIM, not a driver-side dict: the
     # reference replicates taxa metadata on every rank
     # (/root/reference/src/sketch_database.h:545-560), but at 10^7+
     # targets a driver collect is a memory bound — query/merge join
     # this dim instead (AQE broadcasts it while it fits)
-    targets_dim = seqs.select(
-        "tgt", taxid_from_header().alias("taxid"), "header"
-    )
+    seqs, targets_dim = _read_target_seqs(spark, args.targets)
     index = build_index(seqs.select("tgt", "seq"), cfg)
     os.makedirs(args.db, exist_ok=True)
     index.write.mode("overwrite").parquet(
@@ -160,6 +154,95 @@ def cmd_build(spark, args) -> dict:
     return {"mode": "build", "targets": seqs.count(), "index_rows": n_features}
 
 
+def _read_target_seqs(spark, path):
+    """FASTA targets → (tgt, seq, header) with the GLOBAL content-
+    addressed target id (see cmd_build) plus the metadata dim."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.sources.bio import (
+        read_sequences,
+        taxid_from_header,
+    )
+
+    seqs = read_sequences(spark, path).select(
+        F.xxhash64("file", "record_idx").alias("tgt"), "seq", "header"
+    )
+    dim = seqs.select("tgt", taxid_from_header().alias("taxid"), "header")
+    return seqs, dim
+
+
+def _swap_write(df, final_path):
+    """Materialize ``df`` to ``<path>.tmp`` and swap it in.  The write
+    happens BEFORE the original files move, so a lazy plan reading the
+    old data is fully drained first; a crash mid-swap leaves either the
+    old dir or a recoverable ``.old``.  (At deployment this is an
+    Iceberg snapshot commit — plans/checkpoint.py is the engine's
+    manifest-atomic version of the same contract.)"""
+    import shutil
+
+    tmp = final_path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = final_path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(final_path, old)
+    os.rename(tmp, final_path)
+    shutil.rmtree(old)
+
+
+def cmd_modify(spark, args) -> dict:
+    """``modify`` mode (/root/reference/src/main.cpp:72-73,
+    src/modes.h:55, main_mode_build_modify in src/mode_build.cpp):
+    fold new target FASTAs into an existing DB — sketch ONLY the new
+    targets, continue content-addressed target ids, union with the
+    stored index, re-apply the P17 cap (+ P13 prune with
+    ``--remove-overpopulated``), and extend the targets dim.  The
+    sketch parameters ALWAYS come from the DB's meta.json: an index
+    mixing two k-mer configurations is garbage, exactly why the
+    reference refuses to modify with mismatched sketching params."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        modify_index,
+    )
+
+    index, meta = _load_db(spark, args.db)
+    cfg = GenomicConfig(
+        **{**meta["cfg"], "remove_overpopulated": args.remove_overpopulated}
+    )
+    seqs, new_dim = _read_target_seqs(spark, args.targets)
+    existing = spark.read.parquet(os.path.join(args.db, "targets.parquet"))
+    # a target already in the DB (same file identity) must not insert
+    # its windows twice — the reference skips sequences whose id is
+    # already present (mode_build.cpp database-add path)
+    fresh = seqs.join(
+        existing.select("tgt"), "tgt", "left_anti"
+    ).persist()
+    n_new = fresh.count()
+    n_skipped = seqs.count() - n_new
+    new_index = modify_index(index, fresh.select("tgt", "seq"), cfg)
+    _swap_write(new_index, os.path.join(args.db, "index.parquet"))
+    dim_union = existing.unionByName(
+        new_dim.join(fresh.select("tgt"), "tgt", "left_semi")
+    )
+    _swap_write(dim_union, os.path.join(args.db, "targets.parquet"))
+    fresh.unpersist()
+    index_rows = spark.read.parquet(
+        os.path.join(args.db, "index.parquet")
+    ).count()
+    targets_total = spark.read.parquet(
+        os.path.join(args.db, "targets.parquet")
+    ).count()
+    return {
+        "mode": "modify",
+        "new_targets": n_new,
+        "skipped_existing": n_skipped,
+        "targets": targets_total,
+        "index_rows": index_rows,
+    }
+
+
 def cmd_query(spark, args) -> dict:
     from pyspark.sql import functions as F
 
@@ -173,6 +256,69 @@ def cmd_query(spark, args) -> dict:
     index, meta = _load_db(spark, args.db)
     cfg = GenomicConfig(**meta["cfg"])
     out = {"mode": "query"}
+
+    # ---- evaluation surface (classification.cpp:294-353) -------------
+    # --truth resolves per-read ground truth (J6 4-strategy chain);
+    # --exclude <rank> runs leave-one-clade-out on the RAW matches;
+    # --precision / --abundance-per evaluate the assignments.
+    tax = None
+    if args.nodes:
+        from metacache_mpi_spark.operators.taxonomy import (
+            Taxonomy,
+            parse_nodes_dmp,
+        )
+
+        tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
+    want_truth = bool(
+        getattr(args, "truth", None)
+        or getattr(args, "precision", False)
+        or getattr(args, "exclude", None)
+    )
+    if getattr(args, "precision", False) and not getattr(args, "truth", None):
+        raise ValueError("--precision needs --truth")
+    if getattr(args, "exclude", None) and not (
+        getattr(args, "truth", None) and tax
+    ):
+        raise ValueError("--exclude needs --truth and --nodes")
+    if getattr(args, "abundance_per", None) and not tax:
+        raise ValueError("--abundance-per needs --nodes")
+
+    def _resolve_truth(with_header):
+        """(qid, header) → (qid, truth_taxid): header-token strategy,
+        or the full accession/gi mapping chain when --truth is a
+        mapping file path (taxonomy.resolve_ground_truth)."""
+        from metacache_mpi_spark.operators.taxonomy import (
+            resolve_ground_truth,
+        )
+        from metacache_mpi_spark.sources.bio import read_accession2taxid
+
+        mapping = (
+            None
+            if args.truth == "header"
+            else read_accession2taxid(spark, args.truth)
+        )
+        return resolve_ground_truth(with_header, mapping).select(
+            "qid", "truth_taxid"
+        ).persist()
+
+    truth = None
+    match_filter = None
+
+    def _exclusion_filter():
+        from metacache_mpi_spark.operators.taxonomy import (
+            exclude_truth_clade,
+        )
+
+        if "target_taxid" in meta:
+            tdim = {int(k): v for k, v in meta["target_taxid"].items()}
+        else:
+            tdim = spark.read.parquet(
+                os.path.join(args.db, "targets.parquet")
+            ).where(F.col("taxid").isNotNull()).select("tgt", "taxid")
+        return lambda m: exclude_truth_clade(
+            m, tax, tdim, truth, args.exclude
+        )
+
     if args.reads2:
         # paired mates pair up by (file position, within-file record
         # position): record_idx alone is per-file, so multi-file
@@ -199,22 +345,36 @@ def cmd_query(spark, args) -> dict:
             "fidx",
             F.col("record_idx").alias("ridx"),
             F.col("seq").alias("seq1"),
+            "header",
         )
         r2 = r2.select(
             "fidx",
             F.col("record_idx").alias("ridx"),
             F.col("seq").alias("seq2"),
         )
+        if want_truth:
+            # mate-1 headers carry the pair's identity (the reference
+            # resolves ground truth from the first mate's header)
+            truth = _resolve_truth(r1.select("qid", "header"))
+        if getattr(args, "exclude", None):
+            match_filter = _exclusion_filter()
         cands = query_index_paired(
             r1.join(r2, ["fidx", "ridx"]).select("qid", "seq1", "seq2"),
             index,
             cfg,
+            match_filter=match_filter,
         )
     else:
         reads = read_sequences(spark, args.reads).select(
-            F.xxhash64("file", "record_idx").alias("qid"), "seq"
+            F.xxhash64("file", "record_idx").alias("qid"), "seq", "header"
         )
-        cands = query_index(reads, index, cfg)
+        if want_truth:
+            truth = _resolve_truth(reads.select("qid", "header"))
+        if getattr(args, "exclude", None):
+            match_filter = _exclusion_filter()
+        cands = query_index(
+            reads.select("qid", "seq"), index, cfg, match_filter=match_filter
+        )
     if args.out:
         # read the written snapshot back: cands.count() and the
         # classification below would otherwise re-run the whole
@@ -228,17 +388,66 @@ def cmd_query(spark, args) -> dict:
     else:
         cands = cands.persist()
     out["candidates"] = cands.count()
+    if truth is not None:
+        out["truth_known"] = truth.where(
+            F.col("truth_taxid").isNotNull()
+        ).count()
     if args.nodes:
-        out.update(
-            _classify_and_write(spark, args, cands, meta, cfg, args.out)
+        counts, assigned = _classify_and_write(
+            spark, args, cands, meta, cfg, args.out
         )
+        out.update(counts)
+        if getattr(args, "precision", False):
+            # per-rank sensitivity/precision (A9/A10,
+            # classification_statistics.h:91-224) over assignment vs
+            # ground truth; the 10-row table rides in the JSON line and
+            # lands as parquet under --out
+            from metacache_mpi_spark.operators.evaluate import (
+                per_rank_stats,
+                rank_positions,
+            )
+
+            joined = assigned.select("qid", "taxid").join(
+                truth, "qid", "left"
+            )
+            stats = per_rank_stats(rank_positions(joined, tax))
+            if args.out:
+                stats.write.mode("overwrite").parquet(
+                    os.path.join(args.out, "precision.parquet")
+                )
+            out["precision"] = {
+                r["rank"]: {
+                    "sensitivity_micro": r["sensitivity_micro"],
+                    "precision_micro": r["precision_micro"],
+                }
+                for r in stats.collect()
+            }
+        if getattr(args, "abundance_per", None):
+            # A6 hierarchical abundance at the requested rank
+            # (classification.cpp:362-428)
+            from metacache_mpi_spark.operators.taxonomy import (
+                abundance_estimate_df,
+            )
+
+            ab = abundance_estimate_df(assigned, tax, args.abundance_per)
+            if args.out:
+                ab.write.mode("overwrite").parquet(
+                    os.path.join(args.out, "abundance.parquet")
+                )
+                ab = spark.read.parquet(
+                    os.path.join(args.out, "abundance.parquet")
+                )
+            out["abundance_taxa"] = ab.count()
+    if truth is not None:
+        truth.unpersist()
     return out
 
 
-def _classify_and_write(spark, args, cands, meta, cfg, out_dir) -> dict:
+def _classify_and_write(spark, args, cands, meta, cfg, out_dir):
     """Ranked-LCA classification tail shared by query and merge: load
     the taxonomy, join the targets dim (or a legacy meta.json map),
-    classify, optionally persist assignments; returns the count dict."""
+    classify, optionally persist assignments; returns (count dict,
+    assignments DataFrame) — the DataFrame feeds the evaluation flags."""
     from pyspark.sql import functions as F
 
     from metacache_mpi_spark.operators.taxonomy import (
@@ -263,13 +472,23 @@ def _classify_and_write(spark, args, cands, meta, cfg, out_dir) -> dict:
         cands, tax, tdim, hits_min=cfg.hits_min_effective
     )
     if out_dir:
+        # read the snapshot back so the counts and any evaluation pass
+        # scan the written parquet instead of re-running the chain
         assigned.write.mode("overwrite").parquet(
             os.path.join(out_dir, "assignments.parquet")
         )
-    return {
-        "classified": assigned.where(F.col("taxid").isNotNull()).count(),
-        "taxa": taxon_counts(assigned).count(),
-    }
+        assigned = spark.read.parquet(
+            os.path.join(out_dir, "assignments.parquet")
+        )
+    else:
+        assigned = assigned.persist()
+    return (
+        {
+            "classified": assigned.where(F.col("taxid").isNotNull()).count(),
+            "taxa": taxon_counts(assigned).count(),
+        },
+        assigned,
+    )
 
 
 def cmd_merge(spark, args) -> dict:
@@ -303,9 +522,10 @@ def cmd_merge(spark, args) -> dict:
     if args.nodes:
         # the reference's merge mode classifies the merged candidate
         # lists (mode_merge.cpp taxonomy options + classification.h)
-        out.update(
-            _classify_and_write(spark, args, merged, meta, cfg, args.out)
+        counts, _ = _classify_and_write(
+            spark, args, merged, meta, cfg, args.out
         )
+        out.update(counts)
     return out
 
 
@@ -442,12 +662,31 @@ def main() -> None:
     b.add_argument("--winstride", type=int, default=113)
     b.add_argument("--max-cand", type=int, default=2)
 
+    mo = sub.add_parser("modify", parents=[common])
+    mo.add_argument("--targets", required=True)
+    mo.add_argument("--db", required=True)
+    mo.add_argument("--remove-overpopulated", action="store_true")
+
     q = sub.add_parser("query", parents=[common])
     q.add_argument("--db", required=True)
     q.add_argument("--reads", required=True)
     q.add_argument("--reads2", default=None)
     q.add_argument("--nodes", default=None)
     q.add_argument("--out", default=None)
+    # evaluation surface (classification.cpp:294-353,
+    # query_options.cpp:205-210): ground truth, per-rank precision,
+    # clade exclusion, per-rank abundance
+    q.add_argument(
+        "--truth",
+        nargs="?",
+        const="header",
+        default=None,
+        help="ground truth: 'header' (taxid|N token) or an "
+        "accession2taxid mapping file (full 4-strategy chain)",
+    )
+    q.add_argument("--precision", action="store_true")
+    q.add_argument("--exclude", default=None, metavar="RANK")
+    q.add_argument("--abundance-per", default=None, metavar="RANK")
 
     m = sub.add_parser("merge", parents=[common])
     m.add_argument("--results", nargs="+", required=True)
@@ -482,6 +721,7 @@ def main() -> None:
     t0 = time.time()
     result = {
         "build": cmd_build,
+        "modify": cmd_modify,
         "query": cmd_query,
         "merge": cmd_merge,
         "annotate": cmd_annotate,

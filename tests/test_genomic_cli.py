@@ -318,3 +318,233 @@ def test_annotate_counts_untagged_headers(spark, tmp_path):
         "mode": "annotate", "sequences": 2, "annotated": 1,
         "unmapped": 0, "untagged": 1,
     }
+
+
+def test_modify_equals_rebuild(spark, tmp_path):
+    """build(A) + modify(B) must equal build(A ∪ B) on index rows,
+    targets dim and query output — the mode_build_modify contract
+    (/root/reference/src/mode_build.cpp main_mode_build_modify)."""
+    rng = np.random.RandomState(3)
+    d = tmp_path / "targets_all"
+    d.mkdir()
+    genomes = {t: _dna(rng, 700) for t in (5, 6, 7, 8)}
+    (d / "a.fasta").write_text(
+        "".join(f">taxid|{t} g{t}\n{genomes[t]}\n" for t in (5, 6))
+    )
+    (d / "b.fasta").write_text(
+        "".join(f">taxid|{t} g{t}\n{genomes[t]}\n" for t in (7, 8))
+    )
+    build_kw = dict(k=8, sketch=8, winlen=64, winstride=57, max_cand=2)
+    db_inc = str(tmp_path / "db_inc")
+    db_full = str(tmp_path / "db_full")
+    genomic_job.cmd_build(
+        spark,
+        argparse.Namespace(targets=str(d / "a.fasta"), db=db_inc, **build_kw),
+    )
+    mod = genomic_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            targets=str(d / "b.fasta"), db=db_inc, remove_overpopulated=False
+        ),
+    )
+    assert mod["new_targets"] == 2 and mod["skipped_existing"] == 0
+    assert mod["targets"] == 4
+    genomic_job.cmd_build(
+        spark, argparse.Namespace(targets=str(d), db=db_full, **build_kw)
+    )
+
+    def idx_rows(db):
+        return sorted(
+            (r["feature"], r["tgt"], r["win"])
+            for r in spark.read.parquet(
+                os.path.join(db, "index.parquet")
+            ).collect()
+        )
+
+    assert idx_rows(db_inc) == idx_rows(db_full)
+    dim_inc = sorted(
+        (r["tgt"], r["taxid"])
+        for r in spark.read.parquet(
+            os.path.join(db_inc, "targets.parquet")
+        ).collect()
+    )
+    dim_full = sorted(
+        (r["tgt"], r["taxid"])
+        for r in spark.read.parquet(
+            os.path.join(db_full, "targets.parquet")
+        ).collect()
+    )
+    assert dim_inc == dim_full
+
+    # query output equality on reads planted in the NEW targets
+    reads = tmp_path / "reads.fastq"
+    reads.write_text(
+        "".join(
+            f"@r{i}\n{genomes[7 + i % 2][int(50 * i):int(50 * i) + 120]}\n"
+            f"+\n{'!' * 120}\n"
+            for i in range(4)
+        )
+    )
+    outs = []
+    for db in (db_inc, db_full):
+        q = argparse.Namespace(
+            db=db, reads=str(reads), reads2=None, nodes=None,
+            out=str(tmp_path / f"q_{os.path.basename(db)}"),
+        )
+        outs.append(genomic_job.cmd_query(spark, q))
+    assert outs[0]["candidates"] == outs[1]["candidates"] > 0
+    cand_rows = [
+        sorted(
+            (r["qid"], r["tgt"], r["hits"], r["win_beg"], r["rank"])
+            for r in spark.read.parquet(
+                str(tmp_path / f"q_{os.path.basename(db)}" / "candidates.parquet")
+            ).collect()
+        )
+        for db in (db_inc, db_full)
+    ]
+    assert cand_rows[0] == cand_rows[1]
+
+    # re-modifying with the same file is a no-op (ids already present)
+    again = genomic_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            targets=str(d / "b.fasta"), db=db_inc, remove_overpopulated=False
+        ),
+    )
+    assert again["new_targets"] == 0 and again["skipped_existing"] == 2
+    assert idx_rows(db_inc) == idx_rows(db_full)
+
+
+def test_modify_recaps_capped_features(spark):
+    """The P17 cap must hold ACROSS the union: capping is an idempotent
+    smallest-k selection, so extend-then-recap equals rebuild even when
+    the stored index was already capped (operator-level gate with a
+    tiny cap and deliberately shared features)."""
+    from metacache_mpi_spark.operators.genomic import (
+        GenomicConfig,
+        build_index,
+        modify_index,
+    )
+
+    cfg = GenomicConfig(
+        k=8, sketch_size=8, winlen=64, winstride=57, max_locs_per_feature=3
+    )
+    seq = "ACGTACGTACGTACGTACGTACGTACGTACGT"  # identical → shared features
+    a = spark.createDataFrame(
+        [(t, seq) for t in range(5)], "tgt long, seq string"
+    )
+    b = spark.createDataFrame(
+        [(t, seq) for t in range(5, 9)], "tgt long, seq string"
+    )
+    ab = a.unionByName(b)
+    inc = modify_index(build_index(a, cfg), b, cfg)
+    full = build_index(ab, cfg)
+    key = lambda df: sorted(  # noqa: E731
+        (r["feature"], r["tgt"], r["win"]) for r in df.collect()
+    )
+    rows = key(inc)
+    assert rows == key(full)
+    # the cap actually bound: no feature carries more than 3 locations
+    from collections import Counter
+
+    per_feature = Counter(f for f, _, _ in rows)
+    assert max(per_feature.values()) == 3
+
+
+@pytest.fixture(scope="module")
+def eval_reads(cli_fixture):
+    """Reads whose FASTQ headers carry taxid|N ground-truth tokens —
+    the header strategy of the J6 truth chain."""
+    rng = np.random.RandomState(21)
+    d = cli_fixture["dir"]
+    path = d / "eval_reads.fastq"
+    from metacache_mpi_spark.sources.bio import read_sequences  # noqa: F401
+
+    # re-derive the target genomes deterministically (same RNG stream
+    # as cli_fixture)
+    rng7 = np.random.RandomState(7)
+    genomes = {t: _dna(rng7, 800) for t in (5, 6)}
+    recs = []
+    for t in (5, 6):
+        for i in range(4):
+            s = int(rng.randint(0, 600))
+            recs.append((t, i, genomes[t][s : s + 120]))
+    path.write_text(
+        "".join(
+            f"@taxid|{t}|r{i}\n{s}\n+\n{'!' * len(s)}\n" for t, i, s in recs
+        )
+    )
+    return str(path)
+
+
+def test_query_eval_flags(spark, cli_fixture, built_db, eval_reads, tmp_path):
+    """--truth / --precision / --abundance-per end to end: truth
+    resolves from headers, the per-rank table lands in the JSON line
+    and as parquet, abundance aggregates at the requested rank."""
+    out_dir = str(tmp_path / "evalq")
+    args = argparse.Namespace(
+        db=built_db, reads=eval_reads, reads2=None,
+        nodes=cli_fixture["nodes"], out=out_dir,
+        truth="header", precision=True, exclude=None,
+        abundance_per="genus",
+    )
+    out = genomic_job.cmd_query(spark, args)
+    assert out["truth_known"] == 8
+    assert out["classified"] > 0
+    prec = out["precision"]
+    assert prec["species"]["sensitivity_micro"] > 0
+    # every correct species call is also correct at genus — cumulative
+    assert (
+        prec["genus"]["sensitivity_micro"]
+        >= prec["species"]["sensitivity_micro"]
+    )
+    assert out["abundance_taxa"] >= 1
+    assert os.path.exists(os.path.join(out_dir, "precision.parquet"))
+    ab = spark.read.parquet(os.path.join(out_dir, "abundance.parquet"))
+    # both species hang off genus 4: all abundance lifts there
+    assert [r["taxid"] for r in ab.collect()] == [4]
+
+
+def test_query_exclude_clade(spark, cli_fixture, built_db, eval_reads):
+    """--exclude RANK (classification.cpp:174-181): excluding at
+    species removes each read's own target's matches (the genus-mate
+    can still hit); excluding at genus removes BOTH targets (they share
+    genus 4) — zero candidates."""
+    base = dict(
+        db=built_db, reads=eval_reads, reads2=None,
+        nodes=cli_fixture["nodes"], out=None, truth="header",
+        precision=False, abundance_per=None,
+    )
+    plain = genomic_job.cmd_query(
+        spark, argparse.Namespace(**base, exclude=None)
+    )
+    at_species = genomic_job.cmd_query(
+        spark, argparse.Namespace(**base, exclude="species")
+    )
+    at_genus = genomic_job.cmd_query(
+        spark, argparse.Namespace(**base, exclude="genus")
+    )
+    assert plain["candidates"] > 0
+    assert at_species["candidates"] < plain["candidates"]
+    assert at_genus["candidates"] == 0
+
+
+def test_query_eval_flag_validation(spark, cli_fixture, built_db):
+    with pytest.raises(ValueError, match="--precision needs --truth"):
+        genomic_job.cmd_query(
+            spark,
+            argparse.Namespace(
+                db=built_db, reads=cli_fixture["reads1"], reads2=None,
+                nodes=None, out=None, truth=None, precision=True,
+                exclude=None, abundance_per=None,
+            ),
+        )
+    with pytest.raises(ValueError, match="--exclude needs"):
+        genomic_job.cmd_query(
+            spark,
+            argparse.Namespace(
+                db=built_db, reads=cli_fixture["reads1"], reads2=None,
+                nodes=None, out=None, truth="header", precision=False,
+                exclude="genus", abundance_per=None,
+            ),
+        )
