@@ -9,9 +9,13 @@ Algorithm: alternating **large-star / small-star** (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
 rounds, per-round work proportional to the edge list, no driver-side
 graph state.  Spark has no fixpoint primitive (SURVEY.md §4), so this is
-a driver loop over DataFrame ops with per-iteration ``localCheckpoint``
-to cut lineage (at cluster scale: swap for checkpoint/Iceberg snapshots
-— see plans/checkpoint.py).
+a driver loop over DataFrame ops with per-iteration lineage cuts:
+``localCheckpoint`` by default (fast, executor-loss-UNSAFE), or durable
+per-iteration snapshots through a
+:class:`~..plans.checkpoint.CheckpointManager` (``snapshots=``) — a
+killed run resumes from its last committed iteration instead of
+restarting the loop (pytest ``test_cc_checkpointed_resume``), the shape
+long CC runs need at cluster scale.
 
 Conventions: node ids are int64; cluster id = smallest node id in the
 component (deterministic, stable across partitionings).
@@ -113,11 +117,19 @@ def _unionfind_local(rows: list, spark) -> DataFrame:
     return spark.createDataFrame(out, "node long, component long")
 
 
+# Hard bound on the driver-side union-find collect: ~4M (a, b) rows is
+# ~100-200 MB of driver heap — a threshold above this is a driver OOM
+# foot-gun, not a tuning knob (driver memory grows ∝ local_threshold).
+MAX_LOCAL_EDGES = 4_000_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint: bool = True,
     local_threshold: int = 1_000_000,
+    snapshots=None,
+    snapshot_prefix: str = "cc",
 ) -> DataFrame:
     """Edge list (a, b) → assignments (node, component).
 
@@ -128,7 +140,26 @@ def connected_components(
     edges resolve on the driver (exact union-find, one collect);
     larger inputs run the distributed large-star/small-star loop.
     Set ``local_threshold=0`` to force the distributed path.
+    ``local_threshold`` is capped at :data:`MAX_LOCAL_EDGES` (driver
+    memory scales with it) — above the cap the call raises instead of
+    silently risking a driver OOM.
+
+    ``snapshots``: optional :class:`~..plans.checkpoint.CheckpointManager`
+    — each loop iteration commits as snapshot
+    ``{snapshot_prefix}_iterNNN`` and a restarted run (same manager
+    root, same input edge list) loads completed iterations instead of
+    recomputing them.  Forces the distributed path (checkpointing a
+    driver-local union-find is meaningless) and replaces the
+    executor-loss-unsafe ``localCheckpoint`` lineage cut with durable
+    parquet.
     """
+    if local_threshold > MAX_LOCAL_EDGES:
+        raise ValueError(
+            f"local_threshold={local_threshold} exceeds MAX_LOCAL_EDGES="
+            f"{MAX_LOCAL_EDGES}: the driver collects that many edge rows "
+            "(memory ∝ threshold). Lower it or use the distributed path "
+            "(local_threshold=0)."
+        )
     spark = edges.sparkSession
     e = (
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
@@ -146,7 +177,7 @@ def connected_components(
     if n_edges == 0:
         e.unpersist()
         return spark.createDataFrame([], "node long, component long")
-    if 0 < local_threshold and n_edges <= local_threshold:
+    if snapshots is None and 0 < local_threshold and n_edges <= local_threshold:
         rows = e.collect()
         # release the probe cache — one leaked entry per micro-batch
         # otherwise (streaming runs this once per batch)
@@ -155,12 +186,22 @@ def connected_components(
 
     e0 = e  # the persisted probe input; released after the loop
     prev_fp = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(_symmetrize(e)))
-        if checkpoint:
-            # lazy localCheckpoint: materialized by the fingerprint
-            # action below — one Spark job per iteration, not two
-            e = e.localCheckpoint(eager=False)
+    for i in range(max_iter):
+        if snapshots is not None:
+            # durable per-iteration snapshot: a committed iteration is
+            # LOADED on resume (the closure only runs when missing);
+            # the re-read parquet cuts lineage, so no localCheckpoint
+            prev = e
+            e = snapshots.get_or_compute(
+                f"{snapshot_prefix}_iter{i:03d}",
+                lambda: _small_star(_large_star(_symmetrize(prev))),
+            )
+        else:
+            e = _small_star(_large_star(_symmetrize(e)))
+            if checkpoint:
+                # lazy localCheckpoint: materialized by the fingerprint
+                # action below — one Spark job per iteration, not two
+                e = e.localCheckpoint(eager=False)
         fp = _edge_fingerprint(e)
         if fp == prev_fp:
             break

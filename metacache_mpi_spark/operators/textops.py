@@ -75,17 +75,13 @@ def ngram_jaccard_pairs(
     """
     # the discriminative-shingle subtree is referenced four times below
     # (sizes, keep-join, both self-join sides) — pin it once instead of
-    # recomputing the explode+distinct chain per reference.  Pin choice
-    # is MEASURED, not doctrinal: this table is corpus×shingles-sized
-    # (millions of short rows), and caching it via persist() costs 2×
-    # the whole query (6.6 s vs 3.6 s at sf0.1, steady-state A/B) —
-    # the storage write+read of the wide explode dwarfs the driver-side
-    # stage scheduling the localCheckpoint trap note warns about, which
-    # only bites UDF-heavy lineages (plans/pipeline.py).  Small pinned
-    # tables (band buckets, per-doc fingerprints) use persist().
-    disc = discriminative_shingles(docs, k, cap).localCheckpoint(
-        eager=False
-    )
+    # recomputing the explode+distinct chain per reference.  This is
+    # the measured storage_dominated exception (caching the
+    # corpus×shingles explode via persist() cost 2× the whole query):
+    # decision rule + A/B numbers live in plans/pinning.py.
+    from ..plans.pinning import pin
+
+    disc = pin(discriminative_shingles(docs, k, cap), storage_dominated=True)
     sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = disc.alias("x")
     y = disc.alias("y")

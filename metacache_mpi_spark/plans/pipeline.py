@@ -170,6 +170,7 @@ def dedup_pipeline(
 
     if bucketed_warehouse is not None:
         import hashlib
+        import json as _json
         import os as _os
 
         from .bucketing import read_bucketed, write_bucketed
@@ -179,16 +180,37 @@ def dedup_pipeline(
         # the materialization (no persist/count needed — consumers read
         # the catalog table, never the UDF lineage).  WRITE-ONCE
         # contract: a warehouse dir pins ONE corpus's sketch state — if
-        # the table already exists in this session it is REUSED as-is
+        # the table already exists in this session it is REUSED
         # (the amortization the bucketing exists for: repeated verify
         # passes never re-sketch or re-shuffle the corpus).  Re-writing
         # here instead would yank the files out from under any earlier
         # result's still-lazy DataFrames.  Point a NEW corpus at a NEW
-        # warehouse dir (or drop the table) — reusing a dir across
-        # corpora returns the stored corpus, deliberately.
+        # warehouse dir (or drop the table).  Reuse is GUARDED by a
+        # corpus fingerprint (row count + min/max doc id) recorded at
+        # write time: a different corpus against a stored warehouse
+        # raises instead of silently returning the stored corpus's
+        # clusters.  The check costs one (count, min, max) aggregation
+        # over the prepared docs per reuse — cheap next to any verify
+        # pass, and far cheaper than the silent-mismatch failure mode.
         table = "mcs_sigs_" + hashlib.md5(
             bucketed_warehouse.encode()
         ).hexdigest()[:10]
+        fp_path = _os.path.join(
+            bucketed_warehouse, table + ".fingerprint.json"
+        )
+
+        def _docs_fingerprint() -> dict:
+            row = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(id_col).alias("lo"),
+                F.max(id_col).alias("hi"),
+            ).collect()[0]
+            return {
+                "rows": int(row["n"]),
+                "min_doc_id": row["lo"] and int(row["lo"]),
+                "max_doc_id": row["hi"] and int(row["hi"]),
+            }
+
         if not spark.catalog.tableExists(table):
             sig_df = (
                 checkpoints.get_or_compute("signatures", _signatures)
@@ -202,6 +224,20 @@ def dedup_pipeline(
                 num_buckets=spark.sparkContext.defaultParallelism,
                 path=_os.path.join(bucketed_warehouse, table),
             )
+            with open(fp_path, "w") as fh:
+                _json.dump(_docs_fingerprint(), fh)
+        elif _os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                stored = _json.load(fh)
+            got = _docs_fingerprint()
+            if got != stored:
+                raise ValueError(
+                    f"bucketed_warehouse {bucketed_warehouse!r} holds a "
+                    f"DIFFERENT corpus (stored fingerprint {stored}, "
+                    f"this call's docs {got}); point a new corpus at a "
+                    "new warehouse dir or drop the table "
+                    f"{table!r}"
+                )
         signatures = read_bucketed(spark, table)
     else:
         signatures = stage("signatures", _signatures)

@@ -85,9 +85,16 @@ def _with_file_index(df, path):
     local = _list_local_files(path)
     if local is not None:
         files = [os.path.abspath(f) for f in local]
-        # normalize file:///a%20b URIs back to plain paths
+        # normalize file:///a%20b URIs back to plain paths.  url_decode
+        # has FORM semantics (a raw '+' decodes to a space, which would
+        # unmap any file named with '+'); Hadoop URIs keep '+' literal,
+        # so pre-escape it to %2B for a percent-only decode.
         key = F.url_decode(
-            F.regexp_replace(F.col("file"), r"^file:/*", "/")
+            F.regexp_replace(
+                F.regexp_replace(F.col("file"), r"^file:/*", "/"),
+                r"\+",
+                "%2B",
+            )
         )
     else:
         files = sorted(

@@ -123,6 +123,7 @@ def test_bucketed_warehouse_is_write_once(spark, tiny_corpus, tmp_path):
     table_dir = next(
         os.path.join(wh, d) for d in os.listdir(wh)
         if d.startswith("mcs_sigs_")
+        and os.path.isdir(os.path.join(wh, d))  # skip the .fingerprint.json
     )
     mtime = max(
         os.path.getmtime(os.path.join(table_dir, f))
@@ -138,3 +139,32 @@ def test_bucketed_warehouse_is_write_once(spark, tiny_corpus, tmp_path):
         for f in os.listdir(table_dir)
     )
     assert mtime2 == mtime  # table files untouched by the second run
+
+
+def test_bucketed_warehouse_rejects_different_corpus(
+    spark, tiny_corpus, tmp_path
+):
+    """The write-once reuse contract is now GUARDED: a second
+    dedup_pipeline call against the same warehouse with a DIFFERENT
+    corpus must raise (r4 advice — previously it silently returned the
+    stored corpus's clusters, ignoring the new pages)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    wh = str(tmp_path / "wh_guard")
+    pages = load_pages(spark, tiny_corpus)
+    first = dedup_pipeline(pages, bucketed_warehouse=wh)
+    n = first.clusters.count()
+    assert n > 0
+
+    # same corpus → reuse is fine
+    again = dedup_pipeline(pages, bucketed_warehouse=wh)
+    assert again.clusters.count() == n
+
+    # different corpus (a strict subset) → fingerprint mismatch
+    subset = pages.where(F.xxhash64("url") % 2 == 0)
+    with pytest.raises(ValueError, match="DIFFERENT corpus"):
+        dedup_pipeline(subset, bucketed_warehouse=wh)

@@ -548,3 +548,22 @@ def test_query_eval_flag_validation(spark, cli_fixture, built_db):
                 exclude="genus", abundance_per=None,
             ),
         )
+
+
+def test_file_index_handles_plus_and_space_in_names(spark, tmp_path):
+    """url_decode has form semantics ('+' → space): a file whose name
+    contains a literal '+' must still map to its mate index (r4 advice);
+    '%20'-encoded spaces keep decoding correctly."""
+    from metacache_mpi_spark.sources.bio import read_sequences
+
+    d = tmp_path / "plusdir"
+    d.mkdir()
+    (d / "a+b sample.fasta").write_text(">r0\nACGTACGTACGT\n")
+    (d / "c.fasta").write_text(">r1\nTTTTGGGGCCCC\n")
+    df, n = genomic_job._with_file_index(
+        read_sequences(spark, str(d)), str(d)
+    )
+    rows = df.select("fidx", "header").collect()  # raises if unmapped
+    assert n == 2
+    got = {r["header"]: r["fidx"] for r in rows}
+    assert got == {"r0": 0, "r1": 1}  # sorted order: 'a+b…' before 'c'

@@ -124,3 +124,58 @@ def test_signatures_shape(spark, tiny_corpus):
     ).first()
     assert row["w"] == 16
     assert row["simhash"] is not None
+
+
+def test_kperm_and_md5_modes_agree_on_exact_dups(spark):
+    """The production kperm sketch and the oracle md5 sketch must
+    produce IDENTICAL verified-pair sets on a fixture where banding
+    recall is exactly 1.0 in both modes (exact duplicates: identical
+    shingle sets → identical signatures → every band collides; distinct
+    docs fail the τ=0.6 exact-Jaccard verify regardless of chance
+    collisions).  This pins the production minhash-UDF/xxhash bucket
+    kernel to the oracle-gated md5 twin (r4 advice)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+
+    rng = np.random.RandomState(13)
+    words = [
+        "".join("abcdefghij"[c] for c in rng.randint(0, 10, size=6))
+        for _ in range(400)
+    ]
+    rows = []
+    doc_id = 0
+    want_pairs = set()
+    for g in range(12):
+        text = " ".join(words[rng.randint(0, 400)] for _ in range(20))
+        copies = 1 + g % 3
+        members = []
+        for _ in range(copies):
+            rows.append((doc_id, f"doc://{doc_id}", text))
+            members.append(doc_id)
+            doc_id += 1
+        want_pairs |= {
+            (a, b) for a in members for b in members if a < b
+        }
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    kperm = dedup_pipeline(docs, DedupConfig(shingle_k=8))
+    md5 = dedup_pipeline(
+        docs,
+        DedupConfig(
+            shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
+            sketch_mode="md5",
+        ),
+    )
+    kp = {(r["a"], r["b"]) for r in kperm.pairs.select("a", "b").collect()}
+    mp = {(r["a"], r["b"]) for r in md5.pairs.select("a", "b").collect()}
+    assert kp == mp == want_pairs
+    # cluster assignments agree too (same edges → same components)
+    ka = sorted(map(tuple, kperm.clusters.collect()))
+    ma = sorted(map(tuple, md5.clusters.collect()))
+    assert ka == ma
+    kperm.unpersist()
+    md5.unpersist()
