@@ -635,82 +635,84 @@ def pq_topk(
     return _ranked_topk(exact, k, ["vec_id", "cos_micro"])
 
 
-def pq_batch_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = TOPK,
-    m: int = 8,
-    n_codes: int = 16,
-    codebooks: np.ndarray | None = None,
-    encoded: DataFrame | None = None,
-    rerank: bool = True,
-    oversample: int = 5,
-) -> DataFrame:
-    """Batched PQ ANN (asymmetric distance): the queries-DataFrame form
-    of :func:`pq_topk` — N queries answered by ONE codes-only corpus
-    scan, no per-query job.
-
-    The query batch is collected ONCE (it is the small side by
-    contract — a retrieval batch, not a corpus) and compiled into a
-    broadcast LUT tensor of partial inner products, (n_queries, m,
-    n_codes) int64 micros.  One ``mapInPandas`` pass then scores every
-    (query, corpus-row) pair from the m-byte codes — a NumPy gather+sum
-    per Arrow batch — and emits only each query's per-batch top
-    ``k·oversample`` shortlist rows: the prune happens MAP-SIDE, before
-    any shuffle, so shuffle volume is ~n_queries · k·oversample rows
-    per input partition regardless of corpus size.  The global
-    per-query shortlist then re-ranks exactly against the float vectors
-    (touching k·oversample rows per query, not the corpus).
-
-    Returns (query_id, vec_id, cos_micro, rank) — with ``rerank=False``
-    (codes-only ADC) returns (query_id, vec_id, score_micro, rank).
-    Recall vs :func:`cosine_batch_topk` is gated in pytest.
-    """
-    if codebooks is None:
-        codebooks = train_pq_codebooks(emb, m=m, k=n_codes)
-    enc = pq_encode(emb, codebooks) if encoded is None else encoded
+def _collect_query_batch(queries: DataFrame):
+    """ONE driver collect of the query batch (the small side by
+    contract — a retrieval batch, not a corpus); returns (qids,
+    Q L2-normalized, Q raw) or (None, None, None) when empty.  The raw
+    form feeds coarse-centroid distances (the corpus was IVF-assigned
+    un-normalized); the normalized form feeds PQ LUTs and the cosine
+    re-rank."""
     q_rows = queries.select("query_id", "embedding").collect()
     if not q_rows:
-        return emb.sparkSession.createDataFrame(
-            [],
-            "query_id long, vec_id long, "
-            + ("cos_micro long" if rerank else "score_micro long")
-            + ", rank int",
-        )
+        return None, None, None
     qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
-    Q = _l2n(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    raw = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    return qids, _l2n(raw), raw
+
+
+def _pq_luts(codebooks: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(nq, m, n_codes) int64 micro LUT tensor:
+    LUT[q, j, c] = round(1e6 · <codebook[j][c], Q[q] subvector j>)."""
     mm, kk, dsub = codebooks.shape
-    # LUT[q, j, c] = round(1e6 · <codebook[j][c], Q[q] subvector j>)
-    lut = np.round(
-        np.einsum("jcd,qjd->qjc", codebooks, Q.reshape(len(qids), mm, dsub))
+    return np.round(
+        np.einsum("jcd,qjd->qjc", codebooks, Q.reshape(Q.shape[0], mm, dsub))
         * 1_000_000
     ).astype(np.int64)
-    spark = emb.sparkSession
-    b = spark.sparkContext.broadcast((qids, lut))
-    shortlist_n = k * oversample
+
+
+def _adc_shortlists(
+    enc: DataFrame,
+    qids: np.ndarray,
+    lut: np.ndarray,
+    shortlist_n: int,
+    probes: np.ndarray | None = None,
+) -> DataFrame:
+    """The codes-only ADC scan: one ``mapInPandas`` pass scores every
+    (query, corpus-row) pair from the m-byte codes — a NumPy gather+sum
+    per Arrow batch — and emits only each query's per-batch top
+    ``shortlist_n`` rows.  The prune happens MAP-SIDE, before any
+    shuffle, so shuffle volume is ~n_queries · shortlist_n rows per
+    input partition regardless of corpus size.
+
+    ``probes``: optional (nq, nprobe) coarse-bucket array (IVF-PQ): a
+    corpus row scores for query q only when its ``bucket`` is among
+    q's probed lists — rows outside every query's probes never leave
+    the batch.  Self-matches (vec_id == query_id) are always masked.
+    """
+    spark = enc.sparkSession
+    b = spark.sparkContext.broadcast((qids, lut, probes))
+    cols = ["vec_id", "codes"] + (["bucket"] if probes is not None else [])
 
     def _scan(batches):
-        ids, tab = b.value  # (nq,), (nq, m, kk)
-        nq = ids.shape[0]
+        ids, tab, prb = b.value  # (nq,), (nq, m, kk), (nq, nprobe)|None
+        # mask sentinel must survive negation: int64.min wraps to
+        # ITSELF under unary minus, which made masked rows sort FIRST
+        # in argpartition(-s) and starve the shortlist; -(2^62) negates
+        # cleanly and is far below any reachable ADC score (|score| ≤
+        # m · 1e6 · max partial product ≪ 2^62)
+        neg = np.int64(-(1 << 62))
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            s = np.zeros((nq, n), dtype=np.int64)
+            s = np.zeros((ids.shape[0], n), dtype=np.int64)
             for j in range(tab.shape[1]):
                 s += tab[:, j, codes[:, j]]
-            # self-match mask: a query drawn from the corpus must not
-            # retrieve itself
-            s[ids[:, None] == vec_ids[None, :]] = np.iinfo(np.int64).min
+            s[ids[:, None] == vec_ids[None, :]] = neg
+            if prb is not None:
+                buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+                allowed = (
+                    buckets[None, :, None] == prb[:, None, :]
+                ).any(axis=2)
+                s[~allowed] = neg
             take = min(shortlist_n, n)
-            # per-batch per-query shortlist — the map-side prune
             top = np.argpartition(-s, take - 1, axis=1)[:, :take]
             out_q = np.repeat(ids, take)
             out_v = vec_ids[top.ravel()]
             out_s = np.take_along_axis(s, top, axis=1).ravel()
-            keep = out_s != np.iinfo(np.int64).min
+            keep = out_s != neg
             yield pd.DataFrame(
                 {
                     "query_id": out_q[keep],
@@ -719,18 +721,17 @@ def pq_batch_topk(
                 }
             )
 
-    scored = enc.select("vec_id", "codes").mapInPandas(
+    return enc.select(*cols).mapInPandas(
         _scan, schema="query_id long, vec_id long, score_micro long"
     )
-    short = _per_query_topk(
-        scored, shortlist_n, "score_micro",
-        ["query_id", "vec_id", "score_micro"],
-    ).drop("rank")
-    if not rerank:
-        return _per_query_topk(
-            short, k, "score_micro", ["query_id", "vec_id", "score_micro"]
-        )
-    qdf = spark.createDataFrame(
+
+
+def _exact_rerank(
+    emb: DataFrame, short: DataFrame, qids, Q, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a per-query shortlist: touches
+    shortlist-sized row sets, never the corpus."""
+    qdf = emb.sparkSession.createDataFrame(
         [(int(i), q.tolist()) for i, q in zip(qids, Q)],
         "query_id long, qe array<double>",
     )
@@ -746,6 +747,124 @@ def pq_batch_topk(
     return _per_query_topk(
         exact, k, "cos_micro", ["query_id", "vec_id", "cos_micro"]
     )
+
+
+def _empty_batch_result(spark, rerank: bool) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "query_id long, vec_id long, "
+        + ("cos_micro long" if rerank else "score_micro long")
+        + ", rank int",
+    )
+
+
+def pq_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+    rerank: bool = True,
+    oversample: int = 5,
+) -> DataFrame:
+    """Batched PQ ANN (asymmetric distance): the queries-DataFrame form
+    of :func:`pq_topk` — N queries answered by ONE codes-only corpus
+    scan (:func:`_adc_shortlists`), no per-query job; the broadcast
+    state is the (n_queries, m, n_codes) int64 LUT tensor.  The global
+    per-query shortlist then re-ranks exactly against the float vectors
+    (touching k·oversample rows per query, not the corpus).
+
+    Returns (query_id, vec_id, cos_micro, rank) — with ``rerank=False``
+    (codes-only ADC) returns (query_id, vec_id, score_micro, rank).
+    Recall vs :func:`cosine_batch_topk` is gated in pytest.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m=m, k=n_codes)
+    enc = pq_encode(emb, codebooks) if encoded is None else encoded
+    qids, Q, _ = _collect_query_batch(queries)
+    if qids is None:
+        return _empty_batch_result(emb.sparkSession, rerank)
+    scored = _adc_shortlists(
+        enc, qids, _pq_luts(codebooks, Q), k * oversample
+    )
+    short = _per_query_topk(
+        scored, k * oversample, "score_micro",
+        ["query_id", "vec_id", "score_micro"],
+    ).drop("rank")
+    if not rerank:
+        return _per_query_topk(
+            short, k, "score_micro", ["query_id", "vec_id", "score_micro"]
+        )
+    return _exact_rerank(emb, short, qids, Q, k)
+
+
+def ivf_pq_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    centroids=None,
+    codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+    rerank: bool = True,
+    oversample: int = 5,
+) -> DataFrame:
+    """IVF-PQ batch ANN — the composed production shape for 10^12-row
+    retrieval: a coarse IVF quantizer prunes WHICH rows are scored and
+    PQ codes decide HOW each surviving row is scored, in the same
+    single codes-only scan.
+
+    The corpus state is ONE table (vec_id, bucket, codes) — at
+    deployment written partitioned by ``bucket`` so the probed lists
+    are a pruned scan; here the bucket mask applies inside the Arrow
+    batch (:func:`_adc_shortlists` ``probes``).  Queries broadcast as
+    a LUT tensor plus an (nq, nprobe) probe matrix; per-query
+    shortlists emit map-side, then the exact re-rank touches
+    k·oversample rows per query.
+
+    Divergence declared: codes quantize the RAW L2-normalized vectors,
+    not per-list residuals (Jégou et al.'s IVFADC encodes x − c(x);
+    raw-vector codes cost some recall at small n_codes but keep the
+    codebook corpus-global, so the encode pass needs no bucket join).
+    Recall vs :func:`cosine_batch_topk` is gated in pytest.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_centroids)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m=m, k=n_codes)
+    cents = np.asarray(centroids, dtype=np.float64)
+    enc = (
+        pq_encode(ivf_assign(emb, centroids), codebooks)
+        if encoded is None
+        else encoded
+    )
+    qids, Q, raw = _collect_query_batch(queries)
+    if qids is None:
+        return _empty_batch_result(emb.sparkSession, rerank)
+    # raw (un-normalized) query vectors for centroid distances — the
+    # corpus was assigned un-normalized too (ivf_assign)
+    nprobe_eff = min(nprobe, cents.shape[0])
+    d = (
+        -2.0 * (raw @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    )  # ||q-c||² up to a per-query constant
+    probes = np.argsort(d, axis=1)[:, :nprobe_eff].astype(np.int64)
+    scored = _adc_shortlists(
+        enc, qids, _pq_luts(codebooks, Q), k * oversample, probes=probes
+    )
+    short = _per_query_topk(
+        scored, k * oversample, "score_micro",
+        ["query_id", "vec_id", "score_micro"],
+    ).drop("rank")
+    if not rerank:
+        return _per_query_topk(
+            short, k, "score_micro", ["query_id", "vec_id", "score_micro"]
+        )
+    return _exact_rerank(emb, short, qids, Q, k)
 
 
 def _sign_bucket(col: str):

@@ -407,10 +407,57 @@ def query_index(
     win) match set BEFORE candidate aggregation — the slot where the
     reference filters ``allhits`` (clade exclusion,
     classification.cpp:174-181; see taxonomy.exclude_truth_clade)."""
+    return _apply_topk(
+        query_index_per_target(queries, index, cfg, match_filter), cfg
+    )
+
+
+def query_index_per_target(
+    queries: DataFrame,
+    index: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+    match_filter=None,
+) -> DataFrame:
+    """UNTRUNCATED per-target best ranges (qid, tgt, hits, win_beg) —
+    the input `-lowest <rank>` merging needs (A3 lifts taxa at insert
+    time, BEFORE the bounded candidate list; see
+    :func:`merge_candidates_below_rank`)."""
     m = probe_matches(queries, index, cfg)
     if match_filter is not None:
         m = match_filter(m)
-    return _top_candidates(m, cfg)
+    return _per_target_best(m, cfg)
+
+
+def query_index_paired_per_target(
+    queries: DataFrame,
+    index: DataFrame,
+    cfg: GenomicConfig = GenomicConfig(),
+    insert_size_max: int = 0,
+    match_filter=None,
+) -> DataFrame:
+    """Paired-end :func:`query_index_per_target` — accumulated mate
+    matches, per-query A1 span, NO top-k truncation."""
+    mates = queries.select(
+        "qid", F.col("seq1").alias("seq")
+    ).unionByName(queries.select("qid", F.col("seq2").alias("seq")))
+    matches = probe_matches(mates, index, cfg)
+    if match_filter is not None:
+        matches = match_filter(matches)
+    span = queries.select(
+        "qid",
+        (
+            F.lit(2)
+            + F.floor(
+                F.greatest(
+                    F.length("seq1") + F.length("seq2"),
+                    F.lit(insert_size_max),
+                )
+                / cfg.winstride
+            )
+        ).cast("long").alias("nw_q"),
+    )
+    matches = matches.join(span.hint("shuffle_hash"), "qid")
+    return _per_target_best(matches, cfg, num_windows=F.col("nw_q"))
 
 
 def query_index_paired(
@@ -431,35 +478,18 @@ def query_index_paired(
     ``num_windows = 2 + max(|seq1|+|seq2|, insertSizeMax) / winstride``
     (/root/reference/src/classification.cpp:217-219).  CLI evidence:
     ``-pairfiles`` (script/ft/QueryGeneric_FT.sh:115).
+
+    The span dim has ONE ROW PER QUERY — it scales with the query
+    corpus, so it joins shuffle-hash, never broadcast (driver/executor
+    OOM at scale); the qid shuffle co-partitions with the downstream
+    per-(qid, tgt) aggregation anyway.
     """
-    mates = queries.select(
-        "qid", F.col("seq1").alias("seq")
-    ).unionByName(queries.select("qid", F.col("seq2").alias("seq")))
-    matches = probe_matches(mates, index, cfg)
-    if match_filter is not None:
-        # same slot as single-end: raw accumulated mate matches, before
-        # the span attach and candidate aggregation
-        matches = match_filter(matches)
-    # per-query window span from total read length (reference formula)
-    span = queries.select(
-        "qid",
-        (
-            F.lit(2)
-            + F.floor(
-                F.greatest(
-                    F.length("seq1") + F.length("seq2"),
-                    F.lit(insert_size_max),
-                )
-                / cfg.winstride
-            )
-        ).cast("long").alias("nw_q"),
+    return _apply_topk(
+        query_index_paired_per_target(
+            queries, index, cfg, insert_size_max, match_filter
+        ),
+        cfg,
     )
-    # span has ONE ROW PER QUERY — it scales with the query corpus, so
-    # it must never ride as a broadcast build (driver/executor OOM at
-    # scale); a shuffle join on qid co-partitions with the downstream
-    # per-(qid, tgt) aggregation anyway
-    matches = matches.join(span.hint("shuffle_hash"), "qid")
-    return _top_candidates(matches, cfg, num_windows=F.col("nw_q"))
 
 
 def merge_query_results(

@@ -8,15 +8,19 @@ Spark engine::
 
     zip -qr /tmp/mcs.zip metacache_mpi_spark
     spark-submit --py-files /tmp/mcs.zip scripts/genomic_job.py \
-        build --targets t.fasta --db /data/db [--k 16 --sketch 16 ...]
+        build --targets t.fasta --db /data/db [--k 16 --sketch 16 ...] \
+        [--remove-overpopulated] [--remove-ambig-features RANK \
+         --max-ambig-per-feature N --nodes nodes.dmp]
     ... modify --targets more.fasta --db /data/db \
         [--remove-overpopulated]
     ... query --db /data/db --reads r.fastq [--reads2 mate2.fastq] \
         [--nodes nodes.dmp] [--out outdir] [--truth [map.tsv]] \
-        [--precision] [--exclude RANK] [--abundance-per RANK]
+        [--precision] [--exclude RANK] [--abundance-per RANK] \
+        [--lowest RANK] [--insert-size-max N]
     ... merge --results shard1_out shard2_out --out merged [--nodes ...]
     ... annotate --input seqs.fasta --mapping acc2taxid.tsv --out dir
-    ... info [statistics|targets|lineages|featurecounts] --db /data/db
+    ... info [statistics|targets|lineages|featurecounts|featuremap] \
+        --db /data/db
 
 ``build`` persists the inverted index as parquet plus a
 ``targets.parquet`` dim (tgt, taxid from ``taxid|N`` headers, header)
@@ -45,6 +49,7 @@ def _cfg_from_args(args):
         winlen=args.winlen,
         winstride=args.winstride,
         max_candidates=args.max_cand,
+        remove_overpopulated=getattr(args, "remove_overpopulated", False),
     )
 
 
@@ -135,6 +140,52 @@ def cmd_build(spark, args) -> dict:
     # this dim instead (AQE broadcasts it while it fits)
     seqs, targets_dim = _read_target_seqs(spark, args.targets)
     index = build_index(seqs.select("tgt", "seq"), cfg)
+    ambig_rank = getattr(args, "remove_ambig_features", None)
+    if ambig_rank:
+        # P14 (-remove-ambig-features <rank> -max-ambig-per-feature N,
+        # mode_build.cpp:121-131): drop features whose locations span
+        # more than N distinct taxa AT THAT RANK — taxids lift to their
+        # rank ancestor (driver-side over DISTINCT taxids, like the
+        # reference's replicated taxa metadata) before the count
+        from pyspark.sql import functions as F
+
+        from metacache_mpi_spark.operators.genomic import (
+            remove_ambiguous_features,
+        )
+
+        tt = targets_dim.where(F.col("taxid").isNotNull()).select(
+            "tgt", "taxid"
+        )
+        if ambig_rank != "sequence":
+            if not getattr(args, "nodes", None):
+                raise ValueError(
+                    "--remove-ambig-features above 'sequence' needs --nodes"
+                )
+            from metacache_mpi_spark.operators.taxonomy import (
+                Taxonomy,
+                parse_nodes_dmp,
+            )
+
+            tax = Taxonomy.from_dataframe(
+                parse_nodes_dmp(spark, args.nodes)
+            )
+            taxids = [
+                r["taxid"]
+                for r in tt.select("taxid").distinct().collect()
+            ]
+            lift = spark.createDataFrame(
+                [
+                    (int(t), tax.ancestor_at_rank(int(t), ambig_rank) or int(t))
+                    for t in taxids
+                ],
+                "taxid long, anc long",
+            )
+            tt = tt.join(F.broadcast(lift), "taxid").select(
+                "tgt", F.col("anc").alias("taxid")
+            )
+        index = remove_ambiguous_features(
+            index, tt, getattr(args, "max_ambig_per_feature", 1)
+        )
     os.makedirs(args.db, exist_ok=True)
     index.write.mode("overwrite").parquet(
         os.path.join(args.db, "index.parquet")
@@ -289,6 +340,21 @@ def cmd_query(spark, args) -> dict:
         raise ValueError("--exclude needs --truth and --nodes")
     if getattr(args, "abundance_per", None) and not tax:
         raise ValueError("--abundance-per needs --nodes")
+    lowest = getattr(args, "lowest", None)
+    if lowest and not tax:
+        raise ValueError("--lowest needs --nodes")
+    insert_size_max = getattr(args, "insert_size_max", 0) or 0
+    tmap = None
+    if lowest:
+        # A3 merge-below-rank needs the target→taxid map driver-side
+        # (the reference replicates taxa metadata per rank,
+        # sketch_database.h:545-560 — bounded by the target count)
+        tmap = {
+            r["tgt"]: int(r["taxid"])
+            for r in spark.read.parquet(
+                os.path.join(args.db, "targets.parquet")
+            ).where(F.col("taxid").isNotNull()).collect()
+        }
 
     def _resolve_truth(with_header):
         """(qid, header) → (qid, truth_taxid): header-token strategy,
@@ -365,12 +431,25 @@ def cmd_query(spark, args) -> dict:
             truth = _resolve_truth(r1.select("qid", "header"))
         if getattr(args, "exclude", None):
             match_filter = _exclusion_filter()
-        cands = query_index_paired(
-            r1.join(r2, ["fidx", "ridx"]).select("qid", "seq1", "seq2"),
-            index,
-            cfg,
-            match_filter=match_filter,
+        paired_in = r1.join(r2, ["fidx", "ridx"]).select(
+            "qid", "seq1", "seq2"
         )
+        if lowest:
+            from metacache_mpi_spark.operators.genomic import (
+                query_index_paired_per_target,
+            )
+
+            per_target = query_index_paired_per_target(
+                paired_in, index, cfg, insert_size_max, match_filter
+            )
+        else:
+            cands = query_index_paired(
+                paired_in,
+                index,
+                cfg,
+                insert_size_max,
+                match_filter=match_filter,
+            )
     else:
         reads = read_sequences(spark, args.reads).select(
             F.xxhash64("file", "record_idx").alias("qid"), "seq", "header"
@@ -379,9 +458,35 @@ def cmd_query(spark, args) -> dict:
             truth = _resolve_truth(reads.select("qid", "header"))
         if getattr(args, "exclude", None):
             match_filter = _exclusion_filter()
-        cands = query_index(
-            reads.select("qid", "seq"), index, cfg, match_filter=match_filter
+        if lowest:
+            from metacache_mpi_spark.operators.genomic import (
+                query_index_per_target,
+            )
+
+            per_target = query_index_per_target(
+                reads.select("qid", "seq"), index, cfg, match_filter
+            )
+        else:
+            cands = query_index(
+                reads.select("qid", "seq"), index, cfg,
+                match_filter=match_filter,
+            )
+    if lowest:
+        # `-lowest <rank>` (query_options.cpp:142-146, A3
+        # candidates.h:242-283): candidates become TAXA at that rank,
+        # merged from the untruncated per-target ranges; downstream
+        # classification sees them through an identity target→taxid map
+        from metacache_mpi_spark.operators.genomic import (
+            merge_candidates_below_rank,
         )
+
+        merged = merge_candidates_below_rank(
+            per_target, tax, tmap, lowest, cfg
+        )
+        cands = merged.select(
+            "qid", F.col("taxid").alias("tgt"), "hits", "rank"
+        )
+        out["lowest"] = lowest
     if args.out:
         # read the written snapshot back: cands.count() and the
         # classification below would otherwise re-run the whole
@@ -400,8 +505,19 @@ def cmd_query(spark, args) -> dict:
             F.col("truth_taxid").isNotNull()
         ).count()
     if args.nodes:
+        identity = (
+            {
+                t: t
+                for t in {
+                    tax.ancestor_at_rank(v, lowest) or v
+                    for v in tmap.values()
+                }
+            }
+            if lowest
+            else None
+        )
         counts, assigned = _classify_and_write(
-            spark, args, cands, meta, cfg, args.out
+            spark, args, cands, meta, cfg, args.out, tdim_override=identity
         )
         out.update(counts)
         if getattr(args, "precision", False):
@@ -450,11 +566,13 @@ def cmd_query(spark, args) -> dict:
     return out
 
 
-def _classify_and_write(spark, args, cands, meta, cfg, out_dir):
+def _classify_and_write(spark, args, cands, meta, cfg, out_dir, tdim_override=None):
     """Ranked-LCA classification tail shared by query and merge: load
     the taxonomy, join the targets dim (or a legacy meta.json map),
     classify, optionally persist assignments; returns (count dict,
-    assignments DataFrame) — the DataFrame feeds the evaluation flags."""
+    assignments DataFrame) — the DataFrame feeds the evaluation flags.
+    ``tdim_override``: explicit target→taxid mapping (the --lowest path
+    passes an identity map: its candidates are already taxa)."""
     from pyspark.sql import functions as F
 
     from metacache_mpi_spark.operators.taxonomy import (
@@ -467,7 +585,9 @@ def _classify_and_write(spark, args, cands, meta, cfg, out_dir):
     tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
     # targets dim joins in relationally (see cmd_build); legacy DBs
     # carry the map in meta.json — keep reading those
-    if "target_taxid" in meta:
+    if tdim_override is not None:
+        tdim = tdim_override
+    elif "target_taxid" in meta:
         tdim = {int(k): v for k, v in meta["target_taxid"].items()}
     else:
         tdim = (
@@ -586,6 +706,18 @@ def cmd_info(spark, args) -> dict:
                 else None  # empty index: moments are null, not a crash
             ),
         }
+    if what in ("featuremap", "features"):
+        # show_feature_map (mode_info.cpp:105-129, CLI aliases
+        # 'features'/'featuremap' at :329-330): one sorted row per
+        # feature with the full location list — the golden dump for
+        # index diffing (operators.genomic.dump_feature_map)
+        from metacache_mpi_spark.operators.genomic import dump_feature_map
+
+        fm = dump_feature_map(index)
+        if args.out:
+            fm.write.mode("overwrite").parquet(args.out)
+            fm = spark.read.parquet(args.out)
+        return {**out, "features": fm.count()}
     if what == "lineages":
         if not args.nodes:
             raise ValueError("info lineages needs --nodes <nodes.dmp>")
@@ -668,6 +800,15 @@ def main() -> None:
     b.add_argument("--winlen", type=int, default=128)
     b.add_argument("--winstride", type=int, default=113)
     b.add_argument("--max-cand", type=int, default=2)
+    # post-processing (mode_build.cpp:113-131)
+    b.add_argument("--remove-overpopulated", action="store_true")
+    b.add_argument(
+        "--remove-ambig-features", default=None, metavar="RANK",
+        help="drop features spanning too many taxa at RANK "
+        "('sequence' counts raw taxids; higher ranks need --nodes)",
+    )
+    b.add_argument("--max-ambig-per-feature", type=int, default=1)
+    b.add_argument("--nodes", default=None)
 
     mo = sub.add_parser("modify", parents=[common])
     mo.add_argument("--targets", required=True)
@@ -694,6 +835,12 @@ def main() -> None:
     q.add_argument("--precision", action="store_true")
     q.add_argument("--exclude", default=None, metavar="RANK")
     q.add_argument("--abundance-per", default=None, metavar="RANK")
+    q.add_argument(
+        "--lowest", default=None, metavar="RANK",
+        help="merge candidates below RANK before top-k (A3; "
+        "candidates become taxa at that rank)",
+    )
+    q.add_argument("--insert-size-max", type=int, default=0)
 
     m = sub.add_parser("merge", parents=[common])
     m.add_argument("--results", nargs="+", required=True)
@@ -714,7 +861,10 @@ def main() -> None:
         "what",
         nargs="?",
         default="statistics",
-        choices=["statistics", "targets", "lineages", "featurecounts"],
+        choices=[
+            "statistics", "targets", "lineages", "featurecounts",
+            "featuremap", "features",
+        ],
     )
     i.add_argument("--db", required=True)
     i.add_argument("--nodes", default=None)

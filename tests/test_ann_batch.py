@@ -212,3 +212,75 @@ def test_per_query_topk_bounded_per_task(spark):
     )[:5]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2
+
+
+def test_ivf_pq_batch_recall(spark, emb, queries):
+    """IVF-PQ composition: coarse buckets prune WHICH rows score, PQ
+    codes decide HOW — one (vec_id, bucket, codes) scan with the
+    bucket mask applied inside the Arrow batch.  Full probe isolates
+    the PQ quantization error (recall ≈ pq_batch_topk); partial probe
+    stacks IVF pruning on top and must stay useful."""
+    from metacache_mpi_spark.operators.ann import (
+        cosine_batch_topk,
+        ivf_pq_batch_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq_codebooks(emb, m=16, k=16)
+    brute = _by_query(cosine_batch_topk(emb, queries, k=10).collect())
+
+    def mean_recall(nprobe):
+        got = _by_query(
+            ivf_pq_batch_topk(
+                emb, queries, k=10, nprobe=nprobe,
+                centroids=cents, codebooks=books, m=16, n_codes=16,
+            ).collect()
+        )
+        rs = []
+        for qid in QUERY_IDS:
+            want = {v for v, _ in brute[qid]}
+            hits = {v for v, _ in got.get(qid, [])}
+            rs.append(len(want & hits) / len(want))
+        return sum(rs) / len(rs)
+
+    full = mean_recall(8)   # PQ error only
+    part = mean_recall(3)   # + IVF pruning on the uniform fixture
+    assert full >= 0.75, f"ivf-pq full-probe mean recall@10 {full}"
+    # partial probing can only lose candidates relative to full probing
+    assert part <= full + 1e-9
+    assert part >= 0.3, f"ivf-pq partial-probe collapsed: {part}"
+
+
+def test_ivf_pq_batch_respects_probes(spark, emb, queries):
+    """Every result of a partial-probe run must come from a probed
+    bucket — the mask is a correctness contract, not a heuristic."""
+    import numpy as np
+
+    from metacache_mpi_spark.operators.ann import (
+        ivf_assign,
+        ivf_pq_batch_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq_codebooks(emb, m=16, k=16)
+    got = ivf_pq_batch_topk(
+        emb, queries, k=10, nprobe=2, centroids=cents, codebooks=books,
+        m=16, n_codes=16,
+    ).collect()
+    assigned = {
+        r["vec_id"]: r["bucket"]
+        for r in ivf_assign(emb, cents).select("vec_id", "bucket").collect()
+    }
+    qvec = {
+        r["query_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in queries.collect()
+    }
+    c = np.asarray(cents)
+    for r in got:
+        d = ((c - qvec[r["query_id"]][None, :]) ** 2).sum(axis=1)
+        probed = set(np.argsort(d)[:2].tolist())
+        assert assigned[r["vec_id"]] in probed

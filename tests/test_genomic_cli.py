@@ -567,3 +567,128 @@ def test_file_index_handles_plus_and_space_in_names(spark, tmp_path):
     assert n == 2
     got = {r["header"]: r["fidx"] for r in rows}
     assert got == {"r0": 0, "r1": 1}  # sorted order: 'a+b…' before 'c'
+
+
+def test_build_remove_ambig_features(spark, cli_fixture, tmp_path):
+    """--remove-ambig-features sequence (P14, mode_build.cpp:121-131):
+    features whose locations span >1 distinct taxid disappear; the
+    surviving index maps every feature to exactly one taxon."""
+    kw = dict(
+        k=8, sketch=8, winlen=64, winstride=57, max_cand=2,
+        remove_overpopulated=False, nodes=None,
+    )
+    db_plain = str(tmp_path / "db_plain")
+    db_ambig = str(tmp_path / "db_ambig")
+    plain = genomic_job.cmd_build(
+        spark,
+        argparse.Namespace(
+            targets=cli_fixture["targets"], db=db_plain,
+            remove_ambig_features=None, max_ambig_per_feature=1, **kw,
+        ),
+    )
+    ambig = genomic_job.cmd_build(
+        spark,
+        argparse.Namespace(
+            targets=cli_fixture["targets"], db=db_ambig,
+            remove_ambig_features="sequence", max_ambig_per_feature=1, **kw,
+        ),
+    )
+    assert ambig["index_rows"] < plain["index_rows"]
+    idx = spark.read.parquet(os.path.join(db_ambig, "targets.parquet")).join(
+        spark.read.parquet(os.path.join(db_ambig, "index.parquet")), "tgt"
+    )
+    per_feature = idx.groupBy("feature").agg(
+        F.countDistinct("taxid").alias("n")
+    )
+    assert per_feature.where(F.col("n") > 1).count() == 0
+
+
+def test_build_remove_ambig_at_genus_drops_everything_shared(
+    spark, cli_fixture, tmp_path
+):
+    """At genus level both fixture species lift to genus 4, so NO
+    feature is ambiguous — the rank lift must make the filter a no-op
+    here (rank semantics, not raw-taxid semantics)."""
+    kw = dict(
+        k=8, sketch=8, winlen=64, winstride=57, max_cand=2,
+        remove_overpopulated=False,
+    )
+    db_p = str(tmp_path / "db_p")
+    db_g = str(tmp_path / "db_g")
+    plain = genomic_job.cmd_build(
+        spark,
+        argparse.Namespace(
+            targets=cli_fixture["targets"], db=db_p, nodes=None,
+            remove_ambig_features=None, max_ambig_per_feature=1, **kw,
+        ),
+    )
+    genus = genomic_job.cmd_build(
+        spark,
+        argparse.Namespace(
+            targets=cli_fixture["targets"], db=db_g,
+            nodes=cli_fixture["nodes"],
+            remove_ambig_features="genus", max_ambig_per_feature=1, **kw,
+        ),
+    )
+    assert genus["index_rows"] == plain["index_rows"]
+
+
+def test_info_featuremap(spark, built_db, tmp_path):
+    out = genomic_job.cmd_info(
+        spark,
+        argparse.Namespace(
+            db=built_db, nodes=None, out=str(tmp_path / "fm"),
+            what="featuremap",
+        ),
+    )
+    stats = genomic_job.cmd_info(
+        spark,
+        argparse.Namespace(db=built_db, nodes=None, out=None,
+                           what="statistics"),
+    )
+    assert out["features"] == stats["n_buckets"]
+    fm = spark.read.parquet(str(tmp_path / "fm"))
+    assert set(fm.columns) == {"feature", "locations"}
+    row = fm.first()
+    assert row["locations"] == sorted(row["locations"])
+
+
+def test_query_lowest_merges_to_rank(spark, cli_fixture, built_db, tmp_path):
+    """--lowest genus (A3): candidates become taxa at genus level —
+    both fixture species share genus 4, so every candidate row carries
+    tgt=4 and classification assigns genus 4."""
+    out_dir = str(tmp_path / "qlow")
+    out = genomic_job.cmd_query(
+        spark,
+        argparse.Namespace(
+            db=built_db, reads=cli_fixture["reads1"], reads2=None,
+            nodes=cli_fixture["nodes"], out=out_dir,
+            truth=None, precision=False, exclude=None, abundance_per=None,
+            lowest="genus", insert_size_max=0,
+        ),
+    )
+    assert out["lowest"] == "genus"
+    assert out["candidates"] > 0 and out["classified"] > 0
+    cands = spark.read.parquet(os.path.join(out_dir, "candidates.parquet"))
+    assert {r["tgt"] for r in cands.select("tgt").distinct().collect()} == {4}
+    asg = spark.read.parquet(os.path.join(out_dir, "assignments.parquet"))
+    assert {
+        r["taxid"]
+        for r in asg.where(F.col("taxid").isNotNull()).collect()
+    } == {4}
+
+
+def test_paired_query_insert_size_max(spark, cli_fixture, built_db):
+    """--insert-size-max widens the A1 span floor
+    (classification.cpp:217-219) — must run end to end and keep every
+    true pair classified."""
+    out = genomic_job.cmd_query(
+        spark,
+        argparse.Namespace(
+            db=built_db, reads=cli_fixture["reads1"],
+            reads2=cli_fixture["reads2"], nodes=cli_fixture["nodes"],
+            out=None, truth=None, precision=False, exclude=None,
+            abundance_per=None, lowest=None, insert_size_max=400,
+        ),
+    )
+    assert out["candidates"] > 0 and out["classified"] > 0
