@@ -75,32 +75,28 @@ def _ranked_topk(scored: DataFrame, k: int, cols: list[str]) -> DataFrame:
 def _per_query_topk(
     scored: DataFrame, k: int, order_col: str, out_cols: list[str]
 ) -> DataFrame:
-    """Per-query top-k over (query_id, vec_id, score) rows, scale-safe.
+    """Per-query top-k over (query_id, vec_id, score) rows, scale-safe
+    with ONE shuffle.
 
-    Two-level: row_number per (query_id, source-partition) keeps only k
-    rows per query per input partition, then the global per-query window
-    ranks the ≤ k·P survivors.  Both levels shuffle, but no single task
-    ever sorts one query's full corpus-sized candidate list — the
-    single-level ``Window.partitionBy(query_id)`` funnel would put a
-    10^12-row scan through one task per query.  (The reference's query
-    loop keeps a bounded per-query candidate heap per thread and merges,
-    src/querying.h:1309-1387 — same shape.)  The Arrow lane
-    (:func:`pq_batch_topk`) goes further and emits its shortlists
-    map-side, before any shuffle."""
-    tagged = scored.withColumn("_part", F.spark_partition_id())
-    w1 = Window.partitionBy("query_id", "_part").orderBy(
-        F.desc(order_col), F.asc("vec_id")
-    )
-    pruned = (
-        tagged.withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") <= k)
-        .drop("_rn", "_part")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
+    A bare ``Window.partitionBy(query_id)`` LOOKS like a funnel (one
+    task sorting a query's corpus-sized candidate list), but Spark
+    3.5+/4.x compiles the ``row_number() ≤ literal`` filter into
+    ``WindowGroupLimit(Partial)`` BEFORE the exchange: every input
+    partition forwards at most k rows per query, so the reduce side
+    sees ≤ k·P rows per query — the distributed per-key top-k (the
+    per-thread bounded candidate heap + merge of the reference's query
+    loop, src/querying.h:1309-1387) done by the engine.  Round 5 first
+    hand-built the same prune as a two-level window; the engine's form
+    saves the second exchange, and the Partial limit is plan-asserted
+    in ``test_per_query_topk_bounded_per_task`` so an engine that ever
+    stopped emitting it would fail loudly instead of silently
+    funneling.  The Arrow lane (:func:`_adc_shortlists`) prunes even
+    earlier — inside the scoring batch, before any shuffle."""
+    w = Window.partitionBy("query_id").orderBy(
         F.desc(order_col), F.asc("vec_id")
     )
     return (
-        pruned.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(*out_cols, "rank")
     )

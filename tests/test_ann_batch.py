@@ -185,18 +185,23 @@ def test_batch_empty_queries(spark, emb):
 
 def test_per_query_topk_bounded_per_task(spark):
     """The per-query top-k must never funnel one query's full candidate
-    set through a single window partition: level 1 partitions by
-    (query_id, source partition).  Build a skewed candidate set (one
-    query, many partitions) and check the plan has the two-level shape
-    and the right answer."""
+    set through a single window task.  The scale guarantee is the
+    engine's WindowGroupLimit(Partial) BEFORE the exchange (each input
+    partition forwards ≤ k rows per query) — assert it is in the plan,
+    so an engine change that dropped it fails loudly, and check the
+    answer on a skewed candidate set (one query across many
+    partitions)."""
     from metacache_mpi_spark.operators.ann import _per_query_topk
 
     n = 10_000
+    # two real (non-foldable) query keys: a literal partition key is
+    # constant-folded and suppresses the InferWindowGroupLimit rule,
+    # which the real lanes (query_id is a data column) always get
     scored = (
         spark.range(n)
         .repartition(8)
         .select(
-            F.lit(1).cast("long").alias("query_id"),
+            (F.col("id") % 2).alias("query_id"),
             F.col("id").alias("vec_id"),
             (F.col("id") % 997).alias("score"),
         )
@@ -204,14 +209,18 @@ def test_per_query_topk_bounded_per_task(spark):
     out = _per_query_topk(
         scored, 5, "score", ["query_id", "vec_id", "score"]
     )
-    rows = out.collect()
-    assert [r["score"] for r in rows] == [996] * 5
-    # ties broken by vec_id ascending
-    assert [r["vec_id"] for r in rows] == sorted(
-        i for i in range(n) if i % 997 == 996
-    )[:5]
+    rows = sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"]))
+    by_q = {0: [], 1: []}
+    for r in rows:
+        by_q[r["query_id"]].append((r["vec_id"], r["score"]))
+    for q in (0, 1):
+        want = sorted(
+            ((i, i % 997) for i in range(n) if i % 2 == q),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert by_q[q] == want
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") >= 2
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
 
 
 def test_ivf_pq_batch_recall(spark, emb, queries):
