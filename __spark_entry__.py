@@ -440,6 +440,40 @@ def _q_ann_ivf_batch_topk(spark, sf_dir):
     )
 
 
+def _emb_split(spark, sf_dir):
+    """Deterministic corpus/eval split of the embeddings table for the
+    semantic-decontamination lanes (eval = every 20th vector, mirroring
+    the documents-side contamination_pairs split)."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") % 20 != 3), emb.where(
+        F.col("vec_id") % 20 == 3
+    )
+
+
+def _q_embedding_contamination_pairs(spark, sf_dir):
+    """Semantic decontamination, brute baseline: training-corpus
+    vectors whose cosine to any eval-set vector reaches τ=0.35 —
+    corpus × broadcast eval scan."""
+    from metacache_mpi_spark.operators.ann import cosine_cross_pairs
+
+    corpus, evalset = _emb_split(spark, sf_dir)
+    return cosine_cross_pairs(corpus, evalset, tau=0.35)
+
+
+def _q_embedding_contamination_banded(spark, sf_dir):
+    """Production semantic-decontamination lane: sign-banded cross
+    join (16×2 pinned to mirror the DuckDB banding SQL) with the
+    corpus-side bucket cap + exact-cosine verify."""
+    from metacache_mpi_spark.operators.ann import sign_banded_cross_pairs
+
+    corpus, evalset = _emb_split(spark, sf_dir)
+    return sign_banded_cross_pairs(
+        corpus, evalset, tau=0.35, bands=16, rows_per_band=2
+    )
+
+
 def _q_lang_confusion_stats(spark, sf_dir):
     """A10 confusion statistics as a first-class operator, applied to
     the lang-ID heuristic's predictions vs the table's truth labels."""
@@ -1027,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": _q_ann_lsh_bucketed,
         "ann_batch_topk": _q_ann_batch_topk,
         "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
+        "embedding_contamination_pairs": _q_embedding_contamination_pairs,
+        "embedding_contamination_banded": _q_embedding_contamination_banded,
         "ann_lsh_dup_pairs": _q_ann_lsh_dup_pairs,
         "lang_confusion_stats": _q_lang_confusion_stats,
         "value_moments": _q_value_moments,
@@ -1286,6 +1322,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_batch_topk": _ANN_BATCH_TOPK_SQL,
         "ann_ivf_batch_topk": _ANN_BATCH_TOPK_SQL,
+        "embedding_contamination_pairs": """
+            WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id % 20 <> 3),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id % 20 = 3)
+            SELECT c.vec_id AS a, e.vec_id AS b,
+                   CAST(floor(
+                     list_dot_product(c.emb, e.emb)
+                     / sqrt(list_dot_product(c.emb, c.emb)
+                            * list_dot_product(e.emb, e.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+            FROM c, e
+            WHERE CAST(floor(
+                     list_dot_product(c.emb, e.emb)
+                     / sqrt(list_dot_product(c.emb, c.emb)
+                            * list_dot_product(e.emb, e.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) >= 350000
+        """,
+        "embedding_contamination_banded": """
+            WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id % 20 <> 3),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id % 20 = 3),
+            cb AS (SELECT vec_id, emb, unnest(range(0, 16)) AS band FROM c),
+            cbb AS (SELECT vec_id, band,
+                           (CASE WHEN emb[CAST(band * 2 + 1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN emb[CAST(band * 2 + 2 AS INT)] > 0 THEN 2 ELSE 0 END) AS bband
+                    FROM cb),
+            sizes AS (SELECT band, bband, count(*) AS n
+                      FROM cbb GROUP BY band, bband),
+            keep AS (SELECT band, bband FROM sizes WHERE n <= 1024),
+            ebnd AS (SELECT vec_id, emb, unnest(range(0, 16)) AS band FROM e),
+            ebb AS (SELECT vec_id, band,
+                           (CASE WHEN emb[CAST(band * 2 + 1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN emb[CAST(band * 2 + 2 AS INT)] > 0 THEN 2 ELSE 0 END) AS bband
+                    FROM ebnd),
+            cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                     FROM cbb x JOIN keep USING (band, bband)
+                     JOIN ebb y USING (band, bband))
+            SELECT a, b,
+                   CAST(floor(
+                     list_dot_product(c.emb, e.emb)
+                     / sqrt(list_dot_product(c.emb, c.emb)
+                            * list_dot_product(e.emb, e.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+            FROM cand JOIN c ON c.vec_id = a JOIN e ON e.vec_id = b
+            WHERE CAST(floor(
+                     list_dot_product(c.emb, e.emb)
+                     / sqrt(list_dot_product(c.emb, c.emb)
+                            * list_dot_product(e.emb, e.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) >= 350000
+        """,
         "ann_lsh_bucketed": """
             WITH wb AS (
               SELECT vec_id, embedding,

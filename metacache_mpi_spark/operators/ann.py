@@ -292,6 +292,102 @@ def sign_band_params(
     return best
 
 
+def _sign_band_exprs(bands: int, rows_per_band: int, col: str = "embedding"):
+    """Per-band sign-bit bucket expressions: band b's key packs the
+    sign bits of components [b·r, (b+1)·r) (axis hyperplanes for
+    oracle determinism; random projections at production scale)."""
+    exprs = []
+    for b in range(bands):
+        bits = None
+        for r in range(rows_per_band):
+            t = F.when(
+                F.element_at(col, b * rows_per_band + r + 1) > 0,
+                F.lit(1 << r),
+            ).otherwise(F.lit(0))
+            bits = t if bits is None else bits + t
+        exprs.append(bits.cast("long"))
+    return exprs
+
+
+def sign_banded_cross_pairs(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    tau: float = 0.35,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dims: int = 64,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup — the SEMANTIC decontamination
+    lane: find training-corpus vectors whose cosine to any eval-set
+    vector reaches τ (the embedding twin of
+    ``textops.contamination_pairs``'s shingle containment; the
+    reference shape is the J1 index probe with the eval set as the
+    query side, querying.h:1309-1387).
+
+    Both sides band on the same sign-bit keys
+    (:func:`_sign_band_exprs`); candidates come from a (band, bband)
+    equi join with a count-first CAP ON THE CORPUS SIDE (a degenerate
+    sign pattern holding a large corpus fraction is non-discriminative
+    boilerplate — the P13 rule; the eval side is small by contract and
+    broadcast).  Every candidate is verified with the exact fixed-point
+    cosine, so precision is 1.0.  Returns (a = corpus vec_id, b = eval
+    vec_id, cos_micro), distinct pairs.
+    """
+    if bands is None or rows_per_band is None:
+        bands, rows_per_band = sign_band_params(tau, dims)
+    exprs = _sign_band_exprs(bands, rows_per_band)
+    c_banded = corpus.select(
+        F.col("vec_id").alias("a"),
+        F.posexplode(F.array(*exprs)).alias("band", "bband"),
+    )
+    e_banded = evalset.select(
+        F.col("vec_id").alias("b"),
+        F.posexplode(F.array(*exprs)).alias("band", "bband"),
+    )
+    sizes = c_banded.groupBy("band", "bband").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kept = c_banded.join(
+        sizes.where(F.col("n") <= max_bucket)
+        .select("band", "bband")
+        .hint("shuffle_hash"),
+        ["band", "bband"],
+    )
+    cand = (
+        kept.join(F.broadcast(e_banded), ["band", "bband"])
+        .select("a", "b")
+        .distinct()
+    )
+    ca = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = evalset.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    verified = cand.join(ca, "a").join(F.broadcast(eb), "b")
+    return (
+        verified.select(
+            "a",
+            "b",
+            _cos_micro("ea", "eb").alias("cos_micro"),
+        )
+        .where(F.col("cos_micro") >= int(tau * 1_000_000))
+    )
+
+
+def cosine_cross_pairs(
+    corpus: DataFrame, evalset: DataFrame, tau: float = 0.35
+) -> DataFrame:
+    """Brute-force cross-corpus cosine pairs (the exactness baseline
+    for :func:`sign_banded_cross_pairs`): corpus × broadcast eval set,
+    cosine ≥ τ.  The eval set is the small side by contract — the scan
+    is a map over the corpus, not a shuffle."""
+    ca = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = evalset.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        ca.crossJoin(F.broadcast(eb))
+        .select("a", "b", _cos_micro("ea", "eb").alias("cos_micro"))
+        .where(F.col("cos_micro") >= int(tau * 1_000_000))
+    )
+
+
 def sign_banded_dup_pairs(
     emb: DataFrame,
     tau: float = 0.35,
@@ -333,19 +429,11 @@ def sign_banded_dup_pairs(
 
     if bands is None or rows_per_band is None:
         bands, rows_per_band = sign_band_params(tau, dims)
-    bit_exprs = []
-    for b in range(bands):
-        bits = None
-        for r in range(rows_per_band):
-            t = F.when(
-                F.element_at("embedding", b * rows_per_band + r + 1) > 0,
-                F.lit(1 << r),
-            ).otherwise(F.lit(0))
-            bits = t if bits is None else bits + t
-        bit_exprs.append(bits.cast("long"))
     banded = emb.select(
         "vec_id",
-        F.posexplode(F.array(*bit_exprs)).alias("band", "bband"),
+        F.posexplode(
+            F.array(*_sign_band_exprs(bands, rows_per_band))
+        ).alias("band", "bband"),
     )
     cand = bucket_join_pairs(
         banded, "vec_id", ["band", "bband"], max_bucket, oversize_policy

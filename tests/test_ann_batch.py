@@ -293,3 +293,63 @@ def test_ivf_pq_batch_respects_probes(spark, emb, queries):
         d = ((c - qvec[r["query_id"]][None, :]) ** 2).sum(axis=1)
         probed = set(np.argsort(d)[:2].tolist())
         assert assigned[r["vec_id"]] in probed
+
+
+def test_cross_pairs_banded_subset_and_margin_recall(spark):
+    """Semantic decontamination: the banded cross lane verifies with
+    exact cosine (precision 1.0 → subset of brute), and at a realistic
+    near-dup margin (τ=0.85, auto-sized bands) recall vs brute is
+    ≥0.99 on planted eval contaminants."""
+    from metacache_mpi_spark.operators.ann import (
+        cosine_cross_pairs,
+        sign_banded_cross_pairs,
+    )
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(30, 64)
+    corpus_rows, eval_rows = [], []
+    vid = 0
+    for i in range(30):  # each eval vector has one planted contaminant
+        eval_rows.append((vid, base[i].tolist())); vid += 1
+        corpus_rows.append(
+            (vid, (base[i] + 0.2 * rng.randn(64)).tolist())
+        ); vid += 1
+    for _ in range(300):  # background corpus
+        corpus_rows.append((vid, rng.randn(64).tolist())); vid += 1
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    evalset = spark.createDataFrame(
+        eval_rows, "vec_id long, embedding array<double>"
+    )
+    tau = 0.85
+    brute = {
+        (r["a"], r["b"])
+        for r in cosine_cross_pairs(corpus, evalset, tau).collect()
+    }
+    banded = {
+        (r["a"], r["b"])
+        for r in sign_banded_cross_pairs(corpus, evalset, tau).collect()
+    }
+    assert len(brute) >= 25
+    assert banded <= brute  # exact verify => precision 1.0
+    assert len(banded & brute) / len(brute) >= 0.99
+
+
+def test_cross_pairs_corpus_bucket_cap_drops_degenerate(spark):
+    """The corpus-side bucket cap is the P13 guard: with max_bucket=1
+    on a corpus where many vectors share every sign pattern, candidates
+    must collapse (dropped buckets), never a corpus×eval blow-up."""
+    from metacache_mpi_spark.operators.ann import sign_banded_cross_pairs
+
+    ones = [1.0] * 64
+    corpus = spark.createDataFrame(
+        [(i, ones) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    evalset = spark.createDataFrame(
+        [(1000, ones)], "vec_id long, embedding array<double>"
+    )
+    got = sign_banded_cross_pairs(
+        corpus, evalset, tau=0.5, bands=16, rows_per_band=2, max_bucket=1
+    )
+    assert got.count() == 0
