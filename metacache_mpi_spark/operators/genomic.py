@@ -535,6 +535,20 @@ def merge_query_results(
     )
 
 
+def lifted_taxid_map(
+    taxonomy, target_taxid: dict[int, int], rank: str
+) -> dict[int, int]:
+    """The A3 lift rule in ONE place: target → ancestor at ``rank``
+    (falling back to the raw taxid when no ancestor exists at that
+    rank, candidates.h:242-283).  Shared by
+    :func:`merge_candidates_below_rank` and the CLI's ``--lowest``
+    identity map so the two can never drift."""
+    return {
+        tgt: taxonomy.ancestor_at_rank(tax, rank) or tax
+        for tgt, tax in target_taxid.items()
+    }
+
+
 def merge_candidates_below_rank(
     per_target: DataFrame,
     taxonomy,
@@ -555,10 +569,7 @@ def merge_candidates_below_rank(
     per-target top-k must still be able to merge in; feeding truncated
     rows here would silently drop it.  Returns (qid, taxid, hits, rank).
     """
-    merged_map = {
-        tgt: taxonomy.ancestor_at_rank(tax, lowest_rank) or tax
-        for tgt, tax in target_taxid.items()
-    }
+    merged_map = lifted_taxid_map(taxonomy, target_taxid, lowest_rank)
     spark = per_target.sparkSession
     dim = spark.createDataFrame(
         [(t, m) for t, m in merged_map.items()], "tgt long, taxid long"

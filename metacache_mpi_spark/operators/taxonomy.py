@@ -388,12 +388,15 @@ def exclude_truth_clade(
 
     ``target_taxid``: (tgt, taxid) DataFrame or dict.  ``truth``:
     (qid, truth_taxid).  Ancestor lookups run driver-side over the
-    DISTINCT taxids (taxa metadata is driver-resident in the reference
-    too, sketch_database.h:545-560) and join back as broadcast dims —
-    never a per-match Python call.  Null handling mirrors the
-    reference's pointer equality: a match is dropped iff both ancestors
-    resolve equal INCLUDING the both-null case; queries with no truth
-    keep all matches.
+    DISTINCT taxids only (taxa metadata is driver-resident in the
+    reference too, sketch_database.h:545-560 — bounded by the taxonomy
+    size) and that small ``(taxid, anc)`` dim broadcasts; the
+    per-QUERY and per-TARGET tables scale with their corpora, so they
+    join shuffle-hash, never broadcast (the same rule as
+    query_index_paired's span dim).  Never a per-match Python call.
+    Null handling mirrors the reference's pointer equality: a match is
+    dropped iff both ancestors resolve equal INCLUDING the both-null
+    case; queries with no truth keep all matches.
     """
     spark = matches.sparkSession
     if isinstance(target_taxid, dict):
@@ -432,8 +435,8 @@ def exclude_truth_clade(
         ).alias("_qanc"),
     )
     return (
-        matches.join(F.broadcast(tgt_anc), "tgt", "left")
-        .join(F.broadcast(q_anc), "qid", "left")
+        matches.join(tgt_anc.hint("shuffle_hash"), "tgt", "left")
+        .join(q_anc.hint("shuffle_hash"), "qid", "left")
         .where(
             F.col("_qanc").isNull()
             | F.col("_tanc").isNull()

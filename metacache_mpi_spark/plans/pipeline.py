@@ -200,15 +200,23 @@ def dedup_pipeline(
         )
 
         def _docs_fingerprint() -> dict:
+            # content-sensitive: text_fp folds every (doc_id, text)
+            # pair, so a re-crawl of the same URL set with CHANGED page
+            # text (identical ids, rows, min/max) still mismatches —
+            # costs one extra column in the same single scan
             row = docs.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.min(id_col).alias("lo"),
                 F.max(id_col).alias("hi"),
+                F.coalesce(
+                    F.expr(f"bit_xor(xxhash64({id_col}, text))"), F.lit(0)
+                ).alias("tfp"),
             ).collect()[0]
             return {
                 "rows": int(row["n"]),
                 "min_doc_id": row["lo"] and int(row["lo"]),
                 "max_doc_id": row["hi"] and int(row["hi"]),
+                "text_fp": int(row["tfp"]),
             }
 
         if not spark.catalog.tableExists(table):
@@ -226,18 +234,32 @@ def dedup_pipeline(
             )
             with open(fp_path, "w") as fh:
                 _json.dump(_docs_fingerprint(), fh)
-        elif _os.path.exists(fp_path):
-            with open(fp_path) as fh:
-                stored = _json.load(fh)
+        else:
             got = _docs_fingerprint()
-            if got != stored:
-                raise ValueError(
-                    f"bucketed_warehouse {bucketed_warehouse!r} holds a "
-                    f"DIFFERENT corpus (stored fingerprint {stored}, "
-                    f"this call's docs {got}); point a new corpus at a "
-                    "new warehouse dir or drop the table "
-                    f"{table!r}"
-                )
+            if _os.path.exists(fp_path):
+                with open(fp_path) as fh:
+                    stored = _json.load(fh)
+                if got != stored:
+                    raise ValueError(
+                        f"bucketed_warehouse {bucketed_warehouse!r} holds "
+                        f"a DIFFERENT corpus (stored fingerprint {stored},"
+                        f" this call's docs {got}); point a new corpus at "
+                        f"a new warehouse dir or drop the table {table!r}"
+                    )
+            else:
+                # pre-guard warehouse (no fingerprint recorded): verify
+                # what the stored table CAN prove — its row count — then
+                # adopt and record the full fingerprint for future calls
+                n_stored = read_bucketed(spark, table).count()
+                if n_stored != got["rows"]:
+                    raise ValueError(
+                        f"bucketed_warehouse {bucketed_warehouse!r} holds "
+                        f"{n_stored} docs but this call's corpus has "
+                        f"{got['rows']}; drop the table {table!r} or use "
+                        "a new warehouse dir"
+                    )
+                with open(fp_path, "w") as fh:
+                    _json.dump(got, fh)
         signatures = read_bucketed(spark, table)
     else:
         signatures = stage("signatures", _signatures)

@@ -229,23 +229,31 @@ def _read_target_seqs(spark, path):
     return seqs, dim
 
 
-def _swap_write(df, final_path):
-    """Materialize ``df`` to ``<path>.tmp`` and swap it in.  The write
-    happens BEFORE the original files move, so a lazy plan reading the
-    old data is fully drained first; a crash mid-swap leaves either the
-    old dir or a recoverable ``.old``.  (At deployment this is an
-    Iceberg snapshot commit — plans/checkpoint.py is the engine's
-    manifest-atomic version of the same contract.)"""
+def _stage_write(df, final_path):
+    """Phase 1 of a two-phase dataset swap: materialize ``df`` to
+    ``<path>.tmp``.  Writing BEFORE any rename means a lazy plan
+    reading the old data is fully drained first, and a crash here
+    leaves the DB untouched."""
+    df.write.mode("overwrite").parquet(final_path + ".tmp")
+
+
+def _commit_swap(final_path):
+    """Phase 2: swap the staged ``.tmp`` dir into place.  Staging both
+    datasets before committing either shrinks the non-atomic window
+    from two large parquet writes to two directory renames — and
+    cmd_modify's anti-join against BOTH the dim and the index makes a
+    retry across that residual window idempotent.  (At deployment this
+    is an Iceberg multi-table transaction — plans/checkpoint.py is the
+    engine's manifest-atomic version of the same contract.)"""
     import shutil
 
-    tmp = final_path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
     old = final_path + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
-    os.rename(final_path, old)
-    os.rename(tmp, final_path)
-    shutil.rmtree(old)
+    if os.path.exists(final_path):
+        os.rename(final_path, old)
+    os.rename(final_path + ".tmp", final_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def cmd_modify(spark, args) -> dict:
@@ -270,21 +278,51 @@ def cmd_modify(spark, args) -> dict:
         **{**meta["cfg"], "remove_overpopulated": args.remove_overpopulated}
     )
     seqs, new_dim = _read_target_seqs(spark, args.targets)
-    existing = spark.read.parquet(os.path.join(args.db, "targets.parquet"))
-    # a target already in the DB (same file identity) must not insert
-    # its windows twice — the reference skips sequences whose id is
-    # already present (mode_build.cpp database-add path)
-    fresh = seqs.join(
-        existing.select("tgt"), "tgt", "left_anti"
-    ).persist()
+    tpath = os.path.join(args.db, "targets.parquet")
+    if "target_taxid" in meta and not os.path.exists(tpath):
+        # legacy layout: the dim lives in meta.json — lift it into the
+        # parquet dim (headers unknown → null); modify upgrades the DB
+        existing = spark.createDataFrame(
+            [
+                (int(k), int(v), None)
+                for k, v in meta["target_taxid"].items()
+            ],
+            "tgt long, taxid long, header string",
+        )
+    else:
+        existing = spark.read.parquet(tpath)
+    # a target already in the DB must not insert its windows twice —
+    # the reference skips sequences whose id is already present
+    # (mode_build.cpp database-add path).  The anti-join runs against
+    # the dim AND the index's target set: after a crash between the two
+    # commit renames below the index can be one step ahead of the dim,
+    # and a retry must not union those targets' rows in again.
+    index_tgts = index.select("tgt").distinct()
+    known = existing.select("tgt").unionByName(index_tgts).distinct()
+    fresh = seqs.join(known, "tgt", "left_anti").persist()
     n_new = fresh.count()
     n_skipped = seqs.count() - n_new
+    # dim self-repair for the same crash window: a target already in
+    # the index but missing from the dim gets its metadata row now
+    orphan_dim = new_dim.join(index_tgts, "tgt", "left_semi").join(
+        existing.select("tgt"), "tgt", "left_anti"
+    )
     new_index = modify_index(index, fresh.select("tgt", "seq"), cfg)
-    _swap_write(new_index, os.path.join(args.db, "index.parquet"))
     dim_union = existing.unionByName(
         new_dim.join(fresh.select("tgt"), "tgt", "left_semi")
-    )
-    _swap_write(dim_union, os.path.join(args.db, "targets.parquet"))
+    ).unionByName(orphan_dim)
+    ipath = os.path.join(args.db, "index.parquet")
+    _stage_write(new_index, ipath)
+    _stage_write(dim_union, tpath)
+    _commit_swap(ipath)
+    _commit_swap(tpath)
+    if "target_taxid" in meta:
+        # the dim is now authoritative parquet — retire the legacy map
+        meta.pop("target_taxid")
+        tmp = os.path.join(args.db, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(args.db, "meta.json"))
     fresh.unpersist()
     index_rows = spark.read.parquet(
         os.path.join(args.db, "index.parquet")
@@ -334,6 +372,10 @@ def cmd_query(spark, args) -> dict:
     )
     if getattr(args, "precision", False) and not getattr(args, "truth", None):
         raise ValueError("--precision needs --truth")
+    if getattr(args, "precision", False) and not tax:
+        # the per-rank table is computed inside the classification tail
+        # — without a taxonomy it would be silently skipped
+        raise ValueError("--precision needs --nodes")
     if getattr(args, "exclude", None) and not (
         getattr(args, "truth", None) and tax
     ):
@@ -348,13 +390,19 @@ def cmd_query(spark, args) -> dict:
     if lowest:
         # A3 merge-below-rank needs the target→taxid map driver-side
         # (the reference replicates taxa metadata per rank,
-        # sketch_database.h:545-560 — bounded by the target count)
-        tmap = {
-            r["tgt"]: int(r["taxid"])
-            for r in spark.read.parquet(
-                os.path.join(args.db, "targets.parquet")
-            ).where(F.col("taxid").isNotNull()).collect()
-        }
+        # sketch_database.h:545-560 — bounded by the target count);
+        # legacy DBs carry it in meta.json instead of targets.parquet
+        if "target_taxid" in meta:
+            tmap = {
+                int(k): int(v) for k, v in meta["target_taxid"].items()
+            }
+        else:
+            tmap = {
+                r["tgt"]: int(r["taxid"])
+                for r in spark.read.parquet(
+                    os.path.join(args.db, "targets.parquet")
+                ).where(F.col("taxid").isNotNull()).collect()
+            }
 
     def _resolve_truth(with_header):
         """(qid, header) → (qid, truth_taxid): header-token strategy,
@@ -425,15 +473,23 @@ def cmd_query(spark, args) -> dict:
             F.col("record_idx").alias("ridx"),
             F.col("seq").alias("seq2"),
         )
-        if want_truth:
-            # mate-1 headers carry the pair's identity (the reference
-            # resolves ground truth from the first mate's header)
-            truth = _resolve_truth(r1.select("qid", "header"))
-        if getattr(args, "exclude", None):
-            match_filter = _exclusion_filter()
         paired_in = r1.join(r2, ["fidx", "ridx"]).select(
             "qid", "seq1", "seq2"
         )
+        if want_truth:
+            # mate-1 headers carry the pair's identity (the reference
+            # resolves ground truth from the first mate's header) —
+            # restricted to reads that SURVIVED the pairing join, so
+            # truth_known describes the population the query actually
+            # ran over (an unpaired trailing mate-1 record must not
+            # count)
+            truth = _resolve_truth(
+                r1.select("qid", "header").join(
+                    paired_in.select("qid"), "qid", "left_semi"
+                )
+            )
+        if getattr(args, "exclude", None):
+            match_filter = _exclusion_filter()
         if lowest:
             from metacache_mpi_spark.operators.genomic import (
                 query_index_paired_per_target,
@@ -505,17 +561,18 @@ def cmd_query(spark, args) -> dict:
             F.col("truth_taxid").isNotNull()
         ).count()
     if args.nodes:
-        identity = (
-            {
-                t: t
-                for t in {
-                    tax.ancestor_at_rank(v, lowest) or v
-                    for v in tmap.values()
-                }
+        if lowest:
+            # candidates are already taxa — classification maps them
+            # through identity, using the SAME lift rule the merge used
+            from metacache_mpi_spark.operators.genomic import (
+                lifted_taxid_map,
+            )
+
+            identity = {
+                t: t for t in lifted_taxid_map(tax, tmap, lowest).values()
             }
-            if lowest
-            else None
-        )
+        else:
+            identity = None
         counts, assigned = _classify_and_write(
             spark, args, cands, meta, cfg, args.out, tdim_override=identity
         )
@@ -530,8 +587,14 @@ def cmd_query(spark, args) -> dict:
                 rank_positions,
             )
 
-            joined = assigned.select("qid", "taxid").join(
-                truth, "qid", "left"
+            # the stats population is EVERY query with resolved truth,
+            # not only those that produced candidates: a read whose
+            # matches all fell below hitsMin is UNCLASSIFIED and must
+            # lower sensitivity (classification_statistics.h counts all
+            # queries) — joining FROM the assigned side would silently
+            # drop it and inflate sensitivity
+            joined = truth.join(
+                assigned.select("qid", "taxid"), "qid", "left"
             )
             stats = per_rank_stats(rank_positions(joined, tax))
             if args.out:

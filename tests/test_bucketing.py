@@ -168,3 +168,40 @@ def test_bucketed_warehouse_rejects_different_corpus(
     subset = pages.where(F.xxhash64("url") % 2 == 0)
     with pytest.raises(ValueError, match="DIFFERENT corpus"):
         dedup_pipeline(subset, bucketed_warehouse=wh)
+
+
+def test_bucketed_warehouse_pre_guard_table_adopts_or_rejects(
+    spark, tiny_corpus, tmp_path
+):
+    """A warehouse written before the fingerprint guard existed (no
+    .fingerprint.json): reuse verifies the stored table's row count
+    against the incoming corpus, then adopts + records the full
+    fingerprint; a different-sized corpus is rejected even without a
+    stored fingerprint."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    wh = str(tmp_path / "wh_preguard")
+    pages = load_pages(spark, tiny_corpus)
+    first = dedup_pipeline(pages, bucketed_warehouse=wh)
+    n = first.clusters.count()
+    fp = next(
+        os.path.join(wh, f) for f in os.listdir(wh)
+        if f.endswith(".fingerprint.json")
+    )
+    os.remove(fp)  # simulate a pre-guard warehouse
+
+    # same corpus: row-count check passes, fingerprint is re-recorded
+    again = dedup_pipeline(pages, bucketed_warehouse=wh)
+    assert again.clusters.count() == n
+    assert os.path.exists(fp)
+
+    os.remove(fp)
+    subset = pages.where(F.xxhash64("url") % 2 == 0)
+    with pytest.raises(ValueError, match="docs"):
+        dedup_pipeline(subset, bucketed_warehouse=wh)

@@ -469,6 +469,11 @@ def eval_reads(cli_fixture):
         for i in range(4):
             s = int(rng.randint(0, 600))
             recs.append((t, i, genomes[t][s : s + 120]))
+    # one read with KNOWN truth but a sequence alien to both targets:
+    # it produces zero candidates and must still count in the
+    # sensitivity denominator (classification_statistics counts every
+    # query; the r5 review caught the assigned-side join dropping it)
+    recs.append((5, 99, "A" * 120))
     path.write_text(
         "".join(
             f"@taxid|{t}|r{i}\n{s}\n+\n{'!' * len(s)}\n" for t, i, s in recs
@@ -489,10 +494,14 @@ def test_query_eval_flags(spark, cli_fixture, built_db, eval_reads, tmp_path):
         abundance_per="genus",
     )
     out = genomic_job.cmd_query(spark, args)
-    assert out["truth_known"] == 8
+    assert out["truth_known"] == 9
     assert out["classified"] > 0
     prec = out["precision"]
     assert prec["species"]["sensitivity_micro"] > 0
+    # the zero-candidate truth read caps sensitivity strictly below
+    # 1.0 — the denominator must include reads that never produced
+    # candidates (review finding: assigned-side join dropped them)
+    assert prec["species"]["sensitivity_micro"] <= 888_889
     # every correct species call is also correct at genus — cumulative
     assert (
         prec["genus"]["sensitivity_micro"]
@@ -692,3 +701,135 @@ def test_paired_query_insert_size_max(spark, cli_fixture, built_db):
         ),
     )
     assert out["candidates"] > 0 and out["classified"] > 0
+
+
+def test_modify_retry_after_partial_commit_is_idempotent(spark, tmp_path):
+    """Simulated crash between the two commit renames (index swapped,
+    dim not): retrying the SAME modify must not duplicate index rows
+    (anti-join includes the index's target set) and must repair the
+    dim's missing metadata rows (orphan repair) — ending identical to
+    a clean build(A ∪ B)."""
+    import shutil
+
+    rng = np.random.RandomState(9)
+    d = tmp_path / "t"
+    d.mkdir()
+    genomes = {t: _dna(rng, 600) for t in (5, 6, 7)}
+    (d / "a.fasta").write_text(
+        "".join(f">taxid|{t} g{t}\n{genomes[t]}\n" for t in (5, 6))
+    )
+    (d / "b.fasta").write_text(f">taxid|7 g7\n{genomes[7]}\n")
+    kw = dict(k=8, sketch=8, winlen=64, winstride=57, max_cand=2,
+              remove_overpopulated=False, nodes=None,
+              remove_ambig_features=None, max_ambig_per_feature=1)
+    db = str(tmp_path / "db")
+    db_full = str(tmp_path / "db_full")
+    genomic_job.cmd_build(
+        spark, argparse.Namespace(targets=str(d / "a.fasta"), db=db, **kw)
+    )
+    # snapshot the pre-modify dim, run the modify, then roll ONLY the
+    # dim back — the exact state a crash between the two renames leaves
+    pre_dim = str(tmp_path / "pre_dim")
+    shutil.copytree(os.path.join(db, "targets.parquet"), pre_dim)
+    genomic_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            targets=str(d / "b.fasta"), db=db, remove_overpopulated=False
+        ),
+    )
+    shutil.rmtree(os.path.join(db, "targets.parquet"))
+    shutil.copytree(pre_dim, os.path.join(db, "targets.parquet"))
+
+    retry = genomic_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            targets=str(d / "b.fasta"), db=db, remove_overpopulated=False
+        ),
+    )
+    assert retry["new_targets"] == 0  # already in the index → skipped
+    genomic_job.cmd_build(
+        spark, argparse.Namespace(targets=str(d), db=db_full, **kw)
+    )
+
+    def rows(p, cols):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(
+        os.path.join(db, "index.parquet"), ("feature", "tgt", "win")
+    ) == rows(
+        os.path.join(db_full, "index.parquet"), ("feature", "tgt", "win")
+    )
+    # the orphaned target's metadata row was repaired into the dim
+    assert rows(
+        os.path.join(db, "targets.parquet"), ("tgt", "taxid")
+    ) == rows(
+        os.path.join(db_full, "targets.parquet"), ("tgt", "taxid")
+    )
+
+
+def test_modify_upgrades_legacy_meta_db(spark, tmp_path):
+    """A legacy DB (target map in meta.json, no targets.parquet) must
+    be modifiable: the map lifts into the parquet dim (null headers),
+    new targets append, and the legacy key retires."""
+    import json as _json
+    import shutil
+
+    rng = np.random.RandomState(15)
+    d = tmp_path / "t"
+    d.mkdir()
+    genomes = {t: _dna(rng, 600) for t in (5, 6, 7)}
+    (d / "a.fasta").write_text(
+        "".join(f">taxid|{t} g{t}\n{genomes[t]}\n" for t in (5, 6))
+    )
+    (d / "b.fasta").write_text(f">taxid|7 g7\n{genomes[7]}\n")
+    kw = dict(k=8, sketch=8, winlen=64, winstride=57, max_cand=2,
+              remove_overpopulated=False, nodes=None,
+              remove_ambig_features=None, max_ambig_per_feature=1)
+    db = str(tmp_path / "db")
+    genomic_job.cmd_build(
+        spark, argparse.Namespace(targets=str(d / "a.fasta"), db=db, **kw)
+    )
+    # convert to the legacy layout
+    dim = {
+        r["tgt"]: r["taxid"]
+        for r in spark.read.parquet(
+            os.path.join(db, "targets.parquet")
+        ).collect()
+    }
+    shutil.rmtree(os.path.join(db, "targets.parquet"))
+    meta = _json.load(open(os.path.join(db, "meta.json")))
+    meta["target_taxid"] = {str(k): v for k, v in dim.items()}
+    _json.dump(meta, open(os.path.join(db, "meta.json"), "w"))
+
+    out = genomic_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            targets=str(d / "b.fasta"), db=db, remove_overpopulated=False
+        ),
+    )
+    assert out["new_targets"] == 1 and out["targets"] == 3
+    meta2 = _json.load(open(os.path.join(db, "meta.json")))
+    assert "target_taxid" not in meta2  # upgraded
+    got = sorted(
+        r["taxid"]
+        for r in spark.read.parquet(
+            os.path.join(db, "targets.parquet")
+        ).collect()
+    )
+    assert got == [5, 6, 7]
+
+
+def test_precision_without_nodes_raises(spark, cli_fixture, built_db):
+    with pytest.raises(ValueError, match="--precision needs --nodes"):
+        genomic_job.cmd_query(
+            spark,
+            argparse.Namespace(
+                db=built_db, reads=cli_fixture["reads1"], reads2=None,
+                nodes=None, out=None, truth="header", precision=True,
+                exclude=None, abundance_per=None, lowest=None,
+                insert_size_max=0,
+            ),
+        )
