@@ -390,16 +390,18 @@ def exclude_truth_clade(
     (qid, truth_taxid).  Ancestor lookups run driver-side over the
     DISTINCT taxids only (taxa metadata is driver-resident in the
     reference too, sketch_database.h:545-560 — bounded by the taxonomy
-    size) and that small ``(taxid, anc)`` dim broadcasts; the
-    per-QUERY and per-TARGET tables scale with their corpora, so they
-    join shuffle-hash, never broadcast (the same rule as
-    query_index_paired's span dim).  Never a per-match Python call.
+    size) and that small ``(taxid, anc)`` dim broadcasts; the per-QUERY
+    table scales with the read corpus and always joins shuffle-hash
+    (the query_index_paired span-dim rule), while the per-TARGET side
+    broadcasts only when it came in as a driver dict (already resident)
+    and is otherwise left to AQE.  Never a per-match Python call.
     Null handling mirrors the reference's pointer equality: a match is
     dropped iff both ancestors resolve equal INCLUDING the both-null
     case; queries with no truth keep all matches.
     """
     spark = matches.sparkSession
-    if isinstance(target_taxid, dict):
+    tdim_is_dict = isinstance(target_taxid, dict)
+    if tdim_is_dict:
         tdim = spark.createDataFrame(
             list(target_taxid.items()), "tgt long, taxid long"
         )
@@ -434,8 +436,16 @@ def exclude_truth_clade(
             F.coalesce("anc", F.lit(-1)),
         ).alias("_qanc"),
     )
+    # per-target side: a dict-sourced dim is driver-resident by
+    # construction (legacy meta.json maps) — broadcast it so the raw
+    # match table (the largest intermediate, filtered BEFORE candidate
+    # aggregation) is not shuffled on tgt for a tiny build side; a
+    # DataFrame dim scales with the targets, so it is left to AQE
+    # (broadcast while it fits, shuffle above).  The per-QUERY side
+    # always shuffle-hashes.
+    tgt_side = F.broadcast(tgt_anc) if tdim_is_dict else tgt_anc
     return (
-        matches.join(tgt_anc.hint("shuffle_hash"), "tgt", "left")
+        matches.join(tgt_side, "tgt", "left")
         .join(q_anc.hint("shuffle_hash"), "qid", "left")
         .where(
             F.col("_qanc").isNull()

@@ -199,17 +199,17 @@ def dedup_pipeline(
             bucketed_warehouse, table + ".fingerprint.json"
         )
 
-        def _docs_fingerprint() -> dict:
-            # content-sensitive: text_fp folds every (doc_id, text)
-            # pair, so a re-crawl of the same URL set with CHANGED page
-            # text (identical ids, rows, min/max) still mismatches —
-            # costs one extra column in the same single scan
-            row = docs.agg(
+        def _fingerprint_of(df, idc: str) -> dict:
+            # content-sensitive: text_fp folds every (id, text) pair,
+            # so a re-crawl of the same URL set with CHANGED page text
+            # (identical ids, rows, min/max) still mismatches — costs
+            # one extra column in the same single scan
+            row = df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.min(id_col).alias("lo"),
-                F.max(id_col).alias("hi"),
+                F.min(idc).alias("lo"),
+                F.max(idc).alias("hi"),
                 F.coalesce(
-                    F.expr(f"bit_xor(xxhash64({id_col}, text))"), F.lit(0)
+                    F.expr(f"bit_xor(xxhash64({idc}, text))"), F.lit(0)
                 ).alias("tfp"),
             ).collect()[0]
             return {
@@ -218,6 +218,9 @@ def dedup_pipeline(
                 "max_doc_id": row["hi"] and int(row["hi"]),
                 "text_fp": int(row["tfp"]),
             }
+
+        def _docs_fingerprint() -> dict:
+            return _fingerprint_of(docs, id_col)
 
         if not spark.catalog.tableExists(table):
             sig_df = (
@@ -239,27 +242,40 @@ def dedup_pipeline(
             if _os.path.exists(fp_path):
                 with open(fp_path) as fh:
                     stored = _json.load(fh)
-                if got != stored:
+                # compare on the STORED file's fields so a fingerprint
+                # written by an earlier guard version (fewer fields)
+                # still validates on its own terms instead of always
+                # mismatching; backfill the full form after it passes
+                if {k: got.get(k) for k in stored} != stored:
                     raise ValueError(
                         f"bucketed_warehouse {bucketed_warehouse!r} holds "
                         f"a DIFFERENT corpus (stored fingerprint {stored},"
                         f" this call's docs {got}); point a new corpus at "
                         f"a new warehouse dir or drop the table {table!r}"
                     )
+                if set(stored) != set(got):
+                    with open(fp_path, "w") as fh:
+                        _json.dump(got, fh)
             else:
-                # pre-guard warehouse (no fingerprint recorded): verify
-                # what the stored table CAN prove — its row count — then
-                # adopt and record the full fingerprint for future calls
-                n_stored = read_bucketed(spark, table).count()
-                if n_stored != got["rows"]:
+                # pre-guard warehouse (no fingerprint recorded): the
+                # stored table itself carries (doc_id, text), so the
+                # FULL fingerprint is provable from it — compute it
+                # there, require it to match this call's docs, and
+                # record the TABLE-derived value (recording the
+                # incoming corpus's fingerprint instead would
+                # permanently validate a same-row-count mismatch)
+                stored_fp = _fingerprint_of(
+                    read_bucketed(spark, table), "doc_id"
+                )
+                if stored_fp != got:
                     raise ValueError(
                         f"bucketed_warehouse {bucketed_warehouse!r} holds "
-                        f"{n_stored} docs but this call's corpus has "
-                        f"{got['rows']}; drop the table {table!r} or use "
-                        "a new warehouse dir"
+                        f"a DIFFERENT corpus (stored table fingerprint "
+                        f"{stored_fp}, this call's docs {got}); drop the "
+                        f"table {table!r} or use a new warehouse dir"
                     )
                 with open(fp_path, "w") as fh:
-                    _json.dump(got, fh)
+                    _json.dump(stored_fp, fh)
         signatures = read_bucketed(spark, table)
     else:
         signatures = stage("signatures", _signatures)

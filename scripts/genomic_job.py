@@ -126,6 +126,20 @@ def _load_db(spark, db):
     return index, meta
 
 
+def _legacy_map(db, meta):
+    """The legacy meta.json target→taxid map, or None when the parquet
+    dim should be used.  ONE precedence rule everywhere: the parquet
+    dim wins whenever it exists — a modify upgrade that crashed before
+    the meta.json rewrite leaves a STALE legacy map next to current
+    parquet, and reading the map there would silently drop the new
+    targets' candidates."""
+    if "target_taxid" in meta and not os.path.exists(
+        os.path.join(db, "targets.parquet")
+    ):
+        return {int(k): int(v) for k, v in meta["target_taxid"].items()}
+    return None
+
+
 def cmd_build(spark, args) -> dict:
     from metacache_mpi_spark.operators.genomic import build_index
 
@@ -169,15 +183,20 @@ def cmd_build(spark, args) -> dict:
             tax = Taxonomy.from_dataframe(
                 parse_nodes_dmp(spark, args.nodes)
             )
+            from metacache_mpi_spark.operators.genomic import (
+                lifted_taxid_map,
+            )
+
             taxids = [
-                r["taxid"]
+                int(r["taxid"])
                 for r in tt.select("taxid").distinct().collect()
             ]
             lift = spark.createDataFrame(
-                [
-                    (int(t), tax.ancestor_at_rank(int(t), ambig_rank) or int(t))
-                    for t in taxids
-                ],
+                list(
+                    lifted_taxid_map(
+                        tax, {t: t for t in taxids}, ambig_rank
+                    ).items()
+                ),
                 "taxid long, anc long",
             )
             tt = tt.join(F.broadcast(lift), "taxid").select(
@@ -391,11 +410,13 @@ def cmd_query(spark, args) -> dict:
         # A3 merge-below-rank needs the target→taxid map driver-side
         # (the reference replicates taxa metadata per rank,
         # sketch_database.h:545-560 — bounded by the target count);
-        # legacy DBs carry it in meta.json instead of targets.parquet
-        if "target_taxid" in meta:
-            tmap = {
-                int(k): int(v) for k, v in meta["target_taxid"].items()
-            }
+        # legacy DBs carry it in meta.json instead of targets.parquet.
+        # The parquet dim WINS whenever it exists — after a modify
+        # upgrade that crashed before the meta rewrite, the legacy map
+        # is stale (same precedence as _legacy_map/_classify_and_write)
+        legacy = _legacy_map(args.db, meta)
+        if legacy is not None:
+            tmap = legacy
         else:
             tmap = {
                 r["tgt"]: int(r["taxid"])
@@ -430,9 +451,8 @@ def cmd_query(spark, args) -> dict:
             exclude_truth_clade,
         )
 
-        if "target_taxid" in meta:
-            tdim = {int(k): v for k, v in meta["target_taxid"].items()}
-        else:
+        tdim = _legacy_map(args.db, meta)
+        if tdim is None:
             tdim = spark.read.parquet(
                 os.path.join(args.db, "targets.parquet")
             ).where(F.col("taxid").isNotNull()).select("tgt", "taxid")
@@ -647,17 +667,20 @@ def _classify_and_write(spark, args, cands, meta, cfg, out_dir, tdim_override=No
 
     tax = Taxonomy.from_dataframe(parse_nodes_dmp(spark, args.nodes))
     # targets dim joins in relationally (see cmd_build); legacy DBs
-    # carry the map in meta.json — keep reading those
+    # carry the map in meta.json (_legacy_map precedence: the parquet
+    # dim wins when both exist)
     if tdim_override is not None:
         tdim = tdim_override
-    elif "target_taxid" in meta:
-        tdim = {int(k): v for k, v in meta["target_taxid"].items()}
     else:
-        tdim = (
-            spark.read.parquet(os.path.join(args.db, "targets.parquet"))
-            .where(F.col("taxid").isNotNull())
-            .select("tgt", "taxid")
-        )
+        tdim = _legacy_map(args.db, meta)
+        if tdim is None:
+            tdim = (
+                spark.read.parquet(
+                    os.path.join(args.db, "targets.parquet")
+                )
+                .where(F.col("taxid").isNotNull())
+                .select("tgt", "taxid")
+            )
     assigned = classify_lca(
         cands, tax, tdim, hits_min=cfg.hits_min_effective
     )
