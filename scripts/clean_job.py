@@ -10,6 +10,11 @@ entirely from this repo's operators::
       ├─ quality gates ──────────────── token/alpha/repetition filters
       │      (token_stats ⋈ quality_scores ⋈ repetition_stats)
       │
+      ├─ decontamination (optional) ─── eval-set leak removal in BOTH
+      │      modalities: shingle containment (--eval-docs) and
+      │      embedding cosine (--eval-embeddings + --embeddings,
+      │      sign-banded + exact verify)
+      │
       ├─ dedup_pipeline ─────────────── MinHash/SimHash/LSH near-dup
       │      └─ keep cluster representative (min doc_id)
       │
@@ -51,8 +56,56 @@ def main() -> None:
         help="route the dedup stage's verify joins through a "
         "bucketBy(doc_id) corpus table (plans/bucketing.py)",
     )
+    # decontamination (both modalities optional; see textops
+    # .contamination_pairs and ann.sign_banded_cross_pairs)
+    ap.add_argument(
+        "--eval-docs",
+        default=None,
+        help="parquet of eval-set documents (doc_id, text): drop "
+        "corpus docs whose shingle containment of any eval doc "
+        "reaches 50% (train/test-leak gate)",
+    )
+    ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="parquet of corpus embeddings keyed by doc_id (or "
+        "vec_id) — enables --eval-embeddings",
+    )
+    ap.add_argument(
+        "--eval-embeddings",
+        default=None,
+        help="parquet of eval-set embeddings: drop corpus docs whose "
+        "embedding cosine to any eval vector reaches --semantic-tau "
+        "(semantic decontamination, sign-banded + exact verify)",
+    )
+    ap.add_argument("--semantic-tau", type=float, default=0.9)
     args = ap.parse_args()
 
+    from metacache_mpi_spark.session import get_spark
+    from metacache_mpi_spark.sources.pages import write_corpus
+
+    if args.generate:
+        write_corpus(args.input, n_pages=args.generate, seed=42)
+
+    spark = get_spark(args.cores, app_name="clean-job")
+    t0 = time.time()
+    counts = run(spark, args)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                **counts,
+                "docs_per_sec": round(counts["raw"] / dt, 1),
+                "sec": round(dt, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run(spark, args) -> dict:
+    """The cleanup funnel body (separated from main() so tests drive
+    it on a shared session; main owns argparse/session/JSON-line)."""
     from pyspark.sql import functions as F
 
     from metacache_mpi_spark.operators.textops import (
@@ -63,14 +116,8 @@ def main() -> None:
     )
     from metacache_mpi_spark.operators.webops import url_dedup_latest
     from metacache_mpi_spark.plans.pipeline import dedup_pipeline
-    from metacache_mpi_spark.session import get_spark
-    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+    from metacache_mpi_spark.sources.pages import load_pages
 
-    if args.generate:
-        write_corpus(args.input, n_pages=args.generate, seed=42)
-
-    spark = get_spark(args.cores, app_name="clean-job")
-    t0 = time.time()
     counts: dict[str, int] = {}
 
     pages = load_pages(spark, args.input)
@@ -114,6 +161,44 @@ def main() -> None:
     gated = clean.join(keep.hint("shuffle_hash"), "doc_id")
     counts["after_quality"] = gated.count()
 
+    # 3b. decontamination — drop anything too close to the eval set,
+    #     in EITHER modality (verbatim shingle containment / embedding
+    #     cosine).  Contaminated ids are tiny relative to the corpus
+    #     but derived FROM it, so they leave via anti-join, arriving as
+    #     whatever side AQE sizes them to.
+    if args.eval_docs:
+        from metacache_mpi_spark.operators.textops import (
+            contamination_pairs,
+        )
+
+        evald = spark.read.parquet(args.eval_docs).select("doc_id", "text")
+        hit = contamination_pairs(gated, evald).select("doc_id").distinct()
+        gated = gated.join(hit, "doc_id", "left_anti")
+        counts["after_decontam_text"] = gated.count()
+    if args.eval_embeddings:
+        if not args.embeddings:
+            raise ValueError("--eval-embeddings needs --embeddings")
+        from metacache_mpi_spark.operators.ann import (
+            sign_banded_cross_pairs,
+        )
+
+        def _emb(path):
+            df = spark.read.parquet(path)
+            if "vec_id" not in df.columns:
+                df = df.withColumnRenamed("doc_id", "vec_id")
+            return df.select("vec_id", "embedding")
+
+        dims = len(_emb(args.embeddings).first()["embedding"])
+        pairs = sign_banded_cross_pairs(
+            _emb(args.embeddings),
+            _emb(args.eval_embeddings),
+            tau=args.semantic_tau,
+            dims=dims,
+        )
+        hit = pairs.select(F.col("a").alias("doc_id")).distinct()
+        gated = gated.join(hit, "doc_id", "left_anti")
+        counts["after_decontam_semantic"] = gated.count()
+
     # 4. near-duplicate dedup; survivors = cluster representative
     res = dedup_pipeline(
         gated, bucketed_warehouse=args.bucketed_warehouse
@@ -126,18 +211,7 @@ def main() -> None:
     )
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()
-
-    dt = time.time() - t0
-    print(
-        json.dumps(
-            {
-                **counts,
-                "docs_per_sec": round(counts["raw"] / dt, 1),
-                "sec": round(dt, 2),
-            }
-        )
-    )
-    spark.stop()
+    return counts
 
 
 if __name__ == "__main__":

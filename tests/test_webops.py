@@ -304,3 +304,76 @@ def test_cleanup_composition_funnel(spark, tmp_path):
     assert n_clean > 0
     clean.unpersist()
     res.unpersist()
+
+
+def test_clean_job_decontamination_stages(spark, tmp_path):
+    """clean_job.run with both decontamination modalities: a corpus doc
+    that verbatim-contains an eval doc leaves at the text stage; a doc
+    whose embedding matches an eval vector leaves at the semantic
+    stage; everything else flows through.  Drives the actual CLI body
+    (argparse Namespace → run)."""
+    import argparse
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+
+    spec = importlib.util.spec_from_file_location(
+        "clean_job",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "clean_job.py"),
+    )
+    clean_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(clean_job)
+
+    cdir = str(tmp_path / "corpus")
+    write_corpus(cdir, n_pages=150, seed=23)
+    pages = load_pages(spark, cdir)
+
+    # text eval set: one real corpus text (full containment) — pick a
+    # clean-looking survivor deterministically
+    sample = pages.where("length(text) > 400").orderBy("doc_id").first()
+    evald = str(tmp_path / "eval_docs")
+    spark.createDataFrame(
+        [(999_001, sample["text"])], "doc_id long, text string"
+    ).write.parquet(evald)
+
+    # embeddings: every doc gets a random vector; ONE other doc gets an
+    # eval vector's near-copy
+    rng = np.random.RandomState(5)
+    ids = [r["doc_id"] for r in pages.select("doc_id").collect()]
+    planted = sorted(ids)[5]
+    evec = rng.randn(16)
+    rows = [
+        (
+            i,
+            (evec + 0.01 * rng.randn(16)).tolist()
+            if i == planted
+            else rng.randn(16).tolist(),
+        )
+        for i in ids
+    ]
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "doc_id long, embedding array<double>").write.parquet(embp)
+    evalemb = str(tmp_path / "eval_emb")
+    spark.createDataFrame(
+        [(999_101, evec.tolist())], "vec_id long, embedding array<double>"
+    ).write.parquet(evalemb)
+
+    args = argparse.Namespace(
+        input=cdir, output=str(tmp_path / "out"), generate=0, cores=None,
+        bucketed_warehouse=None, eval_docs=evald, embeddings=embp,
+        eval_embeddings=evalemb, semantic_tau=0.9,
+    )
+    counts = clean_job.run(spark, args)
+    # both stages removed at least their planted doc, monotonically
+    assert counts["after_decontam_text"] < counts["after_quality"]
+    assert (
+        counts["after_decontam_semantic"] <= counts["after_decontam_text"]
+    )
+    assert counts["clean"] <= counts["after_decontam_semantic"]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert sample["doc_id"] not in kept
+    assert planted not in kept
