@@ -114,6 +114,7 @@ def contamination_pairs(
     k: int = NGRAM_K,
     cap: int = DF_CAP,
     min_containment_milli: int = 500,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination scan: for every (corpus doc, eval doc)
     pair sharing k-shingles, the CONTAINMENT of the eval doc in the
@@ -125,7 +126,11 @@ def contamination_pairs(
     shingles never fan out).
 
     (doc_id, eval_id, common_shingles, containment_milli), pairs with
-    containment ≥ threshold, self-pairs excluded.
+    containment ≥ threshold.  ``exclude_self`` drops doc_id == eval_id
+    pairs — correct when the eval set is drawn FROM the corpus (the
+    contract fixture); an EXTERNAL eval set with its own id namespace
+    must pass ``exclude_self=False``, or an id that happens to collide
+    with a corpus id would silently mask a real leak (clean_job does).
 
     Scale: corpus side is df-capped BEFORE the join (count-first, the
     overpopulated-feature guard); the eval set is the small side but
@@ -140,11 +145,11 @@ def contamination_pairs(
     sizes = es.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_eval_sh")
     )
-    hits = (
-        cs.join(es.hint("shuffle_hash"), "sh")
-        .where(F.col("doc_id") != F.col("eval_id"))
-        .groupBy("doc_id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    hits = cs.join(es.hint("shuffle_hash"), "sh")
+    if exclude_self:
+        hits = hits.where(F.col("doc_id") != F.col("eval_id"))
+    hits = hits.groupBy("doc_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("common_shingles")
     )
     return (
         hits.join(sizes, "eval_id")

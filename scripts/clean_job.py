@@ -23,9 +23,16 @@ entirely from this repo's operators::
 Launch (same deployment path as dedup_job)::
 
     zip -qr /tmp/mcs.zip metacache_mpi_spark
-    spark-submit --master <master> --py-files /tmp/mcs.zip \
+    spark-submit --master <master> --driver-memory 4g \
+        --py-files /tmp/mcs.zip \
         scripts/clean_job.py --input <corpus_dir> --output <out_dir> \
         [--generate N]
+
+NB ``--driver-memory`` matters under spark-submit: the JVM exists
+before Python runs, so session-time ``spark.driver.memory`` (which
+sizes the pyspark-launched JVM in tests) is silently ignored — and in
+local mode the driver heap IS the executor heap.  The 1g default is
+too small for the multi-stage funnel.
 
 Every stage count lands in the JSON line so a regression in any gate
 is visible run-over-run.
@@ -166,15 +173,37 @@ def run(spark, args) -> dict:
     #     cosine).  Contaminated ids are tiny relative to the corpus
     #     but derived FROM it, so they leave via anti-join, arriving as
     #     whatever side AQE sizes them to.
+    def _advance(prev, nxt, stage_key):
+        """Pin a decontam stage's output, materialize it via its funnel
+        count, release the superseded caches — each expensive anti-join
+        lineage (corpus-wide shingle join / banded cosine verify) runs
+        exactly once even though the result feeds the next stage, the
+        dedup pipeline and the output write.  EAGER release matters:
+        every pinned frame here carries the corpus text, and stacking
+        them (clean + one per stage + the pipeline's own sketch cache)
+        overflows a default 1g spark-submit driver heap (unpersist on a
+        never-pinned frame is a no-op)."""
+        nxt = nxt.persist()
+        counts[stage_key] = nxt.count()
+        prev.unpersist()
+        clean.unpersist()  # superseded once any stage's output is pinned
+        return nxt
+
     if args.eval_docs:
         from metacache_mpi_spark.operators.textops import (
             contamination_pairs,
         )
 
         evald = spark.read.parquet(args.eval_docs).select("doc_id", "text")
-        hit = contamination_pairs(gated, evald).select("doc_id").distinct()
-        gated = gated.join(hit, "doc_id", "left_anti")
-        counts["after_decontam_text"] = gated.count()
+        # exclude_self=False: the eval set is an EXTERNAL id namespace —
+        # an eval id that happens to equal a corpus id must still flag
+        hit = contamination_pairs(
+            gated, evald, exclude_self=False
+        ).select("doc_id").distinct()
+        gated = _advance(
+            gated, gated.join(hit, "doc_id", "left_anti"),
+            "after_decontam_text",
+        )
     if args.eval_embeddings:
         if not args.embeddings:
             raise ValueError("--eval-embeddings needs --embeddings")
@@ -188,16 +217,30 @@ def run(spark, args) -> dict:
                 df = df.withColumnRenamed("doc_id", "vec_id")
             return df.select("vec_id", "embedding")
 
-        dims = len(_emb(args.embeddings).first()["embedding"])
-        pairs = sign_banded_cross_pairs(
-            _emb(args.embeddings),
-            _emb(args.eval_embeddings),
-            tau=args.semantic_tau,
-            dims=dims,
+        # only SURVIVING docs' embeddings band+verify: dead docs would
+        # waste the whole banded pass and inflate (band, bband) counts
+        # toward the bucket cap, costing live-doc recall
+        corpus_emb = _emb(args.embeddings).join(
+            gated.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
         )
-        hit = pairs.select(F.col("a").alias("doc_id")).distinct()
-        gated = gated.join(hit, "doc_id", "left_anti")
-        counts["after_decontam_semantic"] = gated.count()
+        probe = corpus_emb.first()
+        if probe is None:
+            # empty survivors/embeddings: nothing can be contaminated
+            counts["after_decontam_semantic"] = gated.count()
+        else:
+            pairs = sign_banded_cross_pairs(
+                corpus_emb,
+                _emb(args.eval_embeddings),
+                tau=args.semantic_tau,
+                dims=len(probe["embedding"]),
+            )
+            hit = pairs.select(F.col("a").alias("doc_id")).distinct()
+            gated = _advance(
+                gated, gated.join(hit, "doc_id", "left_anti"),
+                "after_decontam_semantic",
+            )
 
     # 4. near-duplicate dedup; survivors = cluster representative
     res = dedup_pipeline(
@@ -211,6 +254,11 @@ def run(spark, args) -> dict:
     )
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()
+    # release every pinned subtree: run() is driven on SHARED sessions
+    # by tests (unpersist is a no-op on frames that were never pinned)
+    clean.unpersist()
+    gated.unpersist()
+    res.unpersist()
     return counts
 
 

@@ -332,8 +332,12 @@ def test_clean_job_decontamination_stages(spark, tmp_path):
     pages = load_pages(spark, cdir)
 
     # text eval set: one real corpus text (full containment) — pick a
-    # clean-looking survivor deterministically
+    # clean-looking survivor deterministically.  NB the eval doc is the
+    # RAW text while containment runs on boilerplate-cleaned text: the
+    # generator's boilerplate fraction must stay well under 50% for the
+    # strict after_decontam_text < after_quality assertion to hold.
     sample = pages.where("length(text) > 400").orderBy("doc_id").first()
+    assert sample is not None, "generator produced no long pages"
     evald = str(tmp_path / "eval_docs")
     spark.createDataFrame(
         [(999_001, sample["text"])], "doc_id long, text string"
