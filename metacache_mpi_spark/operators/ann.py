@@ -141,6 +141,7 @@ def ivf_batch_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids=None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Batched IVF ANN: every query joins only its ``nprobe`` probed
     centroid lists — the queries-DataFrame form of :func:`ivf_topk`
@@ -183,7 +184,12 @@ def ivf_batch_topk(
         F.col("embedding").alias("qe"),
         F.explode(_probes(F.col("embedding"))).alias("bucket"),
     )
-    assigned = ivf_assign(emb, centroids)
+    if assigned is None:
+        # assignment recomputes per call; a prebuilt index passes its
+        # (vec_id, embedding, bucket) table — at deployment written
+        # partitionBy(bucket), so a bucket filter prunes the scan
+        # (scripts/ann_job.py)
+        assigned = ivf_assign(emb, centroids)
     scored = (
         assigned.join(F.broadcast(probed), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))

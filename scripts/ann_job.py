@@ -1,0 +1,199 @@
+"""Batched ANN retrieval as a deployment surface: build / query.
+
+The embedding-lane analog of genomic_job's build/query split (the
+reference builds a partition-resident index once and streams batched
+queries against it, src/mode_build.cpp + src/querying.h:1309-1387)::
+
+    zip -qr /tmp/mcs.zip metacache_mpi_spark
+    spark-submit --master <master> --driver-memory 4g \
+        --py-files /tmp/mcs.zip scripts/ann_job.py \
+        build --embeddings emb.parquet --index /data/annidx \
+        [--n-centroids 64 --pq-m 8 --pq-codes 16]
+    ... query --index /data/annidx --queries q.parquet --k 10 \
+        [--mode ivfpq|ivf|brute] [--nprobe 4] [--out outdir]
+
+``build`` trains the IVF coarse quantizer and PQ codebooks on a
+bounded driver sample, assigns + encodes the corpus in one pass, and
+writes the index table **partitionBy(bucket)** with the trained
+artifacts as .npy sidecars — the physical layout that turns a probe
+into a PRUNED scan: ``query`` computes the union of every query's
+nprobe buckets driver-side and filters the scan on the partition
+column BEFORE any join, so only probed partitions are read
+(plan-asserted in test_ann_job).  ``query`` loads the artifacts,
+runs the batched lane (ivf_pq / ivf / brute — recall rises, cost
+rises), and writes (query_id, vec_id, cos_micro, rank).  One JSON
+count line per mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def cmd_build(spark, args) -> dict:
+    import numpy as np
+
+    from metacache_mpi_spark.operators.ann import (
+        ivf_assign,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+    cents = train_ivf_centroids(emb, n_centroids=args.n_centroids)
+    books = train_pq_codebooks(emb, m=args.pq_m, k=args.pq_codes)
+    table = pq_encode(ivf_assign(emb, cents), books)
+    os.makedirs(args.index, exist_ok=True)
+    # bucket IS the partition column: the probed lists of a query
+    # batch become a partition-pruned scan (the reference's
+    # rank-partitioned hash table as a storage layout)
+    table.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(args.index, "corpus.parquet")
+    )
+    np.save(os.path.join(args.index, "centroids.npy"), cents)
+    np.save(os.path.join(args.index, "codebooks.npy"), books)
+    with open(os.path.join(args.index, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_centroids": int(np.asarray(cents).shape[0]),
+                "pq_m": args.pq_m,
+                "pq_codes": args.pq_codes,
+            },
+            fh,
+        )
+    back = spark.read.parquet(os.path.join(args.index, "corpus.parquet"))
+    return {
+        "mode": "build",
+        "vectors": back.count(),
+        "buckets": back.select("bucket").distinct().count(),
+    }
+
+
+def _load_index(spark, index):
+    import numpy as np
+
+    with open(os.path.join(index, "meta.json")) as fh:
+        meta = json.load(fh)
+    table = spark.read.parquet(os.path.join(index, "corpus.parquet"))
+    cents = np.load(os.path.join(index, "centroids.npy"))
+    books = np.load(os.path.join(index, "codebooks.npy"))
+    return table, cents, books, meta
+
+
+def _union_probe_filter(table, queries, cents, nprobe):
+    """Static partition pruning: the union of every query's nprobe
+    nearest buckets is driver-known (nq × nprobe ints), so it pushes
+    as a partition filter on the bucket-partitioned scan — partitions
+    outside every query's probes are never read."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    c = np.asarray(cents, dtype=np.float64)
+    raw = np.array(
+        [r["embedding"] for r in queries.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    if raw.size == 0:
+        return table.where(F.lit(False)), 0
+    d = -2.0 * (raw @ c.T) + (c * c).sum(axis=1)[None, :]
+    npb = min(nprobe, c.shape[0])
+    union = sorted(
+        {int(b) for row in np.argsort(d, axis=1)[:, :npb] for b in row}
+    )
+    return table.where(F.col("bucket").isin(union)), len(union)
+
+
+def cmd_query(spark, args) -> dict:
+    from metacache_mpi_spark.operators.ann import (
+        cosine_batch_topk,
+        ivf_batch_topk,
+        ivf_pq_batch_topk,
+    )
+
+    table, cents, books, meta = _load_index(spark, args.index)
+    queries = spark.read.parquet(args.queries)
+    if "query_id" not in queries.columns:
+        queries = queries.withColumnRenamed("vec_id", "query_id")
+    queries = queries.select("query_id", "embedding")
+    out = {"mode": "query", "lane": args.mode, "k": args.k}
+    if args.mode == "brute":
+        res = cosine_batch_topk(
+            table.select("vec_id", "embedding"), queries, k=args.k
+        )
+    else:
+        pruned, n_buckets = _union_probe_filter(
+            table, queries, cents, args.nprobe
+        )
+        out["probed_buckets"] = n_buckets
+        if args.mode == "ivf":
+            res = ivf_batch_topk(
+                queries=queries,
+                emb=pruned.select("vec_id", "embedding"),
+                k=args.k,
+                nprobe=args.nprobe,
+                centroids=cents,
+                assigned=pruned,
+            )
+        else:  # ivfpq
+            res = ivf_pq_batch_topk(
+                pruned.select("vec_id", "embedding"),
+                queries,
+                k=args.k,
+                nprobe=args.nprobe,
+                centroids=cents,
+                codebooks=books,
+                encoded=pruned,
+            )
+    if args.out:
+        res.write.mode("overwrite").parquet(
+            os.path.join(args.out, "topk.parquet")
+        )
+        res = spark.read.parquet(os.path.join(args.out, "topk.parquet"))
+    out["queries"] = queries.count()
+    out["result_rows"] = res.count()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cores", default=None)
+    sub = ap.add_subparsers(dest="mode_top", required=True)
+
+    b = sub.add_parser("build", parents=[common])
+    b.add_argument("--embeddings", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--n-centroids", type=int, default=64)
+    b.add_argument("--pq-m", type=int, default=8)
+    b.add_argument("--pq-codes", type=int, default=16)
+
+    q = sub.add_parser("query", parents=[common])
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--nprobe", type=int, default=4)
+    q.add_argument(
+        "--mode", default="ivfpq", choices=["ivfpq", "ivf", "brute"]
+    )
+    q.add_argument("--out", default=None)
+
+    args = ap.parse_args()
+
+    from metacache_mpi_spark.session import get_spark
+
+    spark = get_spark(args.cores, app_name=f"ann-{args.mode_top}")
+    t0 = time.time()
+    result = {"build": cmd_build, "query": cmd_query}[args.mode_top](
+        spark, args
+    )
+    result["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
