@@ -9,6 +9,7 @@ queries against it, src/mode_build.cpp + src/querying.h:1309-1387)::
         --py-files /tmp/mcs.zip scripts/ann_job.py \
         build --embeddings emb.parquet --index /data/annidx \
         [--n-centroids 64 --pq-m 8 --pq-codes 16]
+    ... modify --embeddings more.parquet --index /data/annidx
     ... query --index /data/annidx --queries q.parquet --k 10 \
         [--mode ivfpq|ivf|brute] [--nprobe 4] [--out outdir]
 
@@ -68,6 +69,54 @@ def cmd_build(spark, args) -> dict:
     back = spark.read.parquet(os.path.join(args.index, "corpus.parquet"))
     return {
         "mode": "build",
+        "vectors": back.count(),
+        "buckets": back.select("bucket").distinct().count(),
+    }
+
+
+def cmd_modify(spark, args) -> dict:
+    """``modify``: fold NEW vectors into an existing index — the
+    embedding-lane analog of genomic_job modify (the reference's
+    main_mode_build_modify, src/main.cpp:72-73: extend an existing DB
+    under the DB's OWN sketching params, never retrain).  New vectors
+    are assigned + encoded with the STORED centroids/codebooks and
+    appended as new files under their bucket partitions; vec_ids
+    already present are skipped (anti-join), so re-running the same
+    modify is a no-op.  Dimension mismatches raise, mirroring the
+    reference's refusal to modify with mismatched params."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.ann import ivf_assign, pq_encode
+
+    table, cents, books, meta = _load_index(spark, args.index)
+    emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(np.asarray(cents).shape[1])
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"modify: embedding dim {first['d']} != index dim {dim} "
+            "(the index's trained artifacts fix the dimensionality; "
+            "rebuild instead)"
+        )
+    # skip ids the index already holds — modify is add-only, idempotent
+    fresh = emb.join(
+        table.select("vec_id"), "vec_id", "left_anti"
+    )
+    # materialize the delta BEFORE the append: its lineage reads the
+    # sink path (the anti-join scans `table`), so force the compute
+    # first rather than racing the write's own output files
+    added_tbl = pq_encode(ivf_assign(fresh, cents), books).persist()
+    n_added = added_tbl.count()
+    added_tbl.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(args.index, "corpus.parquet")
+    )
+    added_tbl.unpersist()
+    back = spark.read.parquet(os.path.join(args.index, "corpus.parquet"))
+    return {
+        "mode": "modify",
+        "added": n_added,
+        "skipped": emb.count() - n_added,
         "vectors": back.count(),
         "buckets": back.select("bucket").distinct().count(),
     }
@@ -171,6 +220,10 @@ def main() -> None:
     b.add_argument("--pq-m", type=int, default=8)
     b.add_argument("--pq-codes", type=int, default=16)
 
+    m = sub.add_parser("modify", parents=[common])
+    m.add_argument("--embeddings", required=True)
+    m.add_argument("--index", required=True)
+
     q = sub.add_parser("query", parents=[common])
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True)
@@ -187,9 +240,9 @@ def main() -> None:
 
     spark = get_spark(args.cores, app_name=f"ann-{args.mode_top}")
     t0 = time.time()
-    result = {"build": cmd_build, "query": cmd_query}[args.mode_top](
-        spark, args
-    )
+    result = {
+        "build": cmd_build, "modify": cmd_modify, "query": cmd_query
+    }[args.mode_top](spark, args)
     result["sec"] = round(time.time() - t0, 2)
     print(json.dumps(result))
     spark.stop()

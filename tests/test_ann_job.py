@@ -89,6 +89,74 @@ def test_query_probe_filter_prunes_partitions(spark, built_index, query_parquet)
     assert pruned.count() < table.count()
 
 
+def test_modify_extends_index_idempotently(spark, tmp_path):
+    """build(A) + modify(A∪B) adds exactly B under A's artifacts; a
+    second identical modify is a no-op (reference: modify extends an
+    existing DB under ITS params, main_mode_build_modify)."""
+    idx = str(tmp_path / "idx")
+    sub = str(tmp_path / "subA")
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    ).write.parquet(sub)
+    out = ann_job.cmd_build(
+        spark,
+        argparse.Namespace(
+            embeddings=sub, index=idx,
+            n_centroids=8, pq_m=16, pq_codes=16,
+        ),
+    )
+    assert out["vectors"] == 300
+    mod = ann_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            embeddings=f"{SF_DIR}/embeddings.parquet", index=idx
+        ),
+    )
+    assert mod["added"] == 200 and mod["skipped"] == 300
+    assert mod["vectors"] == 500
+    again = ann_job.cmd_modify(
+        spark,
+        argparse.Namespace(
+            embeddings=f"{SF_DIR}/embeddings.parquet", index=idx
+        ),
+    )
+    assert again["added"] == 0 and again["vectors"] == 500
+    # the appended rows carry A's artifacts: re-encoding the B slice
+    # with the stored centroids/codebooks reproduces them bit-for-bit
+    import numpy as np
+
+    from metacache_mpi_spark.operators.ann import ivf_assign, pq_encode
+
+    cents = np.load(f"{idx}/centroids.npy")
+    books = np.load(f"{idx}/codebooks.npy")
+    b_slice = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") >= 300
+    ).select("vec_id", "embedding")
+    expect = {
+        (r["vec_id"], r["bucket"], tuple(r["codes"]))
+        for r in pq_encode(ivf_assign(b_slice, cents), books).collect()
+    }
+    got = {
+        (r["vec_id"], r["bucket"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{idx}/corpus.parquet")
+        .where(F.col("vec_id") >= 300)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_modify_dim_mismatch_raises(spark, built_index, tmp_path):
+    bad = str(tmp_path / "bad")
+    spark.range(3).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="dim"):
+        ann_job.cmd_modify(
+            spark, argparse.Namespace(embeddings=bad, index=built_index)
+        )
+
+
 def test_query_ivfpq_recall_vs_brute(spark, built_index, query_parquet, tmp_path):
     out_b = ann_job.cmd_query(
         spark,
