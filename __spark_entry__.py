@@ -339,6 +339,43 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+# corpus-mixing lane: per-source sampling fractions (deterministic config)
+_MIX_FRACTIONS = {f"src{i}": 0.05 * ((i % 10) + 1) for i in range(20)}
+
+
+def _mix_threshold_values() -> str:
+    """(source, threshold) VALUES rows for the DuckDB sampling twin,
+    thresholds computed by the SAME function the operator uses."""
+    from metacache_mpi_spark.operators.mixing import fraction_to_hex_threshold
+
+    return ", ".join(
+        f"('{s}', '{fraction_to_hex_threshold(f)}')"
+        for s, f in sorted(_MIX_FRACTIONS.items())
+    )
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Deterministic hash-stratified corpus sampling: pure
+    Project+Filter (zero Exchange), sample is a function of
+    (salt, doc_id) alone so it is identical across partitionings."""
+    from metacache_mpi_spark.operators.mixing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, _MIX_FRACTIONS).select("doc_id", "source")
+
+
+def _q_token_budget_pack(spark, sf_dir):
+    from metacache_mpi_spark.operators.mixing import token_budget_pack
+
+    return token_budget_pack(_t(spark, sf_dir, "documents"), 800)
+
+
+def _q_mixture_report(spark, sf_dir):
+    from metacache_mpi_spark.operators.mixing import mixture_report
+
+    return mixture_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import repetition_stats
 
@@ -1055,6 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "contamination_pairs": _q_contamination_pairs,
         "quality_scores": _q_quality_scores,
+        "mixture_sample": _q_mixture_sample,
+        "token_budget_pack": _q_token_budget_pack,
+        "mixture_report": _q_mixture_report,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
@@ -1214,6 +1254,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS space_milli,
                    {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS en_stop_hits
             FROM documents WHERE length(text) > 0
+        """,
+        "mixture_sample": f"""
+            WITH thr(source, t) AS (VALUES {_mix_threshold_values()})
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON thr.source = d.source
+            WHERE substr(md5(concat('mix', ':', CAST(d.doc_id AS VARCHAR))),
+                         1, 8) < thr.t
+        """,
+        "token_budget_pack": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+              FROM toks)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 800
+        """,
+        "mixture_report": """
+            WITH per AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY source)
+            SELECT source, n_docs, n_tokens,
+                   CAST(CAST(n_tokens AS HUGEINT) * 1000000
+                        // CAST(sum(n_tokens) OVER () AS HUGEINT)
+                        AS BIGINT) AS share_ppm
+            FROM per
         """,
         "repetition_stats": """
             WITH base AS (

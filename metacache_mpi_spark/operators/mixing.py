@@ -1,0 +1,146 @@
+"""Corpus mixing / sampling operators for training-data assembly.
+
+A 100 TB training corpus is assembled from heterogeneous sources under
+per-source mixture weights and token budgets.  The reference bounds
+what enters its index per target (window stride + location-list caps,
+/root/reference/src/mode_build.cpp, src/sketch_database.h); the
+training-data mandate needs the corpus-level analog: WHICH documents
+enter the corpus, per stratum, deterministically.  Everything here is
+JVM-side (no Python in the row path) and reproducible bit-for-bit
+across runs and cluster sizes:
+
+- :func:`stratified_sample` — deterministic hash sampling (salted md5
+  of the document key, fixed 8-hex-digit uniform) at per-stratum
+  fractions.  A pure Project + Filter: ONE scan, ZERO shuffles, and
+  the sample is a function of (salt, key) alone — re-running on a
+  different partitioning or cluster size selects the same documents
+  (Spark's ``df.sample`` is neither deterministic across partitionings
+  nor stratified).
+- :func:`token_budget_pack` — per-stratum greedy prefix in document
+  order under a token budget (cumulative window sum).  One shuffle on
+  the stratum key, which is the minimum any per-stratum budget needs.
+- :func:`mixture_report` — per-stratum docs / tokens / exact
+  fixed-point corpus share (ppm), DECIMAL(38,0) intermediate so the
+  1e6 scale-up cannot overflow at 10^13-token corpora.
+
+Fraction resolution is 1/16^8 (~2.3e-10): a fraction maps to an
+8-hex-digit threshold string and a document is kept when the leading
+8 hex digits of ``md5(salt ':' key)`` compare lexicographically below
+it — fixed-width lowercase hex compares identically as string or
+integer, and identically in Spark and any ANSI engine, which is what
+makes the DuckDB oracle reproduce the sample exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_SPAN = 16**8  # resolution of the sampling threshold
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """8-hex-digit threshold for ``fraction`` of the md5 uniform.
+
+    ``u < threshold`` keeps ``floor(fraction * 16^8) / 16^8`` of keys
+    (exact, deterministic).  Fractions ≥ 1 keep everything; ≤ 0 keep
+    nothing.
+    """
+    n = int(min(max(fraction, 0.0), 1.0) * HEX_SPAN)
+    if n >= HEX_SPAN:  # compare-below needs a 9th digit to keep 'ffffffff'
+        return "g"  # > every hex digit, still 1 char: keeps all
+    return format(n, "08x")
+
+
+def sample_uniform_hex(key: Column, salt: str) -> Column:
+    """The 8-hex-digit deterministic uniform for one document key."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each stratum's rows at its configured fraction,
+    deterministically.  Strata absent from ``fractions`` are dropped
+    (fraction 0) — the mixture is explicit.
+
+    Scale shape: the fractions map becomes a literal in-plan map
+    (strata counts are small — sources, languages, quality tiers); the
+    whole operator is Project + Filter with no exchange, so it composes
+    with any upstream partitioning unchanged.  For a very large strata
+    dimension, join a broadcast fractions table instead.
+    """
+    thr = {s: fraction_to_hex_threshold(f) for s, f in fractions.items()}
+    thr = {s: t for s, t in thr.items() if t != "00000000"}
+    if not thr:
+        return docs.where(F.lit(False))
+    mapping = F.create_map(
+        *[lit for s, t in sorted(thr.items()) for lit in (F.lit(s), F.lit(t))]
+    )
+    u = sample_uniform_hex(F.col(key), salt)
+    t = mapping[F.col(stratum)]
+    return docs.where(t.isNotNull() & (u < t))
+
+
+def token_budget_pack(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Greedy per-stratum prefix under a token budget: documents enter
+    in ``key`` order until the stratum's cumulative whitespace-token
+    count would NOT exceed ``budget_tokens`` (documents straddling the
+    boundary are dropped whole — budgets bound, never split).
+
+    Returns (key, stratum, n_tokens, cum_tokens).  One shuffle
+    (window partitioned by the stratum), which any per-stratum budget
+    requires; the token count itself never leaves the JVM.
+    """
+    n_tok = F.size(F.split(F.col(text), " ")).cast("long")
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(key, stratum, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def mixture_report(
+    docs: DataFrame,
+    stratum: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Per-stratum mixture accounting: (stratum, n_docs, n_tokens,
+    share_ppm) where share_ppm = floor(n_tokens·10^6 / total_tokens)
+    in exact integer arithmetic (DECIMAL(38,0) intermediate — a
+    10^13-token corpus × 10^6 overflows BIGINT; ``div`` on decimals
+    yields BIGINT, same rule as the abundance operator,
+    taxonomy.py).  The final window runs over the post-aggregation
+    frame (one row per stratum), not the corpus.
+    """
+    n_tok = F.size(F.split(F.col(text), " ")).cast("long")
+    per = docs.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    return per.select(
+        stratum,
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "cast((cast(n_tokens as decimal(38,0)) * 1000000) "
+            "div sum(n_tokens) over () as bigint)"
+        ).alias("share_ppm"),
+    )
