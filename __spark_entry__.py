@@ -376,6 +376,57 @@ def _q_mixture_report(spark, sf_dir):
     return mixture_report(_t(spark, sf_dir, "documents"))
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_REPEAT_FACTORS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+
+
+def _split_case_sql() -> str:
+    """CASE chain cutting the md5 uniform at the operator's own
+    cumulative boundaries (bit-identical thresholds on both engines)."""
+    from metacache_mpi_spark.operators.mixing import split_boundaries
+
+    bounds, tail = split_boundaries(_SPLIT_WEIGHTS)
+    u = "substr(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)"
+    whens = " ".join(f"WHEN {u} < '{t}' THEN '{n}'" for n, t in bounds)
+    return f"CASE {whens} ELSE '{tail}' END"
+
+
+def _repeat_values_sql() -> str:
+    from metacache_mpi_spark.operators.mixing import fraction_to_hex_threshold
+
+    return ", ".join(
+        f"('{s}', {int(f)}, '{fraction_to_hex_threshold(f - int(f))}')"
+        for s, f in sorted(_REPEAT_FACTORS.items())
+    )
+
+
+def _q_hash_split_assign(spark, sf_dir):
+    """Deterministic train/val/test partition: pure Project, a doc's
+    split never changes under repartitioning or corpus growth."""
+    from metacache_mpi_spark.operators.mixing import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+def _q_upsample_repeat(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.mixing import upsample_repeat
+
+    docs = _t(spark, sf_dir, "documents")
+    out = upsample_repeat(docs, _REPEAT_FACTORS)
+    return out.select(
+        "doc_id", "source", F.col("rep_idx").cast("long").alias("rep_idx")
+    )
+
+
+def _q_sequence_pack(spark, sf_dir):
+    from metacache_mpi_spark.operators.mixing import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"), 128)
+
+
 def _q_repetition_stats(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import repetition_stats
 
@@ -1095,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "token_budget_pack": _q_token_budget_pack,
         "mixture_report": _q_mixture_report,
+        "hash_split_assign": _q_hash_split_assign,
+        "upsample_repeat": _q_upsample_repeat,
+        "sequence_pack": _q_sequence_pack,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
@@ -1289,6 +1343,41 @@ def oracle_sql() -> dict[str, str]:
                         // CAST(sum(n_tokens) OVER () AS HUGEINT)
                         AS BIGINT) AS share_ppm
             FROM per
+        """,
+        "hash_split_assign": f"""
+            SELECT doc_id, {_split_case_sql()} AS split FROM documents
+        """,
+        "upsample_repeat": f"""
+            WITH f(source, n_full, t) AS (VALUES {_repeat_values_sql()}),
+            base AS (
+              SELECT d.doc_id, d.source,
+                     coalesce(f.n_full, 1)
+                     + CASE WHEN coalesce(f.t, '00000000') >
+                         substr(md5(concat('rep', ':',
+                                    CAST(d.doc_id AS VARCHAR))), 1, 8)
+                       THEN 1 ELSE 0 END AS n
+              FROM documents d LEFT JOIN f USING (source))
+            SELECT doc_id, source,
+                   CAST(unnest(range(0, n)) AS BIGINT) AS rep_idx
+            FROM base WHERE n > 0
+        """,
+        "sequence_pack": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS start_offset
+              FROM toks)
+            SELECT doc_id, source, n_tokens, start_offset,
+                   CAST(start_offset // 128 AS BIGINT) AS chunk_first,
+                   CAST((start_offset + n_tokens - 1) // 128 AS BIGINT)
+                     AS chunk_last
+            FROM cum
         """,
         "repetition_stats": """
             WITH base AS (

@@ -117,6 +117,139 @@ def token_budget_pack(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: every document gets exactly
+    one ``split`` label, chosen by which consecutive range of the
+    salted-md5 uniform its key falls in.  Weights are normalized to sum
+    to 1 (insertion order of ``weights`` fixes the range order), the
+    cumulative boundaries are computed driver-side ONCE and inlined as
+    literals, so the assignment is a pure Project — zero shuffles, and
+    a document keeps its split under any re-partitioning, cluster size,
+    or corpus growth (new documents never move old ones between splits,
+    the property ``df.randomSplit`` cannot give).
+    """
+    bounds, tail = split_boundaries(weights)
+    u = sample_uniform_hex(F.col(key), salt)
+    expr = F.lit(tail)  # last split takes the tail range
+    for name, thr in reversed(bounds):
+        expr = F.when(u < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def split_boundaries(
+    weights: dict[str, float],
+) -> tuple[list[tuple[str, str]], str]:
+    """Cumulative hex boundaries for :func:`hash_split`: ([(split,
+    upper_threshold), ...], tail_split).  Shared with the SQL oracle so
+    both engines cut the uniform at bit-identical points."""
+    if not weights:
+        raise ValueError("hash_split needs at least one split weight")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    names = list(weights)
+    cum = 0.0
+    bounds: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bounds.append((name, fraction_to_hex_threshold(cum)))
+    return bounds, names[-1]
+
+
+def upsample_repeat(
+    docs: DataFrame,
+    factors: dict[str, float],
+    stratum: str = "source",
+    key: str = "doc_id",
+    salt: str = "rep",
+) -> DataFrame:
+    """Weighted per-stratum repetition (mixture upsampling): a document
+    in a stratum with factor ``f`` appears ``floor(f)`` times, plus one
+    more when its salted-md5 uniform falls below ``frac(f)`` — so the
+    stratum's expected token mass scales by exactly ``f`` while every
+    decision stays a pure function of (salt, key).  Strata absent from
+    ``factors`` keep factor 1.  Output adds ``rep_idx`` (0-based copy
+    number); key order within a copy is preserved.
+
+    Scale shape: copies materialize via ``explode(sequence(...))`` —
+    Project + Generate, zero shuffles, output rows ∝ Σ f·|stratum|.
+    """
+    full: dict[str, int] = {}
+    frac_thr: dict[str, str] = {}
+    for s, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative repeat factor for {s!r}: {f}")
+        full[s] = int(f)
+        frac_thr[s] = fraction_to_hex_threshold(f - int(f))
+    full_map = F.create_map(
+        *[lit for s in sorted(full) for lit in (F.lit(s), F.lit(full[s]))]
+    )
+    thr_map = F.create_map(
+        *[lit for s in sorted(frac_thr) for lit in (F.lit(s), F.lit(frac_thr[s]))]
+    )
+    u = sample_uniform_hex(F.col(key), salt)
+    n_full = F.coalesce(full_map[F.col(stratum)], F.lit(1)).cast("int")
+    extra = (
+        F.coalesce(thr_map[F.col(stratum)], F.lit("00000000")) > u
+    ).cast("int")
+    n_copies = n_full + extra
+    return (
+        docs.withColumn("__n_copies", n_copies)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(
+            "rep_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int,
+    stratum: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: per stratum, documents in
+    ``key`` order form one token stream that is cut into fixed
+    ``seq_len`` chunks; each document is assigned the inclusive chunk
+    range it overlaps.  Returns (key, stratum, n_tokens, start_offset,
+    chunk_first, chunk_last) — ``chunk_last - chunk_first > 0`` marks
+    documents straddling a chunk boundary.
+
+    One shuffle (the per-stratum window), same as any per-stratum
+    cumulative.  A single GLOBAL stream would funnel the corpus through
+    one window partition — at scale, pack per stratum/shard (this
+    shape) and renumber chunks with a per-stratum base offset
+    (one tiny agg) if globally unique chunk ids are needed.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    n_tok = F.size(F.split(F.col(text), " ")).cast("long")
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select(key, stratum, n_tok.alias("n_tokens"))
+        .withColumn("start_offset", cum - F.col("n_tokens"))
+        # integral div, not float `/`: exact at any stream length
+        .withColumn("chunk_first", F.expr(f"start_offset div {seq_len}"))
+        .withColumn(
+            "chunk_last",
+            F.expr(f"(start_offset + n_tokens - 1) div {seq_len}"),
+        )
+    )
+
+
 def mixture_report(
     docs: DataFrame,
     stratum: str = "source",

@@ -12,12 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from metacache_mpi_spark.operators.mixing import (
     HEX_SPAN,
     fraction_to_hex_threshold,
+    hash_split,
     mixture_report,
+    sequence_pack,
     stratified_sample,
     token_budget_pack,
+    upsample_repeat,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -135,6 +140,106 @@ def test_mixture_report_exact_ppm(spark):
         for r in mixture_report(docs).collect()
     }
     assert got == {"a": (2, 4, 500000), "b": (1, 4, 500000)}
+
+
+def test_hash_split_partitions_exactly_once(spark):
+    docs = _docs(spark)
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == docs.count()  # total partition: no doc lost
+    rates = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = docs.count()
+    assert set(rates) == {"train", "val", "test"}
+    assert abs(rates["train"] / n - 0.8) < 0.06
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """New documents never move old documents between splits."""
+    docs = _docs(spark)
+    half = docs.where("doc_id < 250")
+    w = {"train": 3, "test": 1}  # non-normalized weights accepted
+    full = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, w).select("doc_id", "split").collect()
+    }
+    part = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(half, w).select("doc_id", "split").collect()
+    }
+    assert part == {d: s for d, s in full.items() if d < 250}
+
+
+def test_hash_split_no_exchange_and_validation(spark):
+    out = hash_split(_docs(spark), {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        hash_split(_docs(spark), {})
+    with pytest.raises(ValueError):
+        hash_split(_docs(spark), {"a": 0.0})
+
+
+def test_upsample_repeat_integer_factors(spark):
+    rows = [(i, "a" if i < 5 else "b", "t") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = upsample_repeat(docs, {"a": 3.0, "b": 0.0})
+    got = out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert {r["doc_id"] for r in got} == set(range(5))
+    assert all(r["n"] == 3 for r in got)
+    reps = {
+        r["rep_idx"] for r in out.where("doc_id = 2").select("rep_idx").collect()
+    }
+    assert reps == {0, 1, 2}
+
+
+def test_upsample_repeat_fractional_rate_and_determinism(spark):
+    base = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    out = upsample_repeat(base, {"s": 1.5}, key="doc_id")
+    n = out.count()
+    assert abs(n / 20000 - 1.5) < 0.03  # expected mass scales by f
+    n2 = upsample_repeat(
+        base.repartition(7), {"s": 1.5}, key="doc_id"
+    ).count()
+    assert n == n2  # same docs extra-copied under any partitioning
+
+
+def test_upsample_repeat_absent_stratum_keeps_one_copy(spark):
+    docs = _docs(spark)
+    out = upsample_repeat(docs, {"src0": 2.0})
+    n_src0 = docs.where("source='src0'").count()
+    assert out.where("source='src0'").count() == 2 * n_src0
+    others = docs.where("source<>'src0'").count()
+    assert out.where("source<>'src0'").count() == others
+
+
+def test_sequence_pack_chunks(spark):
+    rows = [(0, "a", "w " * 9 + "w"), (1, "a", "w " * 5 + "w"),
+            (2, "a", "w"), (3, "b", "w " * 2 + "w")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # stream a: tokens 10,6,1 -> offsets 0,10,16; L=8 chunks: doc0 [0,1],
+    # doc1 [1,1], doc2 [2,2]; stream b restarts at 0
+    got = {
+        r["doc_id"]: (
+            r["start_offset"], r["chunk_first"], r["chunk_last"]
+        )
+        for r in sequence_pack(docs, 8).collect()
+    }
+    assert got == {0: (0, 0, 1), 1: (10, 1, 1), 2: (16, 2, 2), 3: (0, 0, 0)}
+    with pytest.raises(ValueError):
+        sequence_pack(docs, 0)
+
+
+def test_sequence_pack_stream_is_gapless(spark):
+    out = sequence_pack(_docs(spark), 128).where("source='src1'").collect()
+    by_key = sorted(out, key=lambda r: r["doc_id"])
+    off = 0
+    for r in by_key:
+        assert r["start_offset"] == off
+        off += r["n_tokens"]
 
 
 def test_mixture_report_shares_sum_bound(spark):
