@@ -102,8 +102,23 @@ def _per_query_topk(
     )
 
 
+def _self_mask(exclude_self: bool):
+    """Predicate dropping vec_id == query_id rows when queries come
+    FROM the corpus; external query batches (own id namespace) must
+    pass exclude_self=False or colliding ids silently lose their true
+    neighbor."""
+    return (
+        F.col("vec_id") != F.col("query_id")
+        if exclude_self
+        else F.lit(True)
+    )
+
+
 def cosine_batch_topk(
-    emb: DataFrame, queries: DataFrame, k: int = TOPK
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batched brute-force cosine top-k: N query vectors against the
     corpus in ONE job — no per-query driver collect, no per-query Spark
@@ -112,9 +127,13 @@ def cosine_batch_topk(
 
     ``queries``: (query_id, embedding) — the small side by contract
     (a retrieval/decontamination batch), broadcast into a nested-loop
-    join so the corpus streams exactly once for all queries.  Corpus
-    rows whose vec_id equals the query_id are excluded (self-match).
-    Returns (query_id, vec_id, cos_micro, rank).
+    join so the corpus streams exactly once for all queries.
+    ``exclude_self`` drops corpus rows whose vec_id equals the
+    query_id — correct when queries ARE corpus rows (near-dup /
+    decontamination); set False for an EXTERNAL query batch, whose id
+    namespace is unrelated to vec_ids (a colliding id would silently
+    lose a true neighbor).  Returns (query_id, vec_id, cos_micro,
+    rank).
     """
     q = queries.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -122,7 +141,7 @@ def cosine_batch_topk(
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
+        .where(_self_mask(exclude_self))
         .select(
             "query_id",
             "vec_id",
@@ -142,6 +161,7 @@ def ivf_batch_topk(
     nprobe: int = 4,
     centroids=None,
     assigned: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batched IVF ANN: every query joins only its ``nprobe`` probed
     centroid lists — the queries-DataFrame form of :func:`ivf_topk`
@@ -163,6 +183,15 @@ def ivf_batch_topk(
     vec_id, cos_micro, rank).
     """
     if centroids is None:
+        if assigned is not None:
+            # a prebuilt assignment encodes ITS quantizer's bucket ids;
+            # probing with freshly-trained centroids would join
+            # semantically unrelated lists and return silently wrong
+            # results
+            raise ValueError(
+                "ivf_batch_topk: `assigned` requires the `centroids` "
+                "it was built with"
+            )
         centroids = train_ivf_centroids(emb, n_centroids)
     spark = emb.sparkSession
     cents = np.asarray(centroids, dtype=np.float64)
@@ -192,7 +221,7 @@ def ivf_batch_topk(
         assigned = ivf_assign(emb, centroids)
     scored = (
         assigned.join(F.broadcast(probed), "bucket")
-        .where(F.col("vec_id") != F.col("query_id"))
+        .where(_self_mask(exclude_self))
         .select(
             "query_id",
             "vec_id",
@@ -205,7 +234,10 @@ def ivf_batch_topk(
 
 
 def lsh_bucketed_batch_topk(
-    emb: DataFrame, queries: DataFrame, k: int = TOPK
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batched sign-bucket ANN: each query searches only its own
     sign-bit bucket — the queries-DataFrame form of
@@ -220,7 +252,7 @@ def lsh_bucketed_batch_topk(
     ).withColumn("bucket", _sign_bucket("qe"))
     scored = (
         withb.join(F.broadcast(q), "bucket")
-        .where(F.col("vec_id") != F.col("query_id"))
+        .where(_self_mask(exclude_self))
         .select(
             "query_id",
             "vec_id",
@@ -756,6 +788,7 @@ def _adc_shortlists(
     lut: np.ndarray,
     shortlist_n: int,
     probes: np.ndarray | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The codes-only ADC scan: one ``mapInPandas`` pass scores every
     (query, corpus-row) pair from the m-byte codes — a NumPy gather+sum
@@ -767,14 +800,15 @@ def _adc_shortlists(
     ``probes``: optional (nq, nprobe) coarse-bucket array (IVF-PQ): a
     corpus row scores for query q only when its ``bucket`` is among
     q's probed lists — rows outside every query's probes never leave
-    the batch.  Self-matches (vec_id == query_id) are always masked.
+    the batch.  ``exclude_self`` masks vec_id == query_id rows (for
+    corpus-self retrieval); False for external query batches.
     """
     spark = enc.sparkSession
-    b = spark.sparkContext.broadcast((qids, lut, probes))
+    b = spark.sparkContext.broadcast((qids, lut, probes, exclude_self))
     cols = ["vec_id", "codes"] + (["bucket"] if probes is not None else [])
 
     def _scan(batches):
-        ids, tab, prb = b.value  # (nq,), (nq, m, kk), (nq, nprobe)|None
+        ids, tab, prb, excl = b.value  # (nq,), (nq,m,kk), (nq,nprobe)|None, bool
         # mask sentinel must survive negation: int64.min wraps to
         # ITSELF under unary minus, which made masked rows sort FIRST
         # in argpartition(-s) and starve the shortlist; -(2^62) negates
@@ -790,7 +824,8 @@ def _adc_shortlists(
             s = np.zeros((ids.shape[0], n), dtype=np.int64)
             for j in range(tab.shape[1]):
                 s += tab[:, j, codes[:, j]]
-            s[ids[:, None] == vec_ids[None, :]] = neg
+            if excl:
+                s[ids[:, None] == vec_ids[None, :]] = neg
             if prb is not None:
                 buckets = pdf["bucket"].to_numpy(dtype=np.int64)
                 allowed = (
@@ -858,6 +893,7 @@ def pq_batch_topk(
     encoded: DataFrame | None = None,
     rerank: bool = True,
     oversample: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batched PQ ANN (asymmetric distance): the queries-DataFrame form
     of :func:`pq_topk` — N queries answered by ONE codes-only corpus
@@ -877,7 +913,8 @@ def pq_batch_topk(
     if qids is None:
         return _empty_batch_result(emb.sparkSession, rerank)
     scored = _adc_shortlists(
-        enc, qids, _pq_luts(codebooks, Q), k * oversample
+        enc, qids, _pq_luts(codebooks, Q), k * oversample,
+        exclude_self=exclude_self,
     )
     short = _per_query_topk(
         scored, k * oversample, "score_micro",
@@ -903,6 +940,7 @@ def ivf_pq_batch_topk(
     encoded: DataFrame | None = None,
     rerank: bool = True,
     oversample: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ batch ANN — the composed production shape for 10^12-row
     retrieval: a coarse IVF quantizer prunes WHICH rows are scored and
@@ -944,7 +982,8 @@ def ivf_pq_batch_topk(
     )  # ||q-c||² up to a per-query constant
     probes = np.argsort(d, axis=1)[:, :nprobe_eff].astype(np.int64)
     scored = _adc_shortlists(
-        enc, qids, _pq_luts(codebooks, Q), k * oversample, probes=probes
+        enc, qids, _pq_luts(codebooks, Q), k * oversample, probes=probes,
+        exclude_self=exclude_self,
     )
     short = _per_query_topk(
         scored, k * oversample, "score_micro",

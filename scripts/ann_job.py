@@ -130,6 +130,15 @@ def _load_index(spark, index):
     table = spark.read.parquet(os.path.join(index, "corpus.parquet"))
     cents = np.load(os.path.join(index, "centroids.npy"))
     books = np.load(os.path.join(index, "codebooks.npy"))
+    # the sidecar records what the artifacts were trained as; a
+    # mismatch means the index dir was assembled from different builds
+    got = (int(cents.shape[0]), int(books.shape[0]), int(books.shape[1]))
+    want = (meta["n_centroids"], meta["pq_m"], meta["pq_codes"])
+    if got != want:
+        raise ValueError(
+            f"index artifacts disagree with meta.json: "
+            f"(n_centroids, pq_m, pq_codes) = {got} vs meta {want}"
+        )
     return table, cents, books, meta
 
 
@@ -169,9 +178,17 @@ def cmd_query(spark, args) -> dict:
         queries = queries.withColumnRenamed("vec_id", "query_id")
     queries = queries.select("query_id", "embedding")
     out = {"mode": "query", "lane": args.mode, "k": args.k}
+    # external query batches have their OWN id namespace: a query_id
+    # colliding with a corpus vec_id must not hide that vector.  Only
+    # --self-retrieval (queries drawn from the index itself) excludes
+    # self-matches.
+    excl = getattr(args, "self_retrieval", False)
     if args.mode == "brute":
         res = cosine_batch_topk(
-            table.select("vec_id", "embedding"), queries, k=args.k
+            table.select("vec_id", "embedding"),
+            queries,
+            k=args.k,
+            exclude_self=excl,
         )
     else:
         pruned, n_buckets = _union_probe_filter(
@@ -186,6 +203,7 @@ def cmd_query(spark, args) -> dict:
                 nprobe=args.nprobe,
                 centroids=cents,
                 assigned=pruned,
+                exclude_self=excl,
             )
         else:  # ivfpq
             res = ivf_pq_batch_topk(
@@ -196,6 +214,7 @@ def cmd_query(spark, args) -> dict:
                 centroids=cents,
                 codebooks=books,
                 encoded=pruned,
+                exclude_self=excl,
             )
     if args.out:
         res.write.mode("overwrite").parquet(
@@ -231,6 +250,12 @@ def main() -> None:
     q.add_argument("--nprobe", type=int, default=4)
     q.add_argument(
         "--mode", default="ivfpq", choices=["ivfpq", "ivf", "brute"]
+    )
+    q.add_argument(
+        "--self-retrieval",
+        action="store_true",
+        help="queries are rows of the index itself: exclude the "
+        "vec_id == query_id self-match (dedup-style retrieval)",
     )
     q.add_argument("--out", default=None)
 

@@ -208,3 +208,66 @@ def test_query_ivf_full_probe_equals_brute(spark, built_index, query_parquet, tm
     )
     assert key(tmp_path / "i2") == key(tmp_path / "b2")
     assert out_i["result_rows"] == out_b["result_rows"]
+
+
+def test_query_external_namespace_keeps_colliding_id(
+    spark, built_index, query_parquet, tmp_path
+):
+    """An external query batch's ids are unrelated to vec_ids: by
+    default no corpus row may be hidden by an id collision, and
+    self_retrieval=True restores the dedup-style self-exclusion."""
+    # query embedding IS corpus vector 7, but carries external id 7:
+    # default mode must return vec_id 7 at rank 1 (cos ~ 1.0)
+    out = ann_job.cmd_query(
+        spark,
+        argparse.Namespace(
+            index=built_index, queries=query_parquet, k=3,
+            nprobe=8, mode="brute", out=str(tmp_path / "ext"),
+        ),
+    )
+    assert out["result_rows"] == 9
+    rows = spark.read.parquet(str(tmp_path / "ext" / "topk.parquet"))
+    top1 = {
+        r["query_id"]: r["vec_id"] for r in rows.where("rank = 1").collect()
+    }
+    assert top1 == {7: 7, 107: 107, 207: 207}
+    # self-retrieval mode: the colliding row is the query itself -> gone
+    out_s = ann_job.cmd_query(
+        spark,
+        argparse.Namespace(
+            index=built_index, queries=query_parquet, k=3,
+            nprobe=8, mode="brute", out=str(tmp_path / "selfr"),
+            self_retrieval=True,
+        ),
+    )
+    assert out_s["result_rows"] == 9
+    rows_s = spark.read.parquet(str(tmp_path / "selfr" / "topk.parquet"))
+    assert rows_s.where("vec_id = query_id").count() == 0
+
+
+def test_ivf_batch_assigned_requires_centroids(spark, built_index):
+    from metacache_mpi_spark.operators.ann import ivf_batch_topk
+
+    table = spark.read.parquet(f"{built_index}/corpus.parquet")
+    q = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_batch_topk(
+            table.select("vec_id", "embedding"), q, assigned=table
+        )
+
+
+def test_load_index_meta_mismatch_raises(spark, built_index, tmp_path):
+    import json as _json
+    import shutil
+
+    bad = str(tmp_path / "badidx")
+    shutil.copytree(built_index, bad)
+    with open(f"{bad}/meta.json") as fh:
+        meta = _json.load(fh)
+    meta["n_centroids"] += 1
+    with open(f"{bad}/meta.json", "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(ValueError, match="meta.json"):
+        ann_job._load_index(spark, bad)
