@@ -386,6 +386,8 @@ def _split_case_sql() -> str:
     from metacache_mpi_spark.operators.mixing import split_boundaries
 
     bounds, tail = split_boundaries(_SPLIT_WEIGHTS)
+    if not bounds:  # single split: CASE with zero WHENs is a parse error
+        return f"'{tail}'"
     u = "substr(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)"
     whens = " ".join(f"WHEN {u} < '{t}' THEN '{n}'" for n, t in bounds)
     return f"CASE {whens} ELSE '{tail}' END"
@@ -425,6 +427,19 @@ def _q_sequence_pack(spark, sf_dir):
     from metacache_mpi_spark.operators.mixing import sequence_pack
 
     return sequence_pack(_t(spark, sf_dir, "documents"), 128)
+
+
+def _q_sequence_pack_global(spark, sf_dir):
+    """Globally unique chunk ids: corpus-sized work stays per-stratum;
+    only the |strata|-row base-offset table crosses strata."""
+    from metacache_mpi_spark.operators.mixing import (
+        global_chunk_ids,
+        sequence_pack,
+    )
+
+    return global_chunk_ids(
+        sequence_pack(_t(spark, sf_dir, "documents"), 128)
+    )
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -1149,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assign": _q_hash_split_assign,
         "upsample_repeat": _q_upsample_repeat,
         "sequence_pack": _q_sequence_pack,
+        "sequence_pack_global": _q_sequence_pack_global,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
@@ -1378,6 +1394,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start_offset + n_tokens - 1) // 128 AS BIGINT)
                      AS chunk_last
             FROM cum
+        """,
+        "sequence_pack_global": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS start_offset
+              FROM toks),
+            pk AS (
+              SELECT doc_id, source, n_tokens, start_offset,
+                     CAST(start_offset // 128 AS BIGINT) AS cf,
+                     CAST((start_offset + n_tokens - 1) // 128 AS BIGINT)
+                       AS cl
+              FROM cum),
+            per AS (SELECT source, max(cl) + 1 AS n FROM pk GROUP BY source),
+            bases AS (
+              SELECT source,
+                     CAST(coalesce(sum(n) OVER (
+                       ORDER BY source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS b
+              FROM per)
+            SELECT pk.doc_id, pk.source, pk.n_tokens, pk.start_offset,
+                   pk.cf + bases.b AS chunk_first,
+                   pk.cl + bases.b AS chunk_last
+            FROM pk JOIN bases USING (source)
         """,
         "repetition_stats": """
             WITH base AS (

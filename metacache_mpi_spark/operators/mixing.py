@@ -149,6 +149,11 @@ def split_boundaries(
     both engines cut the uniform at bit-identical points."""
     if not weights:
         raise ValueError("hash_split needs at least one split weight")
+    for name, w in weights.items():
+        if w < 0:
+            # a negative weight would push later cumulative boundaries
+            # BELOW earlier ones, silently starving those splits
+            raise ValueError(f"negative split weight for {name!r}: {w}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")
@@ -247,6 +252,40 @@ def sequence_pack(
             "chunk_last",
             F.expr(f"(start_offset + n_tokens - 1) div {seq_len}"),
         )
+    )
+
+
+def global_chunk_ids(
+    packed: DataFrame,
+    stratum: str = "source",
+) -> DataFrame:
+    """Renumber :func:`sequence_pack`'s per-stratum chunk ranges into
+    ONE global chunk id space: stratum bases are the exclusive prefix
+    sum of per-stratum chunk counts (strata in lexicographic order),
+    broadcast-joined back.  Together with ``sequence_pack`` this is the
+    scalable global packing: the corpus-sized work stays per-stratum
+    (partitioned window), and only the stratum-count-sized table (one
+    row per stratum) passes through the unpartitioned prefix window.
+    """
+    per = packed.groupBy(stratum).agg(
+        (F.max("chunk_last") + 1).alias("n_chunks")
+    )
+    # single-partition window over |strata| rows — sources/langs/tiers,
+    # not documents; never the corpus
+    w = Window.orderBy(stratum).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = per.select(
+        stratum,
+        F.coalesce(F.sum("n_chunks").over(w), F.lit(0)).alias(
+            "chunk_base"
+        ),
+    )
+    return (
+        packed.join(F.broadcast(bases), stratum)
+        .withColumn("chunk_first", F.col("chunk_first") + F.col("chunk_base"))
+        .withColumn("chunk_last", F.col("chunk_last") + F.col("chunk_base"))
+        .drop("chunk_base")
     )
 
 

@@ -17,6 +17,7 @@ import pytest
 from metacache_mpi_spark.operators.mixing import (
     HEX_SPAN,
     fraction_to_hex_threshold,
+    global_chunk_ids,
     hash_split,
     mixture_report,
     sequence_pack,
@@ -126,6 +127,31 @@ def test_budget_pack_per_stratum_independent(spark):
         r["doc_id"] for r in docs.where("source='src0'").collect()
     )
     assert src0 == all0[: len(src0)]
+
+
+def test_global_chunk_ids_disjoint_consecutive(spark):
+    """Global renumbering: each stratum owns a contiguous chunk-id
+    range, ranges are disjoint and stacked in lexicographic stratum
+    order, covering [0, total_chunks)."""
+    packed = sequence_pack(_docs(spark), 64)
+    glob = global_chunk_ids(packed)
+    spans = {
+        r["source"]: (r["lo"], r["hi"])
+        for r in glob.groupBy("source")
+        .agg(F.min("chunk_first").alias("lo"), F.max("chunk_last").alias("hi"))
+        .collect()
+    }
+    expect_lo = 0
+    for s in sorted(spans):
+        lo, hi = spans[s]
+        assert lo == expect_lo, (s, lo, expect_lo)
+        expect_lo = hi + 1
+    # per-doc geometry is untouched: offsets within a stratum unchanged
+    a = {r["doc_id"]: r["chunk_last"] - r["chunk_first"]
+         for r in packed.collect()}
+    b = {r["doc_id"]: r["chunk_last"] - r["chunk_first"]
+         for r in glob.collect()}
+    assert a == b
 
 
 def test_mixture_report_exact_ppm(spark):
