@@ -285,6 +285,12 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _q_lsh_star_pairs(spark, sf_dir):
+    from metacache_mpi_spark.operators.textops import minhash_lsh_star_pairs
+
+    return minhash_lsh_star_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _q_simhash_fingerprints(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import simhash16
 
@@ -1148,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_band_buckets": _q_lsh_band_buckets,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "lsh_star_pairs": _q_lsh_star_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "simhash_banded_pairs": _q_simhash_banded_pairs,
@@ -1255,6 +1262,26 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets x JOIN buckets y
               ON x.band = y.band AND x.bucket = y.bucket
             WHERE x.doc_id < y.doc_id
+        """,
+        # star oversize policy (cap 4): in-cap buckets all-pairs,
+        # oversized buckets hub edges (bucket-min doc -> member)
+        "lsh_star_pairs": f"""
+            WITH {_BUCKETS_CTE},
+            sized AS (
+                SELECT band, bucket, doc_id,
+                       count(*) OVER (PARTITION BY band, bucket) AS n,
+                       min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+                FROM buckets),
+            small AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sized x JOIN sized y
+                  ON x.band = y.band AND x.bucket = y.bucket
+                WHERE x.n BETWEEN 2 AND 4 AND x.doc_id < y.doc_id),
+            star AS (
+                SELECT hub AS a, doc_id AS b FROM sized
+                WHERE n > 4 AND doc_id <> hub)
+            SELECT DISTINCT a, b FROM (
+                SELECT * FROM small UNION ALL SELECT * FROM star)
         """,
         "pipeline_lsh_pairs": f"""
             WITH {_MD5_PIPE_CTE}

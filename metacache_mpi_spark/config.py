@@ -35,6 +35,27 @@ class DedupConfig:
     # overpopulated-feature removal analog
     # (/root/reference/src/sketch_database.h:375-395, docs/build.txt:46-50).
     max_docs_per_bucket: int = 254   # ref: loclist cap 254
+    # What to do with buckets LARGER than the cap:
+    # - "drop": discard them as non-discriminative boilerplate (the
+    #   reference's overpopulated-feature removal — its recall trade-off
+    #   too: a NEAR-identical mega-cluster larger than the cap, e.g. a
+    #   page mirrored 10^5 times with per-mirror footers, loses every
+    #   LSH pair and never clusters; only byte-identical copies fall to
+    #   the exact lane).
+    # - "sample": keep a deterministic xxhash-ordered cap-sized subset
+    #   (the reference's insert-time 254-cap analog; members outside
+    #   every band's sample still get no pairs).
+    # - "star": oversized buckets emit HUB edges (bucket-min id,
+    #   member) instead of all pairs — O(n) pairs via a window-min, no
+    #   array materialization, so a 10^7-member bucket costs 10^7 rows
+    #   spread over its shuffle partitions, never n²/2 in one task.
+    #   Every member stays reachable from the hub, so after per-pair
+    #   verification connected components glues true mega-clusters at
+    #   recall 1.0, while chance collisions still die at the verify
+    #   gate (precision unchanged).  Extra cost is bounded: ≤ n verify
+    #   candidates per oversized bucket, most rejected JVM-side by the
+    #   min_sig_lanes prefilter before any text compare.
+    oversize_policy: str = "drop"
     # Salting fan-out for the band-bucket join's hot keys.
     salt_buckets: int = 8
 
@@ -88,6 +109,10 @@ class DedupConfig:
             )
         if self.sketch_mode not in ("kperm", "md5"):
             raise ValueError(f"unknown sketch_mode {self.sketch_mode!r}")
+        if self.oversize_policy not in ("drop", "sample", "star"):
+            raise ValueError(
+                f"unknown oversize_policy {self.oversize_policy!r}"
+            )
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -25,12 +25,15 @@ Scale notes (100 TB / 1000 executors):
 - Buckets of size 1 are pruned before expansion (most buckets, at any
   scale), and buckets above the cap are dropped entirely
   (non-discriminative boilerplate, exactly the reference's
-  remove-overpopulated-features trade-off, docs/build.txt:46-50).
+  remove-overpopulated-features trade-off, docs/build.txt:46-50) — or,
+  under ``oversize_policy="star"``, replaced by LINEAR hub edges so a
+  near-identical mega-cluster (a page mirrored 10^5×) still reaches
+  connected components instead of silently losing every pair.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.sketch import make_minhash_udf
@@ -185,6 +188,89 @@ def prune_buckets(
     raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
 
 
+def _star_edges(
+    rows: DataFrame,
+    oversized_keys: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+) -> DataFrame:
+    """Hub edges (bucket-min id → member) for OVERSIZED buckets.
+
+    The mega-cluster path of ``oversize_policy="star"``: instead of the
+    n²/2 in-array expansion (whose collected array itself is the
+    scale hazard — 10^7 ids in one aggregation buffer), each member of
+    an oversized bucket pairs with the bucket's minimum id.  One
+    window-min over the bucket key, a filter, a projection: O(n) output
+    rows that stay SPREAD across the bucket's shuffle partitions — no
+    per-task quadratic work, no driver involvement, no array.  Connected
+    components later glues members through the shared hub, so cluster
+    recall over a verified mega-cluster is 1.0 (vs 0 under "drop");
+    chance collisions are still killed by the per-pair verify gate.
+
+    Membership rows are dedup'd on (bucket, id) first — the in-array
+    path gets the same dedup for free from ``collect_set``."""
+    w = Window.partitionBy(*bucket_cols)
+    members = (
+        rows.join(oversized_keys.hint("shuffle_hash"), bucket_cols)
+        .select(*bucket_cols, id_col)
+        .distinct()
+    )
+    return (
+        members.withColumn("hub", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("hub"))
+        .select(
+            *bucket_cols,
+            F.col("hub").alias("a"),
+            F.col(id_col).alias("b"),
+        )
+    )
+
+
+def _pair_stream(
+    bands: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    oversize_policy: str | None = None,
+) -> DataFrame:
+    """(band, a, b) candidate co-occurrence rows — one row per bucket a
+    pair shares — under the configured oversize policy.  Shared by
+    :func:`candidate_pairs` and :func:`two_lane_candidate_pairs`; the
+    downstream groupBy(a, b) turns row counts into band/fp hit counts.
+    """
+    policy = oversize_policy or cfg.oversize_policy
+    if policy in ("drop", "sample"):
+        buckets = prune_buckets(bands, cfg, id_col, policy)
+        return buckets.select(
+            "band", F.explode(F.expr(PAIR_EXPANSION)).alias("p")
+        ).select("band", "p.a", "p.b")
+    if policy != "star":
+        raise ValueError(f"unknown oversize_policy {policy!r}")
+    # star: in-cap buckets expand all pairs exactly as "drop" does;
+    # oversized buckets emit linear hub edges instead of being dropped.
+    # The sizes aggregation is written once and consumed by both
+    # branches; its two scans canonicalize to the same exchange.
+    sizes = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    small_keys = sizes.where(
+        (F.col("n") >= 2) & (F.col("n") <= cfg.max_docs_per_bucket)
+    ).select("band", "bucket")
+    kept = bands.join(small_keys.hint("shuffle_hash"), ["band", "bucket"])
+    buckets = kept.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    )
+    small_pairs = buckets.select(
+        "band", F.explode(F.expr(PAIR_EXPANSION)).alias("p")
+    ).select("band", "p.a", "p.b")
+    big_keys = sizes.where(
+        F.col("n") > cfg.max_docs_per_bucket
+    ).select("band", "bucket")
+    star_pairs = _star_edges(
+        bands, big_keys, id_col, ["band", "bucket"]
+    ).select("band", "a", "b")
+    return small_pairs.unionByName(star_pairs)
+
+
 def bucket_join_pairs(
     rows: DataFrame,
     id_col: str,
@@ -206,7 +292,9 @@ def bucket_join_pairs(
     - buckets larger than ``max_bucket`` are ``"drop"``-ped entirely
       (a degenerate key — an all-zero SimHash of boilerplate, a dead
       embedding region — would otherwise put n² pair work in ONE task)
-      or ``"sample"``-d to a deterministic xxhash-ordered subset,
+      or ``"sample"``-d to a deterministic xxhash-ordered subset, or
+      under ``"star"`` replaced by linear hub edges (:func:`_star_edges`
+      — mega-cluster recall without the quadratic blowup),
     - survivors expand to pairs INSIDE the collected array: one shuffle,
       per-task work bounded by max_bucket²/2.
 
@@ -214,7 +302,7 @@ def bucket_join_pairs(
     keeps its per-pair band-hit counting variant (:func:`candidate_pairs`).
     """
     sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
-    if oversize_policy == "drop":
+    if oversize_policy in ("drop", "star"):
         keep = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     elif oversize_policy == "sample":
         keep = sizes.where(F.col("n") >= 2)
@@ -237,11 +325,17 @@ def bucket_join_pairs(
     buckets = kept.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
-    return (
-        buckets.select(F.explode(F.expr(PAIR_EXPANSION)).alias("p"))
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    pairs = buckets.select(
+        F.explode(F.expr(PAIR_EXPANSION)).alias("p")
+    ).select("p.a", "p.b")
+    if oversize_policy == "star":
+        big_keys = sizes.where(F.col("n") > max_bucket).select(*bucket_cols)
+        pairs = pairs.unionByName(
+            _star_edges(rows, big_keys, id_col, list(bucket_cols)).select(
+                "a", "b"
+            )
+        )
+    return pairs.distinct()
 
 
 def candidate_pairs(
@@ -255,15 +349,12 @@ def candidate_pairs(
     the analog of the reference's per-candidate hit count
     (/root/reference/src/candidates.h:41-102); downstream thresholds can
     mirror ``hitsMin`` (/root/reference/src/mode_query.cpp:247-260).
+
+    Oversized buckets follow ``cfg.oversize_policy`` (config.py): pairs
+    expand in-array under the cap; "star" adds linear hub edges for
+    mega-buckets instead of dropping them.
     """
-    buckets = prune_buckets(bands, cfg, id_col)
-    # All ordered pairs within a bucket, expanded inside the array —
-    # bounded by the bucket cap, no self-join shuffle needed.
-    pairs = buckets.select(
-        F.explode(
-            F.expr(PAIR_EXPANSION)
-        ).alias("p")
-    ).select("p.a", "p.b")
+    pairs = _pair_stream(bands, cfg, id_col)
     return (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("band_hits"))
@@ -293,15 +384,10 @@ def two_lane_candidate_pairs(
     ``rows`` = (id, band, bucket) where band ≥ 0 marks LSH bands and
     band = -1 marks winnowing fingerprints.  One groupBy shuffle serves
     both lanes (the separate-lane path costs two); emits per-lane hit
-    counts and keeps pairs passing either lane's threshold.
+    counts and keeps pairs passing either lane's threshold.  Oversized
+    buckets in EITHER lane follow ``cfg.oversize_policy``.
     """
-    buckets = prune_buckets(rows, cfg, id_col)
-    pairs = buckets.select(
-        "band",
-        F.explode(
-            F.expr(PAIR_EXPANSION)
-        ).alias("p"),
-    ).select("band", "p.a", "p.b")
+    pairs = _pair_stream(rows, cfg, id_col)
     agg = pairs.groupBy("a", "b").agg(
         F.sum(F.when(F.col("band") >= 0, 1).otherwise(0)).alias("band_hits"),
         F.sum(F.when(F.col("band") < 0, 1).otherwise(0)).alias("fp_hits"),

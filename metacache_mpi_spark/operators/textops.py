@@ -250,6 +250,27 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_star_pairs(
+    docs: DataFrame,
+    k: int = NGRAM_K,
+    lanes: int = MINHASH_LANES,
+    band_rows: int = BAND_ROWS,
+    cap: int = 4,
+) -> DataFrame:
+    """Candidate pairs under the ``"star"`` oversize policy: buckets at
+    or below ``cap`` expand all pairs in-array, oversized buckets emit
+    linear hub edges (bucket-min doc → member) instead of being dropped
+    — the mega-cluster-preserving skew guard (``lsh._star_edges``),
+    here on the md5-string lane so DuckDB can replay it exactly
+    (window COUNT/MIN per bucket + a hub projection)."""
+    from .lsh import bucket_join_pairs
+
+    b = lsh_band_buckets(docs, k, lanes, band_rows)
+    return bucket_join_pairs(
+        b, "doc_id", ["band", "bucket"], cap, oversize_policy="star"
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over single-space tokens.
 

@@ -88,12 +88,19 @@ def _mutate(rng: np.random.RandomState, text: str, rate: float) -> str:
 
 
 def generate_pages(
-    n_pages: int = 500, seed: int = 42
+    n_pages: int = 500, seed: int = 42, hot_frac: float = 0.0
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Build the corpus. Returns (pages, pages_truth) pandas frames.
 
     Scales: tiny=500 (unit/golden), small=5000 (recall gate),
     bench=50000+ (throughput) — FIXTURES.md §1.
+
+    ``hot_frac`` > 0 carves that fraction of the corpus into ONE
+    mega-cluster of near-identical pages (kind ``"hot"``): lightly
+    mutated copies of a single template — the mirrored-page/spam skew
+    case.  Its LSH band buckets hold ~all hot docs, far past
+    ``max_docs_per_bucket``, so it exercises the oversize policy:
+    "drop" loses the cluster entirely, "star" keeps it at linear cost.
     """
     rng = np.random.RandomState(seed)
     vocab = _vocab(rng)
@@ -106,6 +113,8 @@ def generate_pages(
         for _ in range(n_sites)
     ]
 
+    n_hot = int(n_pages * hot_frac)
+    n_pages = n_pages - n_hot
     n_exact = max(1, n_pages * 5 // 100)
     n_near = max(1, n_pages * 10 // 100)
     n_substr = max(1, n_pages * 2 // 100) // 2 * 2  # pairs
@@ -162,6 +171,20 @@ def generate_pages(
             sites.append(site)
         next_cluster += 1
 
+    # one mega-cluster of near-identical mirrors: mutation rate 0.003
+    # keeps pairwise shingle Jaccard ≈ 0.7-0.8 (well above the 0.6
+    # verify threshold) while making every copy byte-distinct, so the
+    # exact lane can't catch them — only LSH can
+    if n_hot:
+        hot_site = int(rng.randint(n_sites))
+        hot_template = page_text(hot_site, body(400))
+        for _ in range(n_hot):
+            texts.append(_mutate(rng, hot_template, 0.003))
+            kinds.append("hot")
+            clusters.append(next_cluster)
+            sites.append(hot_site)
+        next_cluster += 1
+
     n = len(texts)
     order = rng.permutation(n)
     ts0 = pd.Timestamp("2024-01-01")
@@ -188,13 +211,15 @@ def generate_pages(
     return pd.DataFrame(rows), pd.DataFrame(truth)
 
 
-def write_corpus(out_dir: str, n_pages: int = 500, seed: int = 42) -> None:
+def write_corpus(
+    out_dir: str, n_pages: int = 500, seed: int = 42, hot_frac: float = 0.0
+) -> None:
     """Write pages.parquet + pages_truth.parquet under ``out_dir``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pathlib import Path
 
-    pages, truth = generate_pages(n_pages, seed)
+    pages, truth = generate_pages(n_pages, seed, hot_frac=hot_frac)
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     schema = pa.schema(
         [

@@ -202,3 +202,43 @@ def test_md5_sketch_mode_matches_textops_lane(spark, tiny_corpus):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_star_policy_unit(spark, band_rows):
+    """Star mode: in-cap buckets expand all pairs, the oversized bucket
+    emits hub edges (min id → member) instead of being dropped."""
+    cfg = DedupConfig(max_docs_per_bucket=4, oversize_policy="star")
+    got = {(r["a"], r["b"]): r["band_hits"]
+           for r in candidate_pairs(band_rows, cfg).collect()}
+    want_pairs = {(1, 2), (1, 3), (2, 3)}            # bucket A all-pairs
+    want_stars = {(10, 11), (10, 12), (10, 13), (10, 14)}  # hub = 10
+    assert set(got) == want_pairs | want_stars
+    assert all(v == 1 for v in got.values())
+
+
+def test_star_policy_partitioning_invariant(spark, band_rows):
+    cfg = DedupConfig(max_docs_per_bucket=4, oversize_policy="star")
+    a = {(r["a"], r["b"]) for r in candidate_pairs(band_rows, cfg).collect()}
+    b = {(r["a"], r["b"])
+         for r in candidate_pairs(band_rows.repartition(7), cfg).collect()}
+    assert a == b
+
+
+def test_star_two_lane_counts_each_shared_bucket_once(spark):
+    """A pair sharing TWO oversized fp buckets (band -1) with the same
+    hub counts fp_hits=2 — duplicate membership rows must not inflate
+    the count (the in-array path dedups via collect_set; the star path
+    dedups explicitly)."""
+    rows = []
+    for bucket in (500, 501):
+        for doc in (1, 2, 3):
+            rows.append((doc, -1, bucket))
+    rows.append((1, -1, 500))  # duplicate membership row
+    df = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    cfg = DedupConfig(
+        max_docs_per_bucket=2, oversize_policy="star",
+        min_band_hits=1, min_fp_hits=1,
+    )
+    got = {(r["a"], r["b"]): r["fp_hits"]
+           for r in two_lane_candidate_pairs(df, cfg).collect()}
+    assert got == {(1, 2): 2, (1, 3): 2}
