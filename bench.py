@@ -108,7 +108,10 @@ def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
 
 
 def run_dedup_at(
-    corpus_dir: str, cores: int, bucketed_warehouse: str | None = None
+    corpus_dir: str,
+    cores: int,
+    bucketed_warehouse: str | None = None,
+    cfg=None,
 ) -> float:
     """One full dedup pipeline over the corpus; returns wall seconds.
     JVM startup AND the Python-UDF worker pool are warmed outside the
@@ -128,9 +131,12 @@ def run_dedup_at(
     spark.range(10000).repartition(2 * cores).select(
         F.sum(_warm(F.col("id")))
     ).collect()
+    from metacache_mpi_spark.config import DEFAULT_CONFIG
+
     t0 = time.time()
     res = dedup_pipeline(
         load_pages(spark, corpus_dir),
+        cfg if cfg is not None else DEFAULT_CONFIG,
         bucketed_warehouse=bucketed_warehouse,
     )
     res.clusters.count()
@@ -420,6 +426,34 @@ def main() -> None:
                 (s_low / s_high) / (CORES_HIGH / CORES_LOW), 3
             ),
         }
+
+        # skew stress: the same pipeline over a corpus where 10% of the
+        # docs are ONE near-identical mega-cluster (mirrored-page spam),
+        # run under oversize_policy="star" — hot band buckets hold ~5k
+        # docs vs cap 254, so without the linear hub-edge guard this is
+        # 12M-pair quadratic work in single tasks.  The reported ratio
+        # vs the uniform corpus at the same core count is the evidence
+        # that hot keys cost O(n), not O(n²), at any scale.
+        if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+            from metacache_mpi_spark.config import DedupConfig
+
+            skew_dir = f"/tmp/bench_corpus_skew_{SMALL_PAGES}"
+            if not os.path.exists(f"{skew_dir}/pages.parquet"):
+                write_corpus(
+                    skew_dir, n_pages=SMALL_PAGES, seed=42, hot_frac=0.1
+                )
+            star_cfg = DedupConfig(oversize_policy="star")
+            t_uni = run_dedup_at(small_dir, CORES_HIGH, cfg=star_cfg)
+            t_skew = run_dedup_at(skew_dir, CORES_HIGH, cfg=star_cfg)
+            out["dedup_skew_stress"] = {
+                "docs": SMALL_PAGES,
+                "hot_docs": SMALL_PAGES // 10,
+                "cores": CORES_HIGH,
+                "oversize_policy": "star",
+                "sec_uniform": round(t_uni, 2),
+                "sec_skewed": round(t_skew, 2),
+                "skew_ratio": round(t_skew / t_uni, 3),
+            }
 
     print(json.dumps(out))
 
