@@ -86,6 +86,13 @@ def main() -> None:
         "(semantic decontamination, sign-banded + exact verify)",
     )
     ap.add_argument("--semantic-tau", type=float, default=0.9)
+    ap.add_argument(
+        "--oversize-policy",
+        choices=("drop", "sample", "star"),
+        default="drop",
+        help="over-cap LSH buckets in the dedup stage: drop / sample "
+        "/ star hub edges (mega-cluster-safe, config.py)",
+    )
     args = ap.parse_args()
 
     from metacache_mpi_spark.session import get_spark
@@ -243,8 +250,17 @@ def run(spark, args) -> dict:
             )
 
     # 4. near-duplicate dedup; survivors = cluster representative
+    # (getattr: run() is also driven by tests with a bare namespace)
+    from dataclasses import replace
+
+    from metacache_mpi_spark.config import DEFAULT_CONFIG
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        oversize_policy=getattr(args, "oversize_policy", "drop"),
+    )
     res = dedup_pipeline(
-        gated, bucketed_warehouse=args.bucketed_warehouse
+        gated, cfg, bucketed_warehouse=args.bucketed_warehouse
     )
     reps = res.clusters.groupBy("cluster_id").agg(
         F.min("doc_id").alias("doc_id")

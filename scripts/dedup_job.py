@@ -41,8 +41,20 @@ def main() -> None:
         "catalog table under this dir; verify joins then read bucketed "
         "scans with no corpus-side shuffle (plans/bucketing.py)",
     )
+    ap.add_argument(
+        "--oversize-policy",
+        choices=("drop", "sample", "star"),
+        default="drop",
+        help="LSH buckets larger than the cap: drop them (reference "
+        "overpopulated-feature rule — loses mega-clusters), sample a "
+        "capped subset, or star: linear hub edges keep mirror/spam "
+        "mega-clusters clusterable at O(n) cost (config.py)",
+    )
     args = ap.parse_args()
 
+    from dataclasses import replace
+
+    from metacache_mpi_spark.config import DEFAULT_CONFIG
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
     from metacache_mpi_spark.plans.pipeline import dedup_pipeline
     from metacache_mpi_spark.session import get_spark
@@ -56,6 +68,7 @@ def main() -> None:
     ck = CheckpointManager(spark, args.checkpoints)
     res = dedup_pipeline(
         load_pages(spark, args.input),
+        replace(DEFAULT_CONFIG, oversize_policy=args.oversize_policy),
         checkpoints=ck,
         canonicalize_urls=args.canonicalize_urls,
         bucketed_warehouse=args.bucketed_warehouse,

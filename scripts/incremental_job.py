@@ -35,8 +35,18 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--cores", default=None)
+    ap.add_argument(
+        "--oversize-policy",
+        choices=("drop", "sample", "star"),
+        default="drop",
+        help="over-cap LSH buckets: drop / sample / star hub edges "
+        "(mega-cluster-safe, config.py)",
+    )
     args = ap.parse_args()
 
+    from dataclasses import replace
+
+    from metacache_mpi_spark.config import DEFAULT_CONFIG
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
     from metacache_mpi_spark.session import get_spark
     from metacache_mpi_spark.sources.pages import load_pages, write_corpus
@@ -50,6 +60,7 @@ def main() -> None:
     inc = IncrementalDedup(
         spark,
         CheckpointManager(spark, args.state),
+        replace(DEFAULT_CONFIG, oversize_policy=args.oversize_policy),
         compact_every=args.compact_every,
     )
     batch_no = inc.batch_no
