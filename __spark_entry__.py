@@ -253,6 +253,21 @@ def _q_dedup_clusters(spark, sf_dir):
     return cluster_assignments(docs, pairs, "doc_id")
 
 
+def _q_cluster_reps_longest(spark, sf_dir):
+    """Representative selection over the jaccard-lane clusters: keep
+    the most complete (longest-text) copy per duplicate cluster."""
+    from metacache_mpi_spark.operators.cc import (
+        cluster_assignments,
+        cluster_representatives,
+    )
+    from metacache_mpi_spark.operators.textops import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs).select("a", "b")
+    clusters = cluster_assignments(docs, pairs, "doc_id")
+    return cluster_representatives(clusters, docs, policy="longest")
+
+
 def _q_cluster_size_histogram(spark, sf_dir):
     """A5 per-taxon-count analog: docs per duplicate cluster, then
     clusters per size (histogram of the assignment)."""
@@ -1150,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_reps_longest": _q_cluster_reps_longest,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_band_buckets": _q_lsh_band_buckets,
@@ -1234,6 +1250,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
             )
             SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        """,
+        # longest-text representative per cluster; null text ranks
+        # shortest (coalesce -1), ties break on smallest doc_id —
+        # the exact rule the Spark struct-min aggregate implements
+        "cluster_reps_longest": f"""
+            WITH RECURSIVE {_PAIRS_CTE},
+            sym AS (SELECT a AS u, b AS v FROM jpairs
+                    UNION SELECT b, a FROM jpairs),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+            ),
+            comp AS (SELECT node, min(m) AS cluster_id
+                     FROM reach GROUP BY node),
+            ranked AS (
+                SELECT comp.cluster_id, d.doc_id AS rep_id,
+                       row_number() OVER (
+                           PARTITION BY comp.cluster_id
+                           ORDER BY coalesce(length(d.text), -1) DESC,
+                                    d.doc_id
+                       ) AS rn
+                FROM comp JOIN documents d ON d.doc_id = comp.node)
+            SELECT cluster_id, rep_id FROM ranked WHERE rn = 1
         """,
         "cluster_size_histogram": f"""
             WITH RECURSIVE {_PAIRS_CTE},

@@ -374,15 +374,26 @@ def main() -> None:
             # warehouse is the deployment shape, so the 4→16 pair is
             # measured bucketed at BOTH levels — full job including the
             # one-time bucketed write, fresh warehouse per run so the
-            # two levels do identical work.  Back-to-back pair, same
-            # load-window discipline as the 200k runs.
-            tbk = {}
-            for cores in (CORES_LOW, CORES_HIGH):
-                wh = f"/tmp/bench_bucketed_wh_{cores}"
-                shutil.rmtree(wh, ignore_errors=True)
-                tbk[cores] = run_dedup_at(
-                    big_dir, cores, bucketed_warehouse=wh
-                )
+            # two levels do identical work.  Back-to-back pairs with
+            # the calmest pair winning (lowest combined wall time) —
+            # the same load-window discipline as the 200k runs: one
+            # stormy window on a shared host otherwise swings the
+            # headline criterion by ±0.2.
+            reps500 = int(os.environ.get("SPARK_GRAFT_500K_REPS", "2"))
+            best_pair = None
+            for _ in range(reps500):
+                tbk = {}
+                for cores in (CORES_LOW, CORES_HIGH):
+                    wh = f"/tmp/bench_bucketed_wh_{cores}"
+                    shutil.rmtree(wh, ignore_errors=True)
+                    tbk[cores] = run_dedup_at(
+                        big_dir, cores, bucketed_warehouse=wh
+                    )
+                if best_pair is None or sum(tbk.values()) < sum(
+                    best_pair.values()
+                ):
+                    best_pair = tbk
+            tbk = best_pair
             effb = (tbk[CORES_LOW] / tbk[CORES_HIGH]) / (
                 CORES_HIGH / CORES_LOW
             )

@@ -235,3 +235,56 @@ def cluster_assignments(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    pages: DataFrame | None = None,
+    policy: str = "min_id",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """One kept copy per duplicate cluster: (cluster_id, rep_id).
+
+    Which copy survives dedup is a corpus policy, not an arbitrary
+    choice (the reference keeps insertion order's first copy,
+    sketch_database.h insert-time cap; crawl pipelines usually keep the
+    canonical or most complete page):
+
+    - ``"min_id"``   — smallest doc id (deterministic default; needs no
+      ``pages``);
+    - ``"earliest"`` — first-crawled copy: min ``(warc_ts, doc_id)``;
+    - ``"longest"``  — most complete copy: max text length, smallest id
+      on ties (mirrors often truncate).
+
+    Scale note: each policy is ONE groupBy aggregation whose argmin /
+    argmax rides a struct-ordered ``min``/``max`` — partial aggregation
+    map-side, so a 10^7-member mega-cluster (the star-policy case)
+    never sorts or buffers in a single task, unlike the row_number
+    window formulation.
+    """
+    if policy == "min_id":
+        return clusters.groupBy(cluster_col).agg(
+            F.min(id_col).alias("rep_id")
+        )
+    if pages is None:
+        raise ValueError(f"policy {policy!r} needs the pages frame")
+    joined = clusters.join(pages, id_col)
+    if policy == "earliest":
+        key = F.struct(F.col(ts_col), F.col(id_col).alias("rid"))
+    elif policy == "longest":
+        # null text ranks shortest (coalesce -1) — same rule the SQL
+        # oracle spells out, so the two engines break ties identically
+        key = F.struct(
+            (-F.coalesce(F.length(F.col(text_col)), F.lit(-1))).alias(
+                "neglen"
+            ),
+            F.col(id_col).alias("rid"),
+        )
+    else:
+        raise ValueError(f"unknown representative policy {policy!r}")
+    return joined.groupBy(cluster_col).agg(
+        F.min(key).getField("rid").alias("rep_id")
+    )

@@ -93,6 +93,14 @@ def main() -> None:
         help="over-cap LSH buckets in the dedup stage: drop / sample "
         "/ star hub edges (mega-cluster-safe, config.py)",
     )
+    ap.add_argument(
+        "--keep",
+        choices=("min_id", "earliest", "longest"),
+        default="min_id",
+        help="which copy survives per duplicate cluster: smallest doc "
+        "id, first-crawled (warc_ts), or longest text "
+        "(operators/cc.py::cluster_representatives)",
+    )
     args = ap.parse_args()
 
     from metacache_mpi_spark.session import get_spark
@@ -262,12 +270,12 @@ def run(spark, args) -> dict:
     res = dedup_pipeline(
         gated, cfg, bucketed_warehouse=args.bucketed_warehouse
     )
-    reps = res.clusters.groupBy("cluster_id").agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    survivors = gated.join(
-        reps.select("doc_id").hint("shuffle_hash"), "doc_id"
-    )
+    from metacache_mpi_spark.operators.cc import cluster_representatives
+
+    reps = cluster_representatives(
+        res.clusters, gated, getattr(args, "keep", "min_id")
+    ).select(F.col("rep_id").alias("doc_id"))
+    survivors = gated.join(reps.hint("shuffle_hash"), "doc_id")
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()
     # release every pinned subtree: run() is driven on SHARED sessions

@@ -135,3 +135,53 @@ def test_cc_local_threshold_guard(spark):
     edges = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="MAX_LOCAL_EDGES"):
         connected_components(edges, local_threshold=MAX_LOCAL_EDGES + 1)
+
+
+def test_cluster_representatives_policies(spark):
+    import datetime
+
+    from metacache_mpi_spark.operators.cc import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "doc_id long, cluster_id long",
+    )
+    ts = datetime.datetime
+    pages = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 3), "aaaa"),
+            (2, ts(2024, 1, 1), "bbbbbb"),
+            (3, ts(2024, 1, 2), None),       # null text ranks shortest
+            (4, ts(2024, 1, 5), "cc"),
+            (6, ts(2024, 1, 4), "dd"),       # equal lengths -> min id
+            (5, ts(2024, 1, 4), "ee"),
+        ],
+        "doc_id long, warc_ts timestamp, text string",
+    )
+
+    def got(policy, pg=pages):
+        return {
+            r["cluster_id"]: r["rep_id"]
+            for r in cluster_representatives(clusters, pg, policy).collect()
+        }
+
+    assert got("min_id", None) == {10: 1, 40: 4, 50: 5}
+    assert got("earliest") == {10: 2, 40: 4, 50: 5}
+    assert got("longest") == {10: 2, 40: 4, 50: 5}
+
+
+def test_cluster_representatives_errors(spark):
+    import pytest as _pytest
+
+    from metacache_mpi_spark.operators.cc import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 10)], "doc_id long, cluster_id long"
+    )
+    with _pytest.raises(ValueError, match="needs the pages frame"):
+        cluster_representatives(clusters, None, "longest")
+    pages = spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="unknown representative"):
+        cluster_representatives(clusters, pages, "nope")
