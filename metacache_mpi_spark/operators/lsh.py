@@ -175,9 +175,13 @@ def prune_buckets(
             keep.select("band", "bucket").hint("shuffle_hash"),
             ["band", "bucket"],
         )
+        # sample order is keyed by the BUCKET too: a mega-cluster whose
+        # members collide in every band then keeps a DIFFERENT cap-sized
+        # subset per band (union coverage ∝ bands·cap, glued by CC
+        # transitivity) instead of the same subset bands times
         w_rank = F.expr(
             f"row_number() OVER (PARTITION BY band, bucket "
-            f"ORDER BY xxhash64({id_col}), {id_col})"
+            f"ORDER BY xxhash64(band, bucket, {id_col}), {id_col})"
         )
         sampled = kept_rows.withColumn("rnk", w_rank).where(
             F.col("rnk") <= cfg.max_docs_per_bucket
@@ -247,27 +251,42 @@ def _pair_stream(
         raise ValueError(f"unknown oversize_policy {policy!r}")
     # star: in-cap buckets expand all pairs exactly as "drop" does;
     # oversized buckets emit linear hub edges instead of being dropped.
-    # The sizes aggregation is written once and consumed by both
-    # branches; its two scans canonicalize to the same exchange.
+    # ONE sizes aggregation and ONE semi-join carry BOTH branches (an
+    # `oversized` flag rides the join): the naive per-branch-join form
+    # duplicated sizes+join per branch.  The union still fans the
+    # joined subtree out twice and Spark does NOT stage-reuse through
+    # ArrowEvalPython lineages (measured: 0 ReusedExchange), so callers
+    # whose bands ride an unpinned UDF lineage should persist upstream
+    # — dedup_pipeline's signature stage already does.
     sizes = bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
-    small_keys = sizes.where(
-        (F.col("n") >= 2) & (F.col("n") <= cfg.max_docs_per_bucket)
-    ).select("band", "bucket")
-    kept = bands.join(small_keys.hint("shuffle_hash"), ["band", "bucket"])
-    buckets = kept.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set(id_col)).alias("ids")
+    keys = sizes.where(F.col("n") >= 2).select(
+        "band",
+        "bucket",
+        (F.col("n") > cfg.max_docs_per_bucket).alias("oversized"),
+    )
+    kept = bands.join(keys.hint("shuffle_hash"), ["band", "bucket"])
+    buckets = (
+        kept.where(~F.col("oversized"))
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
     )
     small_pairs = buckets.select(
         "band", F.explode(F.expr(PAIR_EXPANSION)).alias("p")
     ).select("band", "p.a", "p.b")
-    big_keys = sizes.where(
-        F.col("n") > cfg.max_docs_per_bucket
-    ).select("band", "bucket")
-    star_pairs = _star_edges(
-        bands, big_keys, id_col, ["band", "bucket"]
-    ).select("band", "a", "b")
+    # hub edges for the oversized remainder: dedup on the full
+    # membership key (duplicate fp rows must not inflate hit counts),
+    # hub = window-min, linear output — see _star_edges
+    w = Window.partitionBy("band", "bucket")
+    star_pairs = (
+        kept.where(F.col("oversized"))
+        .select("band", "bucket", id_col)
+        .distinct()
+        .withColumn("hub", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("hub"))
+        .select("band", F.col("hub").alias("a"), F.col(id_col).alias("b"))
+    )
     return small_pairs.unionByName(star_pairs)
 
 
@@ -315,9 +334,11 @@ def bucket_join_pairs(
     )
     if oversize_policy == "sample":
         keys = ", ".join(bucket_cols)
+        # bucket-keyed sample order — see prune_buckets: different
+        # buckets of one mega-cluster retain different subsets
         w_rank = F.expr(
             f"row_number() OVER (PARTITION BY {keys} "
-            f"ORDER BY xxhash64({id_col}), {id_col})"
+            f"ORDER BY xxhash64({keys}, {id_col}), {id_col})"
         )
         kept = kept.withColumn("rnk", w_rank).where(
             F.col("rnk") <= max_bucket
