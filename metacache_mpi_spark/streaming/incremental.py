@@ -43,10 +43,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..operators.cc import cluster_assignments
 from ..operators.lsh import (
-    PAIR_EXPANSION,
+    _pair_stream,
     attach_signature,
     emit_bands,
-    prune_buckets,
 )
 from ..operators.verify import (
     exact_jaccard_pairs,
@@ -258,12 +257,15 @@ class IncrementalDedup:
         )
 
         # candidates touching at least one NEW doc: group the combined
-        # band table, expand pairs, then semi-join on new ids
+        # band table, expand pairs (under cfg.oversize_policy — the
+        # star hub-edge lane works incrementally too), then semi-join
+        # on new ids
         new_ids = new_docs.select(F.col("doc_id").alias("nid"))
-        buckets = prune_buckets(all_bands, cfg)
-        pairs = buckets.select(
-            F.explode(F.expr(PAIR_EXPANSION)).alias("p")
-        ).select("p.a", "p.b").distinct()
+        pairs = (
+            _pair_stream(all_bands, cfg, "doc_id")
+            .select("a", "b")
+            .distinct()
+        )
         pairs = pairs.join(
             new_ids,
             (F.col("a") == F.col("nid")) | (F.col("b") == F.col("nid")),

@@ -103,3 +103,33 @@ def test_star_policy_recovers_mega_cluster_at_linear_cost(spark, skew_corpus):
         spark.createDataFrame(list(want), "a long, b long"),
     )
     assert stats["recall"] >= 0.99, stats
+
+
+def test_incremental_star_folds_mega_cluster(spark, skew_corpus, tmp_path):
+    """The star lane must work INCREMENTALLY too: a mega-cluster split
+    across two batches still folds into one cluster, because the
+    candidate stream routes through the same policy-aware pair
+    generator as the one-shot pipeline."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    pages = load_pages(spark, skew_corpus)
+    cfg = DedupConfig(max_docs_per_bucket=CAP, oversize_policy="star")
+    inc = IncrementalDedup(
+        spark, CheckpointManager(spark, str(tmp_path / "state")), cfg
+    )
+    inc.process_batch(pages.where("pmod(abs(doc_id), 2) = 0"))
+    clusters = inc.process_batch(pages.where("pmod(abs(doc_id), 2) = 1"))
+
+    truth = (
+        spark.read.parquet(f"{skew_corpus}/pages_truth.parquet")
+        .join(pages.select("url", "doc_id"), "url")
+        .where(F.col("kind") == "hot")
+        .select("doc_id")
+        .collect()
+    )
+    hot = {r["doc_id"] for r in truth}
+    cl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert len({cl[d] for d in hot}) == 1
