@@ -379,7 +379,9 @@ def main() -> None:
             # the same load-window discipline as the 200k runs: one
             # stormy window on a shared host otherwise swings the
             # headline criterion by ±0.2.
-            reps500 = int(os.environ.get("SPARK_GRAFT_500K_REPS", "2"))
+            reps500 = max(
+                1, int(os.environ.get("SPARK_GRAFT_500K_REPS", "2"))
+            )
             best_pair = None
             for _ in range(reps500):
                 tbk = {}

@@ -273,7 +273,14 @@ def cluster_representatives(
         raise ValueError(f"policy {policy!r} needs the pages frame")
     joined = clusters.join(pages, id_col)
     if policy == "earliest":
-        key = F.struct(F.col(ts_col), F.col(id_col).alias("rid"))
+        # a NULL timestamp must rank LAST (worst provenance), but
+        # struct ordering sorts null fields first — lead with an
+        # explicit null flag so a missing-ts doc never wins
+        key = F.struct(
+            F.col(ts_col).isNull().cast("int").alias("ts_missing"),
+            F.col(ts_col),
+            F.col(id_col).alias("rid"),
+        )
     elif policy == "longest":
         # null text ranks shortest (coalesce -1) — same rule the SQL
         # oracle spells out, so the two engines break ties identically

@@ -33,7 +33,7 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.sketch import make_minhash_udf
@@ -193,8 +193,7 @@ def prune_buckets(
 
 
 def _star_edges(
-    rows: DataFrame,
-    oversized_keys: DataFrame,
+    members: DataFrame,
     id_col: str,
     bucket_cols: list[str],
 ) -> DataFrame:
@@ -203,24 +202,22 @@ def _star_edges(
     The mega-cluster path of ``oversize_policy="star"``: instead of the
     n²/2 in-array expansion (whose collected array itself is the
     scale hazard — 10^7 ids in one aggregation buffer), each member of
-    an oversized bucket pairs with the bucket's minimum id.  One
-    window-min over the bucket key, a filter, a projection: O(n) output
-    rows that stay SPREAD across the bucket's shuffle partitions — no
-    per-task quadratic work, no driver involvement, no array.  Connected
-    components later glues members through the shared hub, so cluster
-    recall over a verified mega-cluster is 1.0 (vs 0 under "drop");
-    chance collisions are still killed by the per-pair verify gate.
+    an oversized bucket pairs with the bucket's minimum id.
 
-    Membership rows are dedup'd on (bucket, id) first — the in-array
-    path gets the same dedup for free from ``collect_set``."""
-    w = Window.partitionBy(*bucket_cols)
-    members = (
-        rows.join(oversized_keys.hint("shuffle_hash"), bucket_cols)
-        .select(*bucket_cols, id_col)
-        .distinct()
-    )
+    ``members`` = (bucket_cols..., id) rows of oversized buckets,
+    already dedup'd on the full key (the in-array path gets that for
+    free from ``collect_set``).  The hub is a ``groupBy().min()`` —
+    partial aggregation map-side, constant state — joined back
+    shuffle-hash with the single-row-per-bucket hub side as the build:
+    members STREAM through the join task, so even a 10^7-member bucket
+    costs no sort and no buffering (a window-min formulation would
+    buffer the whole bucket in one task's frame).  Output is O(n) rows.
+    Connected components later glues members through the shared hub, so
+    cluster recall over a verified mega-cluster is 1.0 (vs 0 under
+    "drop"); chance collisions are still killed by the verify gate."""
+    hubs = members.groupBy(*bucket_cols).agg(F.min(id_col).alias("hub"))
     return (
-        members.withColumn("hub", F.min(id_col).over(w))
+        members.join(hubs.hint("shuffle_hash"), bucket_cols)
         .where(F.col(id_col) != F.col("hub"))
         .select(
             *bucket_cols,
@@ -276,17 +273,17 @@ def _pair_stream(
         "band", F.explode(F.expr(PAIR_EXPANSION)).alias("p")
     ).select("band", "p.a", "p.b")
     # hub edges for the oversized remainder: dedup on the full
-    # membership key (duplicate fp rows must not inflate hit counts),
-    # hub = window-min, linear output — see _star_edges
-    w = Window.partitionBy("band", "bucket")
-    star_pairs = (
+    # membership key (duplicate fp rows must not inflate hit counts —
+    # the distinct's reduce-side state is the bucket's unique-id hash
+    # set, spillable), then groupBy-min hub + streamed join-back
+    big_members = (
         kept.where(F.col("oversized"))
         .select("band", "bucket", id_col)
         .distinct()
-        .withColumn("hub", F.min(id_col).over(w))
-        .where(F.col(id_col) != F.col("hub"))
-        .select("band", F.col("hub").alias("a"), F.col(id_col).alias("b"))
     )
+    star_pairs = _star_edges(
+        big_members, id_col, ["band", "bucket"]
+    ).select("band", "a", "b")
     return small_pairs.unionByName(star_pairs)
 
 
@@ -321,7 +318,30 @@ def bucket_join_pairs(
     keeps its per-pair band-hit counting variant (:func:`candidate_pairs`).
     """
     sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
-    if oversize_policy in ("drop", "star"):
+    if oversize_policy == "star":
+        # fused form (same as _pair_stream): ONE join carries both
+        # branches via an `oversized` flag instead of a sizes+join pair
+        # per branch
+        keys = sizes.where(F.col("n") >= 2).select(
+            *bucket_cols, (F.col("n") > max_bucket).alias("oversized")
+        )
+        kept = rows.join(keys.hint("shuffle_hash"), bucket_cols)
+        buckets = (
+            kept.where(~F.col("oversized"))
+            .groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        )
+        pairs = buckets.select(
+            F.explode(F.expr(PAIR_EXPANSION)).alias("p")
+        ).select("p.a", "p.b")
+        big_members = (
+            kept.where(F.col("oversized"))
+            .select(*bucket_cols, id_col)
+            .distinct()
+        )
+        stars = _star_edges(big_members, id_col, list(bucket_cols))
+        return pairs.unionByName(stars.select("a", "b")).distinct()
+    if oversize_policy == "drop":
         keep = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     elif oversize_policy == "sample":
         keep = sizes.where(F.col("n") >= 2)
@@ -346,17 +366,11 @@ def bucket_join_pairs(
     buckets = kept.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
-    pairs = buckets.select(
-        F.explode(F.expr(PAIR_EXPANSION)).alias("p")
-    ).select("p.a", "p.b")
-    if oversize_policy == "star":
-        big_keys = sizes.where(F.col("n") > max_bucket).select(*bucket_cols)
-        pairs = pairs.unionByName(
-            _star_edges(rows, big_keys, id_col, list(bucket_cols)).select(
-                "a", "b"
-            )
-        )
-    return pairs.distinct()
+    return (
+        buckets.select(F.explode(F.expr(PAIR_EXPANSION)).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
 
 
 def candidate_pairs(

@@ -272,9 +272,17 @@ def run(spark, args) -> dict:
     )
     from metacache_mpi_spark.operators.cc import cluster_representatives
 
-    reps = cluster_representatives(
-        res.clusters, gated, getattr(args, "keep", "min_id")
-    ).select(F.col("rep_id").alias("doc_id"))
+    keep = getattr(args, "keep", "min_id")
+    # "earliest" needs warc_ts, which the text funnel dropped — join it
+    # back from the url-deduped pages (one row per surviving doc_id)
+    rep_pages = (
+        gated.join(pages.select("doc_id", "warc_ts"), "doc_id")
+        if keep == "earliest"
+        else gated
+    )
+    reps = cluster_representatives(res.clusters, rep_pages, keep).select(
+        F.col("rep_id").alias("doc_id")
+    )
     survivors = gated.join(reps.hint("shuffle_hash"), "doc_id")
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()

@@ -143,7 +143,7 @@ def test_cluster_representatives_policies(spark):
     from metacache_mpi_spark.operators.cc import cluster_representatives
 
     clusters = spark.createDataFrame(
-        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        [(1, 10), (2, 10), (3, 10), (4, 40), (7, 40), (5, 50), (6, 50)],
         "doc_id long, cluster_id long",
     )
     ts = datetime.datetime
@@ -153,6 +153,7 @@ def test_cluster_representatives_policies(spark):
             (2, ts(2024, 1, 1), "bbbbbb"),
             (3, ts(2024, 1, 2), None),       # null text ranks shortest
             (4, ts(2024, 1, 5), "cc"),
+            (7, None, "c"),                  # null ts must NOT win earliest
             (6, ts(2024, 1, 4), "dd"),       # equal lengths -> min id
             (5, ts(2024, 1, 4), "ee"),
         ],

@@ -42,6 +42,7 @@ def _run(spark, corpus, policy):
     )
     clusters = {r["doc_id"]: r["cluster_id"] for r in res.clusters.collect()}
     pairs = {(r["a"], r["b"]) for r in res.pairs.collect()}
+    res.unpersist()  # shared module session — release pinned subtrees
     return truth, clusters, pairs
 
 
