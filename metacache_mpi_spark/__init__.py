@@ -12,7 +12,9 @@ pipeline Spark-first for Common-Crawl-style webtext:
 - shingle + MinHash / SimHash sketching in Arrow-vectorized pandas UDFs
   (``functions/sketch.py``; semantics of /root/reference/src/hash_dna.h),
 - the inverted index / MPI hash-table exchange becomes an LSH band-bucket
-  DataFrame self-join with salted keys and bucket caps
+  DataFrame self-join with salted keys and bucket caps; over-cap buckets
+  can drop (reference rule), sample, or emit linear star hub edges so
+  mirror/spam mega-clusters stay clusterable
   (``operators/lsh.py``; /root/reference/src/sketch_database.h semantics),
 - candidate verification by exact Jaccard (``operators/verify.py``;
   /root/reference/src/dna_encoding.h:574-600 analog),
