@@ -300,10 +300,17 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+# star-lane bucket cap, inlined into BOTH engines (the repo's
+# shared-literal rule: one Python value, two query texts)
+_STAR_CAP = 4
+
+
 def _q_lsh_star_pairs(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import minhash_lsh_star_pairs
 
-    return minhash_lsh_star_pairs(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_star_pairs(
+        _t(spark, sf_dir, "documents"), cap=_STAR_CAP
+    )
 
 
 def _q_simhash_fingerprints(spark, sf_dir):
@@ -1316,10 +1323,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT x.doc_id AS a, y.doc_id AS b
                 FROM sized x JOIN sized y
                   ON x.band = y.band AND x.bucket = y.bucket
-                WHERE x.n BETWEEN 2 AND 4 AND x.doc_id < y.doc_id),
+                WHERE x.n BETWEEN 2 AND {_STAR_CAP}
+                  AND x.doc_id < y.doc_id),
             star AS (
                 SELECT hub AS a, doc_id AS b FROM sized
-                WHERE n > 4 AND doc_id <> hub)
+                WHERE n > {_STAR_CAP} AND doc_id <> hub)
             SELECT DISTINCT a, b FROM (
                 SELECT * FROM small UNION ALL SELECT * FROM star)
         """,
