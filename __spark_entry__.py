@@ -65,6 +65,38 @@ jpairs AS (SELECT a, b, c, sa.n AS na, sb.n AS nb
 """
 )
 
+# W-token span windows for the ExactSubstr lane (operators/spans.py,
+# SPAN_W=8): per-position md5, corpus-global occurrence count, keeper =
+# globally-first occurrence (row_number twin of the engine's min-struct
+# agg), strip intervals merged when overlapping or adjacent
+_SPANS_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(
+                 list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS h
+        FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+        WHERE len(w) >= 8),
+srn AS (SELECT doc_id, pos, h,
+               count(*) OVER (PARTITION BY h) AS n_occurrences,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ),
+sp_iv AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM srn WHERE rn >= 2),
+sp_m1 AS (SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pm
+          FROM sp_iv),
+sp_m2 AS (SELECT doc_id, s, e,
+           sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS gid
+          FROM sp_m1),
+sp_merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM sp_m2 GROUP BY doc_id, gid)
+"""
+
 # md5-string minhash, 8 lanes
 _MINHASH_CTE = (
     _SH_CTE
@@ -474,6 +506,24 @@ def _q_repetition_stats(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_repeated_spans(spark, sf_dir):
+    from metacache_mpi_spark.operators.spans import repeated_span_occurrences
+
+    return repeated_span_occurrences(_t(spark, sf_dir, "documents"))
+
+
+def _q_repeated_span_intervals(spark, sf_dir):
+    from metacache_mpi_spark.operators.spans import strip_intervals
+
+    return strip_intervals(_t(spark, sf_dir, "documents"))
+
+
+def _q_exact_substring_dedup(spark, sf_dir):
+    from metacache_mpi_spark.operators.spans import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"))
 
 
 def _q_contamination_pairs(spark, sf_dir):
@@ -1185,6 +1235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stop_shingle_survivors": _q_stop_shingle_survivors,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
+        "repeated_spans": _q_repeated_spans,
+        "repeated_span_intervals": _q_repeated_span_intervals,
+        "exact_substring_dedup": _q_exact_substring_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
         "contamination_pairs": _q_contamination_pairs,
         "quality_scores": _q_quality_scores,
@@ -1529,6 +1582,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT b2.doc_id, n_words, dup_word_milli, dup_line_milli,
                    COALESCE(top_2gram_milli, 0) AS top_2gram_milli
             FROM b2 LEFT JOIN top ON top.doc_id = b2.doc_id
+        """,
+        "repeated_spans": f"""
+            WITH {_SPANS_CTE}
+            SELECT doc_id, pos, h AS span_hash, n_occurrences
+            FROM srn WHERE n_occurrences >= 2
+        """,
+        "repeated_span_intervals": f"""
+            WITH {_SPANS_CTE}
+            SELECT doc_id, s, e FROM sp_merged
+        """,
+        "exact_substring_dedup": f"""
+            WITH {_SPANS_CTE},
+            pos2 AS (SELECT t.doc_id, CAST(i AS BIGINT) AS i,
+                            t.w[CAST(i AS INT)] AS tok
+                     FROM toks t, unnest(range(1, len(t.w) + 1)) AS u(i)),
+            kept AS (SELECT p.doc_id, p.i, p.tok FROM pos2 p
+                     LEFT JOIN sp_merged m
+                       ON p.doc_id = m.doc_id AND p.i BETWEEN m.s AND m.e
+                     WHERE m.s IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                           count(*) AS n_tokens_kept
+                    FROM kept GROUP BY doc_id),
+            rm AS (SELECT doc_id, sum(e - s + 1) AS n_removed
+                   FROM sp_merged GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT)
+                     AS n_tokens_kept,
+                   CAST(coalesce(rm.n_removed, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN rm USING (doc_id)
         """,
         "contamination_pairs": f"""
             WITH {_DISC_CTE},

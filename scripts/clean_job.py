@@ -87,6 +87,15 @@ def main() -> None:
     )
     ap.add_argument("--semantic-tau", type=float, default=0.9)
     ap.add_argument(
+        "--strip-spans",
+        type=int,
+        default=0,
+        metavar="W",
+        help="passage-level ExactSubstr dedup: strip every non-keeper "
+        "corpus-repeated W-token span before decontamination/dedup "
+        "(0 = off; operators/spans.py)",
+    )
+    ap.add_argument(
         "--oversize-policy",
         choices=("drop", "sample", "star"),
         default="drop",
@@ -203,6 +212,23 @@ def run(spark, args) -> dict:
         prev.unpersist()
         clean.unpersist()  # superseded once any stage's output is pinned
         return nxt
+
+    # 3a. optional passage-level dedup (ExactSubstr, Lee et al. 2022):
+    #     strip every non-keeper corpus-repeated W-token span, then
+    #     drop pages with nothing left.  Runs BEFORE decontamination
+    #     and doc-level dedup so both see boilerplate-free passages.
+    if getattr(args, "strip_spans", 0):
+        from metacache_mpi_spark.operators.spans import (
+            exact_substring_dedup,
+        )
+
+        stripped = (
+            exact_substring_dedup(gated, window=args.strip_spans)
+            .where(F.col("n_tokens_kept") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .join(gated.select("doc_id", "url"), "doc_id")
+        )
+        gated = _advance(gated, stripped, "after_span_strip")
 
     if args.eval_docs:
         from metacache_mpi_spark.operators.textops import (
