@@ -564,6 +564,42 @@ def _q_embedding_cosine_dup_pairs(spark, sf_dir):
     return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def _semdedup_assigned(spark, sf_dir):
+    """Shared SemDeDup front half: cluster the embeddings and
+    materialize the (vec_id, bucket) assignment as a parquet view so
+    the DuckDB twin can reproduce the within-cluster lifecycle (the
+    NumPy k-means itself is not SQL-expressible — same pattern as the
+    kperm genomic lanes)."""
+    from metacache_mpi_spark.operators.semdedup import (
+        semantic_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = semantic_assignments(emb)
+    view = _materialize_view(
+        assigned.select("vec_id", "bucket"), "semdedup_assign"
+    )
+    return view.join(emb.select("vec_id", "embedding"), "vec_id")
+
+
+def _q_semantic_dup_candidates(spark, sf_dir):
+    from metacache_mpi_spark.operators.semdedup import (
+        semantic_dup_candidates,
+    )
+
+    return semantic_dup_candidates(
+        _semdedup_assigned(spark, sf_dir), tau_micro=350000
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    from metacache_mpi_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        None, tau_micro=350000, assigned=_semdedup_assigned(spark, sf_dir)
+    )
+
+
 def _q_ann_lsh_bucketed(spark, sf_dir):
     from metacache_mpi_spark.operators.ann import lsh_bucketed_topk
 
@@ -1251,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
+        "semantic_dup_candidates": _q_semantic_dup_candidates,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_lsh_bucketed": _q_ann_lsh_bucketed,
         "ann_batch_topk": _q_ann_batch_topk,
         "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
@@ -1616,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN rm USING (doc_id)
+            WHERE d.text IS NOT NULL
         """,
         "contamination_pairs": f"""
             WITH {_DISC_CTE},
@@ -1692,6 +1731,48 @@ def oracle_sql() -> dict[str, str]:
                      list_dot_product(x.emb, y.emb)
                      / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb))
                      * 1000000.0 + 0.5) AS BIGINT) >= 350000
+        """,
+        "semantic_dup_candidates": """
+            WITH asg AS (SELECT vec_id, bucket FROM
+                   read_parquet('/tmp/mcs_oracle_views/semdedup_assign/*.parquet')),
+            e AS (SELECT a.vec_id, a.bucket,
+                         CAST(m.embedding AS DOUBLE[]) AS emb
+                  FROM asg a JOIN embeddings m USING (vec_id))
+            SELECT x.vec_id AS a, y.vec_id AS b, x.bucket,
+                   CAST(floor(
+                     list_dot_product(x.emb, y.emb)
+                     / sqrt(list_dot_product(x.emb, x.emb)
+                            * list_dot_product(y.emb, y.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+            FROM e x JOIN e y
+              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE CAST(floor(
+                     list_dot_product(x.emb, y.emb)
+                     / sqrt(list_dot_product(x.emb, x.emb)
+                            * list_dot_product(y.emb, y.emb))
+                     * 1000000.0 + 0.5) AS BIGINT) >= 350000
+        """,
+        "semantic_dedup": """
+            WITH asg AS (SELECT vec_id, bucket FROM
+                   read_parquet('/tmp/mcs_oracle_views/semdedup_assign/*.parquet')),
+            e AS (SELECT a.vec_id, a.bucket,
+                         CAST(m.embedding AS DOUBLE[]) AS emb
+                  FROM asg a JOIN embeddings m USING (vec_id)),
+            pairs AS (SELECT y.vec_id AS b,
+                     CAST(floor(
+                       list_dot_product(x.emb, y.emb)
+                       / sqrt(list_dot_product(x.emb, x.emb)
+                              * list_dot_product(y.emb, y.emb))
+                       * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+                      FROM e x JOIN e y
+                        ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+            prior AS (SELECT b, max(cos_micro) AS mx FROM pairs
+                      WHERE cos_micro >= 350000 GROUP BY b)
+            SELECT a.vec_id, a.bucket,
+                   CAST(coalesce(p.mx, -1000001) AS BIGINT)
+                     AS max_prior_cos_micro,
+                   p.mx IS NOT NULL AS removed
+            FROM asg a LEFT JOIN prior p ON p.b = a.vec_id
         """,
         "ann_batch_topk": _ANN_BATCH_TOPK_SQL,
         "ann_ivf_batch_topk": _ANN_BATCH_TOPK_SQL,

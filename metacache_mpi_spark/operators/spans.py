@@ -185,6 +185,10 @@ def exact_substring_dedup(
     rather than disappearing — row count is preserved so downstream
     stages keep their keys.
     """
+    # null text is EXCLUDED, not coerced: split(NULL) yields NULL and
+    # would silently emit n_tokens_kept = -1; the DuckDB twin filters
+    # identically, so the contract pins the row-drop semantics
+    docs = docs.where(F.col("text").isNotNull())
     merged = strip_intervals(docs, window, min_count)
     per_doc = merged.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("ivs"),

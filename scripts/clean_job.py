@@ -87,6 +87,15 @@ def main() -> None:
     )
     ap.add_argument("--semantic-tau", type=float, default=0.9)
     ap.add_argument(
+        "--semdedup-tau",
+        type=int,
+        default=0,
+        metavar="MICRO",
+        help="SemDeDup pass over the dedup survivors: remove docs whose "
+        "embedding cosine to a lower-id same-cluster survivor is >= "
+        "MICRO/1e6 (0 = off; needs --embeddings; operators/semdedup.py)",
+    )
+    ap.add_argument(
         "--strip-spans",
         type=int,
         default=0,
@@ -213,6 +222,12 @@ def run(spark, args) -> dict:
         clean.unpersist()  # superseded once any stage's output is pinned
         return nxt
 
+    def _emb(path):
+        df = spark.read.parquet(path)
+        if "vec_id" not in df.columns:
+            df = df.withColumnRenamed("doc_id", "vec_id")
+        return df.select("vec_id", "embedding")
+
     # 3a. optional passage-level dedup (ExactSubstr, Lee et al. 2022):
     #     strip every non-keeper corpus-repeated W-token span, then
     #     drop pages with nothing left.  Runs BEFORE decontamination
@@ -251,12 +266,6 @@ def run(spark, args) -> dict:
         from metacache_mpi_spark.operators.ann import (
             sign_banded_cross_pairs,
         )
-
-        def _emb(path):
-            df = spark.read.parquet(path)
-            if "vec_id" not in df.columns:
-                df = df.withColumnRenamed("doc_id", "vec_id")
-            return df.select("vec_id", "embedding")
 
         # only SURVIVING docs' embeddings band+verify: dead docs would
         # waste the whole banded pass and inflate (band, bband) counts
@@ -310,6 +319,30 @@ def run(spark, args) -> dict:
         F.col("rep_id").alias("doc_id")
     )
     survivors = gated.join(reps.hint("shuffle_hash"), "doc_id")
+
+    # 5. optional SemDeDup (Abbas et al. 2023): after verbatim/near-dup
+    #    dedup, drop SEMANTIC duplicates (paraphrases, re-renders) of a
+    #    lower-id survivor in the same embedding cluster
+    if getattr(args, "semdedup_tau", 0):
+        if not args.embeddings:
+            raise ValueError("--semdedup-tau needs --embeddings")
+        from metacache_mpi_spark.operators.semdedup import semantic_dedup
+
+        emb_surv = _emb(args.embeddings).join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        verdict = semantic_dedup(emb_surv, tau_micro=args.semdedup_tau)
+        # anti-join on the REMOVED set (not inner-join on keepers):
+        # survivors without an embedding row must pass through
+        sem_drop = verdict.where(verdict.removed).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        survivors = survivors.join(
+            sem_drop.hint("shuffle_hash"), "doc_id", "left_anti"
+        )
+
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()
     # release every pinned subtree: run() is driven on SHARED sessions

@@ -103,6 +103,15 @@ def test_verbatim_copy_comes_out_empty_not_dropped(spark):
     assert out[1]["n_tokens_removed"] == 8
 
 
+def test_null_text_rows_are_excluded(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, None)], "doc_id long, text string"
+    )
+    out = exact_substring_dedup(docs, 4).collect()
+    assert [r["doc_id"] for r in out] == [0]
+    assert out[0]["n_tokens_kept"] == 5
+
+
 def test_occurrence_counts(spark):
     span = _words(range(70, 74))
     docs = _docs(
