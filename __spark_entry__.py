@@ -97,6 +97,13 @@ sp_merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
               FROM sp_m2 GROUP BY doc_id, gid)
 """
 
+# the band/bucket tail of _BUCKETS_CTE without its _SH_CTE prefix, for
+# oracles that need the pair lane AND the bucket lane in one WITH
+# (string surgery is deliberate: one source of truth for the fragment)
+def _buckets_after_sh() -> str:
+    return _BUCKETS_CTE[len(_SH_CTE):]
+
+
 # md5-string minhash, 8 lanes
 _MINHASH_CTE = (
     _SH_CTE
@@ -283,6 +290,41 @@ def _q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs).select("a", "b")
     return cluster_assignments(docs, pairs, "doc_id")
+
+
+def _q_dedup_pair_metrics(spark, sf_dir):
+    """The north rule's dup-pair gate as an operator: LSH-banded pairs
+    (pred) scored against the exact Jaccard τ=0.5 pair set (truth)."""
+    from metacache_mpi_spark.operators.evaluate import pair_set_metrics
+    from metacache_mpi_spark.operators.textops import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pair_set_metrics(
+        minhash_lsh_pairs(docs).select("a", "b"),
+        ngram_jaccard_pairs(docs).select("a", "b"),
+    )
+
+
+def _q_cluster_agreement_lang(spark, sf_dir):
+    """Contingency-based pairwise agreement between the dedup clusters
+    and the lang partition — the scalable Rand decomposition (group
+    sizes only, no pair materialization)."""
+    from metacache_mpi_spark.operators.cc import cluster_assignments
+    from metacache_mpi_spark.operators.evaluate import (
+        clustering_pair_metrics,
+    )
+    from metacache_mpi_spark.operators.textops import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = cluster_assignments(
+        docs, ngram_jaccard_pairs(docs).select("a", "b"), "doc_id"
+    )
+    return clustering_pair_metrics(
+        clusters, docs.select("doc_id", "lang"), truth_col="lang"
+    )
 
 
 def _q_cluster_reps_longest(spark, sf_dir):
@@ -1258,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_pair_metrics": _q_dedup_pair_metrics,
+        "cluster_agreement_lang": _q_cluster_agreement_lang,
         "cluster_reps_longest": _q_cluster_reps_longest,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_signatures": _q_minhash_signatures,
@@ -1348,6 +1392,82 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
             )
             SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        """,
+        # pair-set metrics: LSH-banded pairs (pred) vs exact Jaccard
+        # pairs (truth); full-outer + one aggregate, HUGEINT twin of
+        # the Spark DECIMAL(38,0) micro arithmetic
+        "dedup_pair_metrics": f"""
+            WITH {_PAIRS_CTE}{_buckets_after_sh()},
+            pred AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM buckets x JOIN buckets y
+                       ON x.band = y.band AND x.bucket = y.bucket
+                     WHERE x.doc_id < y.doc_id),
+            truth AS (SELECT DISTINCT a, b FROM jpairs),
+            oj AS (SELECT p.a IS NOT NULL AS in_p, t.a IS NOT NULL AS in_t
+                   FROM pred p FULL JOIN truth t
+                     ON p.a = t.a AND p.b = t.b),
+            c AS (SELECT
+                    sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS tp,
+                    sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS fp,
+                    sum(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS fn
+                  FROM oj)
+            SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CAST(CASE WHEN tp + fp = 0 THEN 1000000 ELSE
+                     (CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+                   END AS BIGINT) AS precision_micro,
+                   CAST(CASE WHEN tp + fn = 0 THEN 1000000 ELSE
+                     (CAST(tp AS HUGEINT) * 1000000) // (tp + fn)
+                   END AS BIGINT) AS recall_micro,
+                   CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 1000000 ELSE
+                     (CAST(2 * tp AS HUGEINT) * 1000000)
+                       // (2 * tp + fp + fn)
+                   END AS BIGINT) AS f1_micro
+            FROM c
+        """,
+        # contingency-table Rand decomposition: dedup clusters vs the
+        # lang partition, pair counts from group sizes only
+        "cluster_agreement_lang": f"""
+            WITH RECURSIVE {_PAIRS_CTE},
+            sym AS (SELECT a AS u, b AS v FROM jpairs
+                    UNION SELECT b, a FROM jpairs),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+            ),
+            comp AS (SELECT node, min(m) AS cluster_id
+                     FROM reach GROUP BY node),
+            joint AS (SELECT c.cluster_id AS pc, d.lang AS tc,
+                             count(*) AS n
+                      FROM comp c JOIN documents d ON d.doc_id = c.node
+                      GROUP BY 1, 2),
+            tpx AS (SELECT sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+                             AS tp_pairs,
+                           sum(n) AS n_docs FROM joint),
+            pp AS (SELECT sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+                            AS pred_pairs
+                   FROM (SELECT sum(n) AS n FROM joint GROUP BY pc)),
+            tt AS (SELECT sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+                            AS truth_pairs
+                   FROM (SELECT sum(n) AS n FROM joint GROUP BY tc))
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(tp_pairs AS BIGINT) AS tp_pairs,
+                   CAST(pred_pairs AS BIGINT) AS pred_pairs,
+                   CAST(truth_pairs AS BIGINT) AS truth_pairs,
+                   CAST(CASE WHEN pred_pairs = 0 THEN 1000000 ELSE
+                     (tp_pairs * 1000000) // pred_pairs
+                   END AS BIGINT) AS precision_micro,
+                   CAST(CASE WHEN truth_pairs = 0 THEN 1000000 ELSE
+                     (tp_pairs * 1000000) // truth_pairs
+                   END AS BIGINT) AS recall_micro,
+                   CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE
+                     (((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2
+                       - pred_pairs - truth_pairs + 2 * tp_pairs)
+                      * 1000000)
+                       // ((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2)
+                   END AS BIGINT) AS rand_micro
+            FROM tpx, pp, tt
         """,
         # longest-text representative per cluster; null text ranks
         # shortest (coalesce -1), ties break on smallest doc_id —

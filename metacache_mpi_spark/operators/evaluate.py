@@ -105,6 +105,138 @@ def pair_recall(pred_pairs: DataFrame, truth_pairs: DataFrame) -> dict:
     }
 
 
+def pair_set_metrics(pred_pairs: DataFrame, truth_pairs: DataFrame) -> DataFrame:
+    """One-row DataFrame restatement of :func:`pair_recall` — the
+    dup-pair recall/precision gate as an oracle-gatable operator:
+    (tp, fp, fn, precision_micro, recall_micro, f1_micro).
+
+    ONE job instead of pair_recall's three counts: both sides are
+    canonicalized (a < b, distinct), full-outer-joined on the pair key
+    and reduced in a single aggregate.  Fixed-point micro ratios use
+    DECIMAL(38,0) intermediates (a 10^12-pair list × 10^6 brushes the
+    BIGINT ceiling); empty denominators report 10^6, matching
+    pair_recall's 1.0 convention.
+    """
+
+    def canon(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            df.select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            )
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    j = canon(pred_pairs, "in_p").join(
+        canon(truth_pairs, "in_t"), ["a", "b"], "full_outer"
+    )
+    counts = j.agg(
+        F.sum(
+            F.when(F.col("in_p").isNotNull() & F.col("in_t").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(F.when(F.col("in_t").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("in_p").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+
+    def _micro(num: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} = 0 THEN 1000000 ELSE "
+            f"(CAST({num} AS DECIMAL(38,0)) * 1000000) div ({den}) "
+            f"END AS BIGINT)"
+        )
+
+    return counts.select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr(_micro("tp", "tp + fp")).alias("precision_micro"),
+        F.expr(_micro("tp", "tp + fn")).alias("recall_micro"),
+        F.expr(_micro("2 * tp", "2 * tp + fp + fn")).alias("f1_micro"),
+    )
+
+
+def clustering_pair_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "cluster_id",
+    truth_col: str = "label",
+) -> DataFrame:
+    """Pairwise agreement between two clusterings WITHOUT materializing
+    any pair: (n_docs, tp_pairs, pred_pairs, truth_pairs,
+    precision_micro, recall_micro, rand_micro).
+
+    The Rand-index decomposition over the contingency table: every
+    same-cluster pair count is Σ n·(n−1)/2 over group sizes, so ONE
+    join+groupBy builds the (pred × truth) joint table and everything
+    else is re-aggregation of that tiny frame — a 10^7-member
+    mega-cluster contributes one integer, never 10^13 rows.  Pair
+    counts use DECIMAL(38,0) (C(10^12, 2) ≈ 5·10^23 overflows BIGINT).
+    """
+    from ..plans.pinning import pin
+
+    j = pred.select(id_col, F.col(pred_col).alias("pc")).join(
+        truth.select(id_col, F.col(truth_col).alias("tc")), id_col
+    )
+    # the only corpus-sized shuffle; consumed by three re-aggs below
+    joint = pin(
+        j.groupBy("pc", "tc").agg(F.count(F.lit(1)).alias("n"))
+    )
+    c2 = "(CAST(n AS DECIMAL(38,0)) * (n - 1)) div 2"
+    tp = joint.agg(
+        F.sum(F.expr(c2)).cast("decimal(38,0)").alias("tp_pairs"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+    pp = (
+        joint.groupBy("pc")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.expr(c2)).cast("decimal(38,0)").alias("pred_pairs"))
+    )
+    tt = (
+        joint.groupBy("tc")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.expr(c2)).cast("decimal(38,0)").alias("truth_pairs"))
+    )
+
+    def _micro(num: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} = 0 THEN 1000000 ELSE "
+            f"({num} * 1000000) div ({den}) END AS BIGINT)"
+        )
+
+    total = "(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) div 2"
+    # intermediates stay DECIMAL; the EMITTED counts are BIGINT (the
+    # contract compares dtypes cross-engine, and HUGEINT→pandas is
+    # lossy) — at 10^12-doc scale read the micro ratios, which cannot
+    # overflow
+    return (
+        tp.crossJoin(pp)
+        .crossJoin(tt)
+        .select(
+            "n_docs",
+            F.col("tp_pairs").cast("long").alias("tp_pairs"),
+            F.col("pred_pairs").cast("long").alias("pred_pairs"),
+            F.col("truth_pairs").cast("long").alias("truth_pairs"),
+            F.expr(_micro("tp_pairs", "pred_pairs")).alias(
+                "precision_micro"
+            ),
+            F.expr(_micro("tp_pairs", "truth_pairs")).alias("recall_micro"),
+            F.expr(
+                _micro(
+                    f"({total} - pred_pairs - truth_pairs + 2 * tp_pairs)",
+                    total,
+                )
+            ).alias("rand_micro"),
+        )
+    )
+
+
 def rank_positions(
     assignments_with_truth: DataFrame,
     taxonomy: Taxonomy,

@@ -50,6 +50,14 @@ def main() -> None:
         "capped subset, or star: linear hub edges keep mirror/spam "
         "mega-clusters clusterable at O(n) cost (config.py)",
     )
+    ap.add_argument(
+        "--truth-pairs",
+        default=None,
+        help="parquet of ground-truth duplicate pairs (a, b); when "
+        "given, the RESULT line carries tp/fp/fn + micro "
+        "precision/recall/f1 of the verified pairs against it — the "
+        "north rule's dup-pair gate (operators/evaluate.py)",
+    )
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -79,18 +87,28 @@ def main() -> None:
     n_pairs = res.pairs.count()
     if args.output:
         res.clusters.write.mode("overwrite").parquet(args.output)
-    dt = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "docs": n_docs,
-                "verified_pairs": n_pairs,
-                "docs_per_sec": round(n_docs / dt, 1),
-                "sec": round(dt, 2),
-                "snapshots": [s.name for s in ck.snapshots()],
-            }
+    line = {
+        "docs": n_docs,
+        "verified_pairs": n_pairs,
+    }
+    if args.truth_pairs:
+        from metacache_mpi_spark.operators.evaluate import pair_set_metrics
+
+        truth = spark.read.parquet(args.truth_pairs).select("a", "b")
+        line["pair_metrics"] = (
+            pair_set_metrics(res.pairs.select("a", "b"), truth)
+            .first()
+            .asDict()
         )
+    dt = time.time() - t0
+    line.update(
+        {
+            "docs_per_sec": round(n_docs / dt, 1),
+            "sec": round(dt, 2),
+            "snapshots": [s.name for s in ck.snapshots()],
+        }
     )
+    print(json.dumps(line))
     spark.stop()
 
 
