@@ -441,6 +441,76 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# PII lane: the documents corpus carries no PII, so both engines append
+# the SAME deterministic PII suffix (email + IPv4 + phone derived from
+# doc_id) before detect/scrub — non-vacuous counts, zero external data.
+# ---------------------------------------------------------------------------
+
+from metacache_mpi_spark.operators.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE,
+)
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via 10.0.' || CAST(doc_id % 250 AS VARCHAR) || "
+    "'.7 call 555-010' || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def _pii_augmented(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            d.cast("string"),
+            F.lit("@example.com via 10.0."),
+            (d % 250).cast("string"),
+            F.lit(".7 call 555-010"),
+            (d % 10).cast("string"),
+        ),
+    )
+
+
+def _q_pii_stats(spark, sf_dir):
+    from metacache_mpi_spark.operators.pii import pii_stats
+
+    return pii_stats(_pii_augmented(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.pii import scrub_pii
+
+    out = scrub_pii(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("scrub_md5"), "n_redactions"
+    )
+
+
+def _q_intra_doc_line_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.textops import strip_repeated_lines
+
+    # the documents corpus is single-line word streams: dedup at word
+    # granularity (sep=' ') so the keep-first rule is non-vacuous
+    out = strip_repeated_lines(_t(spark, sf_dir, "documents"), sep=" ")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
 # corpus-mixing lane: per-source sampling fractions (deterministic config)
 _MIX_FRACTIONS = {f"src{i}": 0.05 * ((i % 10) + 1) for i in range(20)}
 
@@ -1314,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_stats": _q_winnow_stats,
         "stop_shingle_survivors": _q_stop_shingle_survivors,
         "token_stats": _q_token_stats,
+        "pii_stats": _q_pii_stats,
+        "pii_scrub": _q_pii_scrub,
+        "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "repetition_stats": _q_repetition_stats,
         "repeated_spans": _q_repeated_spans,
         "repeated_span_intervals": _q_repeated_span_intervals,
@@ -1610,6 +1683,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS space_milli,
                    {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS en_stop_hits
             FROM documents WHERE length(text) > 0
+        """,
+        "pii_stats": """
+            WITH aug AS (SELECT doc_id, """ + _PII_SUFFIX_SQL + """ AS t0
+                         FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0, '""" + _PII_EMAIL + """')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t0, '""" + _PII_IPV4 + """')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t0, '""" + _PII_PHONE + """')) AS BIGINT) AS n_phones
+            FROM aug
+        """,
+        "pii_scrub": """
+            WITH aug AS (SELECT doc_id, """ + _PII_SUFFIX_SQL + """ AS t0
+                         FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0, '""" + _PII_EMAIL + """', '<EMAIL>', 'g') AS t1
+                   FROM aug),
+            s2 AS (SELECT doc_id, t0, t1,
+                          regexp_replace(t1, '""" + _PII_IPV4 + """', '<IP>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id,
+                   md5(regexp_replace(t2, '""" + _PII_PHONE + """', '<PHONE>', 'g')) AS scrub_md5,
+                   CAST(len(regexp_extract_all(t0, '""" + _PII_EMAIL + """'))
+                      + len(regexp_extract_all(t1, '""" + _PII_IPV4 + """'))
+                      + len(regexp_extract_all(t2, '""" + _PII_PHONE + """')) AS BIGINT) AS n_redactions
+            FROM s2
+        """,
+        "intra_doc_line_dedup": """
+            WITH L AS (SELECT doc_id, string_split(text, ' ') AS lns
+                       FROM documents),
+            K AS (SELECT doc_id, lns,
+                         list_filter(lns,
+                           (x, i) -> list_position(lns, x) = i) AS kept
+                  FROM L)
+            SELECT doc_id,
+                   md5(array_to_string(kept, ' ')) AS clean_md5,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(len(lns) - len(kept) AS BIGINT) AS n_dropped
+            FROM K
         """,
         "mixture_sample": f"""
             WITH thr(source, t) AS (VALUES {_mix_threshold_values()})

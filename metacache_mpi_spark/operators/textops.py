@@ -637,6 +637,42 @@ def remove_boilerplate_lines(
     )
 
 
+def strip_repeated_lines(
+    docs: DataFrame, sep: str = "\n", text_col: str = "text"
+) -> DataFrame:
+    """INTRA-document dedup (the Dolma-style complement of
+    :func:`remove_boilerplate_lines`'s cross-document pass): within one
+    document, keep only the FIRST occurrence of each line, preserving
+    order.  Repeated nav blocks, pagination artifacts and template
+    stutter collapse to one copy.
+
+    (doc_id, clean_text, n_kept, n_dropped).
+
+    Scale: a pure per-row projection — no explode, no join, no
+    shuffle; at 10^12 docs this is scan-bound like the other text
+    gates.  The keep-first rule is ``array_position(lns, x) == i+1``
+    inside a ``filter`` HOF: O(lines²) per document, which is fine for
+    web pages (10²-10³ lines) and stays lambda-pure — ``lns`` appears
+    once as the HOF input and once as a lambda-body reference to the
+    materialized attribute, never as a re-evaluated subexpression (the
+    pushdown-inlining trap documented in :func:`repetition_stats`).
+    """
+    lns = F.split(F.col(text_col), sep)
+    q = docs.withColumn("lns", lns).withColumn(
+        "kept",
+        F.filter(
+            F.col("lns"),
+            lambda x, i: F.array_position(F.col("lns"), x) == i + 1,
+        ),
+    )
+    return q.select(
+        "doc_id",
+        F.array_join("kept", sep).alias("clean_text"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("lns") - F.size("kept")).cast("long").alias("n_dropped"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-count language heuristic with deterministic tie-break."""
     scores = {

@@ -105,6 +105,20 @@ def main() -> None:
         "(0 = off; operators/spans.py)",
     )
     ap.add_argument(
+        "--strip-repeated-lines",
+        action="store_true",
+        help="intra-document line dedup before the quality gates: keep "
+        "only the first occurrence of each line within a page "
+        "(textops.strip_repeated_lines; row-preserving)",
+    )
+    ap.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="replace emails/IPv4s/phone-shaped numbers with placeholder "
+        "tokens after the quality gates, before span-strip/decontam/"
+        "dedup (operators/pii.py; row-preserving)",
+    )
+    ap.add_argument(
         "--oversize-policy",
         choices=("drop", "sample", "star"),
         default="drop",
@@ -172,6 +186,23 @@ def run(spark, args) -> dict:
     )
     counts["after_url_dedup"] = docs.count()
 
+    # 1b. optional intra-document line dedup (keep-first within a page)
+    #     BEFORE the cross-document df count, so a page repeating its
+    #     own nav block 50× contributes df=1, not a false boilerplate
+    #     vote.  Row-preserving, pure projection — folds into the scan.
+    if getattr(args, "strip_repeated_lines", False):
+        from metacache_mpi_spark.operators.textops import (
+            strip_repeated_lines,
+        )
+
+        stripped = strip_repeated_lines(docs)
+        counts["intra_doc_lines_dropped"] = int(
+            stripped.agg(F.sum("n_dropped")).first()[0] or 0
+        )
+        docs = stripped.select(
+            "doc_id", F.col("clean_text").alias("text")
+        ).join(docs.select("doc_id", "url"), "doc_id")
+
     # 2. cross-document boilerplate line removal; the cleaned text is
     #    the text every later stage (and the output) sees.  Cached:
     #    three stat operators + the dedup pipeline consume it.
@@ -227,6 +258,28 @@ def run(spark, args) -> dict:
         if "vec_id" not in df.columns:
             df = df.withColumnRenamed("doc_id", "vec_id")
         return df.select("vec_id", "embedding")
+
+    # 3aa. optional PII scrub — placeholders land BEFORE span-strip /
+    #      decontamination / dedup, so two pages differing only in the
+    #      injected email/IP unify for every downstream matcher.
+    #      Row-preserving; the redaction total is aggregated on the
+    #      narrow pre-join lineage (row-local regex over the cached
+    #      quality survivors — re-running it once is cheaper than
+    #      carrying n_redactions through the funnel schema).
+    if getattr(args, "scrub_pii", False):
+        from metacache_mpi_spark.operators.pii import scrub_pii
+
+        scrubbed = scrub_pii(gated)
+        counts["pii_redactions"] = int(
+            scrubbed.agg(F.sum("n_redactions")).first()[0] or 0
+        )
+        gated = _advance(
+            gated,
+            scrubbed.select(
+                "doc_id", F.col("clean_text").alias("text")
+            ).join(gated.select("doc_id", "url"), "doc_id"),
+            "after_pii_scrub",
+        )
 
     # 3a. optional passage-level dedup (ExactSubstr, Lee et al. 2022):
     #     strip every non-keeper corpus-repeated W-token span, then
