@@ -441,6 +441,12 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_word_freq_scores(spark, sf_dir):
+    from metacache_mpi_spark.operators.textops import word_freq_scores
+
+    return word_freq_scores(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # PII lane: the documents corpus carries no PII, so both engines append
 # the SAME deterministic PII suffix (email + IPv4 + phone derived from
@@ -1384,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_stats": _q_winnow_stats,
         "stop_shingle_survivors": _q_stop_shingle_survivors,
         "token_stats": _q_token_stats,
+        "word_freq_scores": _q_word_freq_scores,
         "pii_stats": _q_pii_stats,
         "pii_scrub": _q_pii_scrub,
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
@@ -1683,6 +1690,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS space_milli,
                    {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS en_stop_hits
             FROM documents WHERE length(text) > 0
+        """,
+        "word_freq_scores": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+            vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                      FROM toks GROUP BY w),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_words
+                    FROM vocab),
+            sc AS (SELECT t.doc_id,
+                          (v.cnt * 1000000) // tot.total_words AS ppm,
+                          CASE WHEN v.cnt < 2 THEN 1 ELSE 0 END AS oov
+                   FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST((sum(ppm)) // count(*) AS BIGINT) AS mean_word_ppm,
+                   CAST((sum(oov) * 1000) // count(*) AS BIGINT) AS oov_milli
+            FROM sc GROUP BY doc_id
         """,
         "pii_stats": """
             WITH aug AS (SELECT doc_id, """ + _PII_SUFFIX_SQL + """ AS t0

@@ -637,6 +637,57 @@ def remove_boilerplate_lines(
     )
 
 
+def word_freq_scores(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """CCNet-family statistical quality scores from CORPUS word
+    frequencies (the LM-filter idea with the language model replaced by
+    the corpus's own unigram table — deliberately integer-only, so the
+    DuckDB twin reproduces every value bit-for-bit; a float ``log``
+    here would be at the mercy of two libms' last-ulp rounding).
+
+    (doc_id, n_words, mean_word_ppm, oov_milli):
+
+    - ``mean_word_ppm``  — mean corpus-frequency (parts-per-million) of
+      the doc's word occurrences: LOW = the doc is made of rare words
+      (gibberish, boilerplate hashes); HIGH = made of very common words
+      (template stutter).  The integer analog of mean unigram logprob.
+    - ``oov_milli``      — fraction (milli) of word occurrences whose
+      corpus count is < ``min_count`` (hapax/near-hapax — typos,
+      random strings).
+
+    Scale shape for 10^12 docs: one explode → one groupBy(word)
+    aggregation (bounded by VOCABULARY size, not corpus bytes), then
+    the token stream joins the vocabulary on the word hash —
+    shuffle-hash hinted (the token side is corpus-sized, the vocab side
+    is Zipf-bounded but can exceed broadcast limits) — and one
+    groupBy(doc_id).  The corpus total rides along as a 1-row broadcast
+    cross join (metadata-sized, never a shuffle barrier).
+
+    Arithmetic is BIGINT: ``cnt * 10^6`` stays in range while the
+    corpus is under ~10^12 word occurrences; beyond that, ANSI mode
+    fails loud and the ppm expression should flip to DECIMAL(38,0)
+    (the abundance-estimate pattern in taxonomy.py).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total_words"))
+    scored = (
+        toks.join(vocab.hint("shuffle_hash"), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr("cnt * 1000000 div total_words").alias("ppm"),
+            (F.col("cnt") < min_count).cast("long").alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.expr("(sum(ppm)) div count(1)").alias("mean_word_ppm"),
+        F.expr("(sum(oov) * 1000) div count(1)").alias("oov_milli"),
+    )
+
+
 def strip_repeated_lines(
     docs: DataFrame, sep: str = "\n", text_col: str = "text"
 ) -> DataFrame:

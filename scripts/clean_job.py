@@ -105,6 +105,14 @@ def main() -> None:
         "(0 = off; operators/spans.py)",
     )
     ap.add_argument(
+        "--max-oov-milli",
+        type=int,
+        default=0,
+        help="extra quality gate: drop docs whose rate of corpus-hapax "
+        "word occurrences exceeds this (milli; 0 = off; CCNet-style "
+        "statistical filter, textops.word_freq_scores)",
+    )
+    ap.add_argument(
         "--strip-repeated-lines",
         action="store_true",
         help="intra-document line dedup before the quality gates: keep "
@@ -228,6 +236,15 @@ def run(spark, args) -> dict:
         )
         .select("doc_id")
     )
+    if getattr(args, "max_oov_milli", 0):
+        from metacache_mpi_spark.operators.textops import word_freq_scores
+
+        wf = (
+            word_freq_scores(clean)
+            .where(F.col("oov_milli") <= args.max_oov_milli)
+            .select("doc_id")
+        )
+        keep = keep.join(wf.hint("shuffle_hash"), "doc_id")
     # keep-set scales with the corpus — shuffle join, never broadcast
     gated = clean.join(keep.hint("shuffle_hash"), "doc_id")
     counts["after_quality"] = gated.count()

@@ -109,6 +109,19 @@ def test_strip_repeated_words_sep(spark):
     assert r["clean_text"] == "the cat hat end"
 
 
+def test_word_freq_scores_exact(spark):
+    from metacache_mpi_spark.operators.textops import word_freq_scores
+
+    docs = _docs(spark, [(1, "a a b"), (2, "a c")])
+    # vocab: a=3 b=1 c=1, total=5 -> ppm a=600000, b=c=200000
+    out = {r["doc_id"]: r for r in word_freq_scores(docs).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[1]["mean_word_ppm"] == (600000 + 600000 + 200000) // 3
+    assert out[1]["oov_milli"] == 1000 // 3  # b is hapax
+    assert out[2]["mean_word_ppm"] == (600000 + 200000) // 2
+    assert out[2]["oov_milli"] == 500  # c is hapax
+
+
 def test_clean_job_pii_and_line_dedup_stages(spark, tmp_path):
     """clean_job.run with --scrub-pii + --strip-repeated-lines: planted
     PII comes out as placeholder tokens, intra-doc repeated lines are
@@ -153,7 +166,7 @@ def test_clean_job_pii_and_line_dedup_stages(spark, tmp_path):
         input=cdir, output=str(tmp_path / "out"), generate=0, cores=None,
         bucketed_warehouse=None, eval_docs=None, embeddings=None,
         eval_embeddings=None, semantic_tau=0.9, scrub_pii=True,
-        strip_repeated_lines=True,
+        strip_repeated_lines=True, max_oov_milli=900,
     )
     counts = clean_job.run(spark, ns)
     # each planted page: 2 extra copies of its first line -> >=2 drops
