@@ -65,8 +65,12 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, clean_text, n_redactions): replace PII spans with
-    placeholder tokens, in the fixed order email → IPv4 → phone.
+    """Replace PII spans with placeholder tokens, in the fixed order
+    email → IPv4 → phone.  All input columns pass through unchanged,
+    with ``clean_text`` and ``n_redactions`` appended — callers
+    re-attaching metadata after the rewrite need no join-back, the
+    stage stays a zero-shuffle projection end-to-end.  A null text
+    yields null outputs (ANSI semantics, matching SQL).
 
     ``n_redactions`` counts the spans actually replaced: emails on the
     raw text, IPs on the email-scrubbed text, phones on the IP-scrubbed
@@ -81,7 +85,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         t2, PHONE_RE
     )
     return docs.select(
-        "doc_id",
+        *[F.col(c) for c in docs.columns],
         t3.alias("clean_text"),
         n.alias("n_redactions"),
     )

@@ -697,7 +697,11 @@ def strip_repeated_lines(
     order.  Repeated nav blocks, pagination artifacts and template
     stutter collapse to one copy.
 
-    (doc_id, clean_text, n_kept, n_dropped).
+    All input columns pass through unchanged, with ``clean_text``,
+    ``n_kept`` and ``n_dropped`` appended — so a caller re-attaching
+    metadata (url, warc_ts) after the rewrite needs NO join-back: the
+    stage stays a genuine zero-shuffle projection end-to-end.  A null
+    ``text`` yields null outputs (ANSI semantics, matching SQL).
 
     Scale: a pure per-row projection — no explode, no join, no
     shuffle; at 10^12 docs this is scan-bound like the other text
@@ -708,7 +712,11 @@ def strip_repeated_lines(
     materialized attribute, never as a re-evaluated subexpression (the
     pushdown-inlining trap documented in :func:`repetition_stats`).
     """
-    lns = F.split(F.col(text_col), sep)
+    if "\\E" in sep:
+        raise ValueError(r"separator must not contain \E (regex quoting)")
+    # \Q...\E-quote: F.split treats its pattern as a Java regex, so a
+    # metachar separator ('.', '|') would otherwise shred the text
+    lns = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     q = docs.withColumn("lns", lns).withColumn(
         "kept",
         F.filter(
@@ -717,7 +725,7 @@ def strip_repeated_lines(
         ),
     )
     return q.select(
-        "doc_id",
+        *[F.col(c) for c in docs.columns],
         F.array_join("kept", sep).alias("clean_text"),
         F.size("kept").cast("long").alias("n_kept"),
         (F.size("lns") - F.size("kept")).cast("long").alias("n_dropped"),

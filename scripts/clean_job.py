@@ -207,9 +207,10 @@ def run(spark, args) -> dict:
         counts["intra_doc_lines_dropped"] = int(
             stripped.agg(F.sum("n_dropped")).first()[0] or 0
         )
+        # passthrough columns: NO join-back, the stage stays shuffle-free
         docs = stripped.select(
-            "doc_id", F.col("clean_text").alias("text")
-        ).join(docs.select("doc_id", "url"), "doc_id")
+            "doc_id", "url", F.col("clean_text").alias("text")
+        )
 
     # 2. cross-document boilerplate line removal; the cleaned text is
     #    the text every later stage (and the output) sees.  Cached:
@@ -293,8 +294,8 @@ def run(spark, args) -> dict:
         gated = _advance(
             gated,
             scrubbed.select(
-                "doc_id", F.col("clean_text").alias("text")
-            ).join(gated.select("doc_id", "url"), "doc_id"),
+                "doc_id", "url", F.col("clean_text").alias("text")
+            ),
             "after_pii_scrub",
         )
 

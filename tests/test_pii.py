@@ -109,6 +109,48 @@ def test_strip_repeated_words_sep(spark):
     assert r["clean_text"] == "the cat hat end"
 
 
+def test_null_text_yields_nulls_both_lanes(spark):
+    """ANSI semantics (Spark 4 default): null text -> null outputs,
+    matching what the DuckDB twins produce — pins the engine-parity
+    property for corpora with null-text rows."""
+    docs = _docs(spark, [(1, None), (2, "a b a")])
+    p = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (p[1]["n_emails"], p[1]["n_ipv4"], p[1]["n_phones"]) == (
+        None, None, None,
+    )
+    s = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert (s[1]["clean_text"], s[1]["n_redactions"]) == (None, None)
+    l = {r["doc_id"]: r for r in strip_repeated_lines(docs).collect()}
+    assert (l[1]["clean_text"], l[1]["n_kept"], l[1]["n_dropped"]) == (
+        None, None, None,
+    )
+    assert l[2]["clean_text"] == "a b a"  # no '\n' -> single line kept
+
+
+def test_strip_repeated_lines_metachar_sep(spark):
+    # sep is quoted (\Q...\E) before hitting F.split's regex engine —
+    # a metachar separator must behave literally
+    docs = _docs(spark, [(1, "a.b.a.c")])
+    r = strip_repeated_lines(docs, sep=".").collect()[0]
+    assert r["clean_text"] == "a.b.c"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        strip_repeated_lines(docs, sep="\\E")
+
+
+def test_passthrough_columns_preserved(spark):
+    docs = spark.createDataFrame(
+        [(1, "u1", "a a")], "doc_id long, url string, text string"
+    )
+    assert set(strip_repeated_lines(docs).columns) == {
+        "doc_id", "url", "text", "clean_text", "n_kept", "n_dropped",
+    }
+    assert set(scrub_pii(docs).columns) == {
+        "doc_id", "url", "text", "clean_text", "n_redactions",
+    }
+
+
 def test_word_freq_scores_exact(spark):
     from metacache_mpi_spark.operators.textops import word_freq_scores
 
