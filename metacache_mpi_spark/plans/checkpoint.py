@@ -131,6 +131,34 @@ class CheckpointManager:
         self.commit([name])
         return out
 
+    def lineage_report(self) -> list[dict]:
+        """Per-snapshot lineage + skew metrics from the manifest (the
+        north rule's per-partition metrics surface, made consumable):
+        one dict per committed snapshot in creation order, with
+        ``skew_milli`` = max/mean partition rows in milli (1000 =
+        perfectly balanced; 8000 = the hottest partition carries 8× its
+        fair share — the signal that a key needs salting).  Pure
+        manifest read — no Spark jobs, safe to call from any driver.
+        """
+        out = []
+        for s in sorted(self.snapshots(), key=lambda s: s.seq):
+            pr = s.partition_rows or []
+            tot = sum(pr)
+            out.append(
+                {
+                    "name": s.name,
+                    "seq": s.seq,
+                    "rows": s.rows,
+                    "n_partitions": len(pr),
+                    "max_partition_rows": max(pr) if pr else 0,
+                    "empty_partitions": sum(1 for x in pr if x == 0),
+                    "skew_milli": (
+                        (max(pr) * 1000 * len(pr)) // tot if tot else 0
+                    ),
+                }
+            )
+        return out
+
     def load(self, name: str) -> DataFrame:
         snap = next(s for s in self.snapshots() if s.name == name)
         return self.spark.read.parquet(snap.path)

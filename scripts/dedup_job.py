@@ -106,6 +106,9 @@ def main() -> None:
             "docs_per_sec": round(n_docs / dt, 1),
             "sec": round(dt, 2),
             "snapshots": [s.name for s in ck.snapshots()],
+            # per-snapshot partition-balance telemetry (skew_milli 1000
+            # = balanced); reads the manifest only, no extra Spark jobs
+            "lineage": ck.lineage_report(),
         }
     )
     print(json.dumps(line))

@@ -56,6 +56,44 @@ def test_resume_after_partial_crash(spark, tiny_corpus, tmp_path):
     assert _clusters(resumed) == want
 
 
+def test_lineage_report_metrics(spark, tmp_path):
+    """lineage_report() exposes per-snapshot partition metrics from the
+    manifest alone (no Spark jobs): seq order, totals, and skew_milli
+    (1000 = balanced; 3200 = hottest partition carries 3.2x fair share).
+    The skewed entry is hand-written into the manifest so the math is
+    asserted exactly, independent of Spark's file-packing heuristics."""
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    ck.save(spark.range(100).repartition(4, "id"), "real")
+
+    m = json.load(open(ck._manifest_path))
+    m["snapshots"].append(
+        {
+            "name": "synthetic_skew",
+            "path": "unused",
+            "rows": 100,
+            "schema": "struct<id:bigint>",
+            "seq": 1,
+            "created_unix": 0.0,
+            "partition_rows": [80, 10, 10, 0],
+        }
+    )
+    json.dump(m, open(ck._manifest_path, "w"))
+
+    rep = ck.lineage_report()
+    assert [r["name"] for r in rep] == ["real", "synthetic_skew"]
+
+    real, skw = rep
+    # real snapshot: totals agree between rows and its partition_rows
+    assert real["rows"] == 100
+    assert real["max_partition_rows"] >= 100 // max(real["n_partitions"], 1)
+    assert real["skew_milli"] >= 1000  # max >= mean always
+
+    assert skw["n_partitions"] == 4
+    assert skw["max_partition_rows"] == 80
+    assert skw["empty_partitions"] == 1
+    assert skw["skew_milli"] == 80 * 1000 * 4 // 100  # 3200
+
+
 def test_multi_snapshot_commit_is_atomic(spark, tmp_path):
     """stage_write leaves no manifest entry until commit(); commit()
     lands all names in one manifest update."""
