@@ -656,6 +656,23 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination_pairs(docs, evalset)
 
 
+def _q_contamination_pairs_bloom(spark, sf_dir):
+    """Scale lane of the contamination scan: broadcast Bloom prefilter
+    over eval shingles drops non-matching corpus shingles MAP-SIDE
+    before any shuffle; the exact join downstream removes bloom false
+    positives, so the result — and the oracle — are identical to
+    `contamination_pairs` bit for bit."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.textops import (
+        contamination_pairs_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 20 == 3)
+    return contamination_pairs_bloom(docs, evalset)
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import (
         remove_boilerplate_lines,
@@ -1400,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": _q_exact_substring_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
         "contamination_pairs": _q_contamination_pairs,
+        "contamination_pairs_bloom": _q_contamination_pairs_bloom,
         "quality_scores": _q_quality_scores,
         "mixture_sample": _q_mixture_sample,
         "token_budget_pack": _q_token_budget_pack,
@@ -2542,6 +2560,9 @@ def oracle_sql() -> dict[str, str]:
     # (mode_merge.cpp:209-264 — features are target-partitioned, so
     # per-shard top-k re-aggregation loses nothing)
     out["genomic_candidates_merged_md5"] = out["genomic_candidates_md5"]
+    # bloom prefilter + exact join ≡ exact lane (FPs die in the join;
+    # blooms have no false negatives) — the twin IS the exact oracle
+    out["contamination_pairs_bloom"] = out["contamination_pairs"]
 
     # ---- kperm lanes over materialized sketch views --------------------
     # The production Mueller-hash sketch is pytest-gated (bit-exact,

@@ -142,6 +142,17 @@ def contamination_pairs(
     es = shingles(evalset, k).select(
         F.col("doc_id").alias("eval_id"), "sh"
     )
+    return _containment_pairs(cs, es, min_containment_milli, exclude_self)
+
+
+def _containment_pairs(
+    cs: DataFrame,
+    es: DataFrame,
+    min_containment_milli: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared exact tail of the decontamination lanes: (capped) corpus
+    shingles × eval shingles equi join → per-pair containment milli."""
     sizes = es.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_eval_sh")
     )
@@ -163,6 +174,46 @@ def contamination_pairs(
         )
         .where(F.col("containment_milli") >= min_containment_milli)
     )
+
+
+def contamination_pairs_bloom(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    k: int = NGRAM_K,
+    cap: int = DF_CAP,
+    min_containment_milli: int = 500,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """`contamination_pairs` with a broadcast Bloom prefilter — same
+    rows, bit for bit (shares the exact lane's DuckDB oracle), but the
+    100 TB plan: the exact lane shuffles EVERY corpus shingle into the
+    df-cap groupBy and the eval join even though ~none can match; here
+    a bitset built from the eval shingles (driver build is ∝ |eval|,
+    guarded in functions/bloom.py) drops non-members MAP-SIDE, so both
+    downstream shuffles only carry the O(|eval|) survivors plus a
+    ~0.1 % false-positive trickle that the exact join removes.
+
+    The df-cap stays exact under the prefilter: bloom membership is a
+    function of the shingle VALUE, so a surviving shingle keeps ALL its
+    occurrences and its document frequency is unchanged — the cap
+    decides on corpus-global df for every shingle that can reach the
+    join (dropped shingles are non-members, which could never join).
+    """
+    from ..functions.bloom import bloom_filter_df, build_bloom
+
+    es = shingles(evalset, k).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    bits, m_bits, n_hashes = build_bloom(es, "sh")
+    pre = bloom_filter_df(shingles(corpus, k), "sh", bits, m_bits, n_hashes)
+    keep = (
+        pre.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= cap)
+        .select("sh")
+    )
+    cs = pre.join(keep.hint("shuffle_hash"), "sh")
+    return _containment_pairs(cs, es, min_containment_milli, exclude_self)
 
 
 def minhash_signatures(

@@ -208,6 +208,119 @@ def test_contamination_pairs_planted_leak(spark):
     assert [r["doc_id"] for r in flagged] == [1]
 
 
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Membership for every built key is guaranteed (no false
+    negatives); disjoint probes pass at ~the configured FP rate."""
+    from metacache_mpi_spark.functions.bloom import (
+        bloom_filter_df,
+        build_bloom,
+    )
+
+    members = spark.range(2000).selectExpr(
+        "concat('member_', id) AS sh"
+    )
+    bits, m, k = build_bloom(members, "sh")
+    assert bloom_filter_df(members, "sh", bits, m, k).count() == 2000
+
+    others = spark.range(2000).selectExpr("concat('other_', id) AS sh")
+    fp = bloom_filter_df(others, "sh", bits, m, k).count()
+    # expected ~0.1% of 2000 = 2; generous ceiling against hash luck
+    assert fp <= 40
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The bloom probe subtree must be shuffle-free: scan -> hash cols
+    -> ArrowEvalPython -> Filter, with zero Exchange nodes."""
+    from metacache_mpi_spark.functions.bloom import (
+        bloom_filter_df,
+        build_bloom,
+    )
+
+    keys = spark.range(100).selectExpr("concat('k', id) AS sh")
+    bits, m, k = build_bloom(keys, "sh")
+    probed = bloom_filter_df(
+        spark.range(1000).selectExpr("concat('k', id % 300) AS sh"),
+        "sh",
+        bits,
+        m,
+        k,
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_bloom_build_guard_raises(spark):
+    from metacache_mpi_spark.functions.bloom import build_bloom
+
+    keys = spark.range(100).selectExpr("concat('k', id) AS sh")
+    try:
+        build_bloom(keys, "sh", max_build_rows=10)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "distinct keys" in str(e)
+
+
+def test_contamination_bloom_equals_exact(spark):
+    """Bloom lane ≡ exact lane bit for bit on the planted-leak fixture,
+    and on a disjoint-vocabulary corpus the prefilter actually prunes
+    (the 100 TB selectivity claim, measured)."""
+    from metacache_mpi_spark.functions.bloom import (
+        bloom_filter_df,
+        build_bloom,
+    )
+    from metacache_mpi_spark.operators.textops import (
+        contamination_pairs,
+        contamination_pairs_bloom,
+        shingles,
+    )
+
+    evaltext = "the quick brown fox jumps over the lazy dog again"
+    corpus = spark.createDataFrame(
+        [(1, "PREFIX " + evaltext + " SUFFIX")]
+        + [
+            # disjoint vocab: digits never collide with the eval shingles
+            (i, " ".join(f"tok{i}_{j}" for j in range(30)))
+            for i in range(2, 40)
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, evaltext)], "doc_id long, text string"
+    )
+    exact = sorted(
+        map(tuple, contamination_pairs(corpus, evalset,
+                                       min_containment_milli=0).collect())
+    )
+    bloom = sorted(
+        map(tuple, contamination_pairs_bloom(
+            corpus, evalset, min_containment_milli=0).collect())
+    )
+    assert bloom == exact and len(exact) >= 1
+
+    # selectivity: non-leak docs' shingles are pruned map-side
+    es = shingles(evalset)
+    bits, m, k = build_bloom(es, "sh")
+    total = shingles(corpus).count()
+    kept = bloom_filter_df(shingles(corpus), "sh", bits, m, k).count()
+    assert kept < total * 0.2  # leak doc ~ a few % of this corpus
+
+
+def test_contamination_bloom_empty_evalset(spark):
+    """Empty eval set -> empty result (m floors at 64 bits, no mod-0),
+    matching the exact lane."""
+    from metacache_mpi_spark.operators.textops import (
+        contamination_pairs_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some training document text here")],
+        "doc_id long, text string",
+    )
+    empty = corpus.where("doc_id < 0")
+    assert contamination_pairs_bloom(corpus, empty).count() == 0
+
+
 def test_repetition_stats_hand_computed(spark):
     """Exact values on hand-computable inputs (the in-array longest-run
     formulation must equal the 2-gram mode)."""
