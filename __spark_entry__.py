@@ -656,6 +656,25 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination_pairs(docs, evalset)
 
 
+def _q_source_cap_survivors(spark, sf_dir):
+    """C4/Dolma-style per-domain cap: keep the 10 longest docs per
+    source (ties by doc_id) — count-first plan windows only over-cap
+    keys' rows; under-cap rows never shuffle."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.webops import cap_docs_per_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_docs_per_key(
+        docs,
+        "source",
+        10,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+
+
 def _q_contamination_pairs_bloom(spark, sf_dir):
     """Scale lane of the contamination scan: broadcast Bloom prefilter
     over eval shingles drops non-matching corpus shingles MAP-SIDE
@@ -1418,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "contamination_pairs": _q_contamination_pairs,
         "contamination_pairs_bloom": _q_contamination_pairs_bloom,
+        "source_cap_survivors": _q_source_cap_survivors,
         "quality_scores": _q_quality_scores,
         "mixture_sample": _q_mixture_sample,
         "token_budget_pack": _q_token_budget_pack,
@@ -1946,6 +1966,15 @@ def oracle_sql() -> dict[str, str]:
                      AS containment_milli
             FROM hits h JOIN sizes s ON s.eval_id = h.eval_id
             WHERE common_shingles * 1000 // n_eval_sh >= 500
+        """,
+        "source_cap_survivors": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC,
+                                                 doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 10
         """,
         "boilerplate_lines": """
             WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr

@@ -82,6 +82,47 @@ def canonical_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
     return pages.withColumn("canon_url", canonical_url_col(F.col(url_col)))
 
 
+def cap_docs_per_key(
+    docs: DataFrame,
+    key_col: str,
+    max_docs: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """At most ``max_docs`` rows per ``key_col`` value, keeping the
+    first rows under ``order_by`` (default: ``doc_id`` ascending) — the
+    C4/Dolma-style per-domain cap that stops a single mirror farm or
+    spam host from dominating a training corpus.
+
+    The P17 location-list cap (reference insert-side cap,
+    sketch_database.h max locations per feature) applied at document
+    granularity, with a count-first plan: per-key counts find the
+    over-cap keys, which are by construction FEW and SMALL (one row
+    per hot host — broadcastable); under-cap rows pass through a
+    broadcast anti join with NO shuffle and NO sort, and only the hot
+    keys' rows shuffle into the row_number window.  A naive global
+    window would sort the entire corpus on (key, order) — this plan
+    sorts only the skewed tail it actually needs to cut.
+    """
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    order = order_by or [F.col("doc_id").asc()]
+    over = (
+        docs.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_docs)
+        .select(key_col)
+    )
+    under_rows = docs.join(F.broadcast(over), key_col, "left_anti")
+    hot_rows = docs.join(F.broadcast(over), key_col, "left_semi")
+    w = Window.partitionBy(key_col).orderBy(*order)
+    kept_hot = (
+        hot_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )
+    return under_rows.unionByName(kept_hot)
+
+
 def url_dedup_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per canonical URL: the LATEST crawl wins (max
     ``warc_ts``; ties broken by raw url ascending for determinism).

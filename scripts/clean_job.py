@@ -134,6 +134,15 @@ def main() -> None:
         "/ star hub edges (mega-cluster-safe, config.py)",
     )
     ap.add_argument(
+        "--max-per-host",
+        type=int,
+        default=0,
+        metavar="N",
+        help="per-domain cap on the final survivors: at most N pages "
+        "per url host, longest pages win (0 = off; "
+        "operators/webops.py::cap_docs_per_key)",
+    )
+    ap.add_argument(
         "--keep",
         choices=("min_id", "earliest", "longest"),
         default="min_id",
@@ -413,6 +422,25 @@ def run(spark, args) -> dict:
         survivors = survivors.join(
             sem_drop.hint("shuffle_hash"), "doc_id", "left_anti"
         )
+
+    # 6. optional per-host cap (C4/Dolma-style): no single domain may
+    #    contribute more than N surviving pages — keeps mirror farms
+    #    and blog platforms from dominating the clean corpus.  Longest
+    #    pages win (ties by doc_id).  Count-first plan in webops: only
+    #    over-cap hosts' rows are windowed.
+    if getattr(args, "max_per_host", 0):
+        from metacache_mpi_spark.operators.webops import cap_docs_per_key
+
+        hosted = survivors.withColumn(
+            "__host",
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))),
+        )
+        survivors = cap_docs_per_key(
+            hosted,
+            "__host",
+            args.max_per_host,
+            [F.length("text").desc(), F.col("doc_id").asc()],
+        ).drop("__host")
 
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()

@@ -359,6 +359,84 @@ def test_canonical_url_review_edge_cases(spark):
     assert _canon(spark, got) == got
 
 
+def test_cap_docs_per_key(spark):
+    """Per-key document cap: over-cap keys keep exactly max_docs rows
+    under the given order; under-cap keys pass through untouched."""
+    from metacache_mpi_spark.operators.webops import cap_docs_per_key
+
+    docs = spark.createDataFrame(
+        [
+            # hot host: 4 docs, cap 2, longest-first -> keep 11, 13
+            (10, "hot", 5),
+            (11, "hot", 90),
+            (12, "hot", 40),
+            (13, "hot", 90),   # ties with 11 on length; doc_id asc
+            # cold host: 2 docs, under cap -> both survive
+            (20, "cold", 1),
+            (21, "cold", 2),
+        ],
+        "doc_id long, key string, n long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in cap_docs_per_key(
+            docs, "key", 2, [F.col("n").desc(), F.col("doc_id").asc()]
+        ).collect()
+    )
+    assert got == [11, 13, 20, 21]
+
+    # default order: doc_id ascending
+    got = sorted(
+        r["doc_id"] for r in cap_docs_per_key(docs, "key", 3).collect()
+    )
+    assert got == [10, 11, 12, 20, 21]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_docs"):
+        cap_docs_per_key(docs, "key", 0)
+
+
+def test_clean_job_max_per_host(spark, tmp_path):
+    """clean_job --max-per-host: the final survivors carry at most N
+    pages per url host."""
+    import argparse
+    import importlib.util
+    import os
+
+    from metacache_mpi_spark.sources.pages import write_corpus
+
+    spec = importlib.util.spec_from_file_location(
+        "clean_job",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "clean_job.py"),
+    )
+    clean_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(clean_job)
+
+    cdir = str(tmp_path / "corpus")
+    write_corpus(cdir, n_pages=150, seed=31)
+
+    args = argparse.Namespace(
+        input=cdir, output=str(tmp_path / "out"), generate=0, cores=None,
+        bucketed_warehouse=None, eval_docs=None, embeddings=None,
+        eval_embeddings=None, semantic_tau=0.9, max_per_host=1,
+    )
+    counts = clean_job.run(spark, args)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    per_host = (
+        out.withColumn(
+            "host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+        )
+        .groupBy("host")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_host == 1
+    assert counts["clean"] == out.count()
+
+
 def test_cleanup_composition_funnel(spark, tmp_path):
     """The clean_job composition (url dedup -> boilerplate -> quality
     gates -> near-dup dedup) over a generated crawl: counts fall
