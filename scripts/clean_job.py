@@ -134,6 +134,13 @@ def main() -> None:
         "/ star hub edges (mega-cluster-safe, config.py)",
     )
     ap.add_argument(
+        "--decontam-bloom",
+        action="store_true",
+        help="run --eval-docs decontamination through the broadcast "
+        "Bloom prefilter (bit-identical results, map-side pruning of "
+        "non-matching corpus shingles; functions/bloom.py)",
+    )
+    ap.add_argument(
         "--max-per-host",
         type=int,
         default=0,
@@ -328,12 +335,21 @@ def run(spark, args) -> dict:
     if args.eval_docs:
         from metacache_mpi_spark.operators.textops import (
             contamination_pairs,
+            contamination_pairs_bloom,
         )
 
+        # bloom lane is bit-identical (FPs die in the exact join) but
+        # prunes non-matching corpus shingles map-side — the right
+        # shape when the corpus dwarfs the eval set (always, at scale)
+        scan = (
+            contamination_pairs_bloom
+            if getattr(args, "decontam_bloom", False)
+            else contamination_pairs
+        )
         evald = spark.read.parquet(args.eval_docs).select("doc_id", "text")
         # exclude_self=False: the eval set is an EXTERNAL id namespace —
         # an eval id that happens to equal a corpus id must still flag
-        hit = contamination_pairs(
+        hit = scan(
             gated, evald, exclude_self=False
         ).select("doc_id").distinct()
         gated = _advance(

@@ -79,6 +79,13 @@ def main() -> None:
                 "total_docs": total_docs,
                 "clusters": n_clusters,
                 "sec": round(time.time() - t0, 2),
+                # per-partition lineage for THIS batch's snapshots only
+                # (the state dir accumulates every prior batch's deltas)
+                "lineage": [
+                    r
+                    for r in inc.ck.lineage_report()
+                    if r["name"].endswith(f"_b{batch_no}")
+                ],
             }
         )
     )

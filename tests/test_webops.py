@@ -560,6 +560,10 @@ def test_clean_job_decontamination_stages(spark, tmp_path):
         input=cdir, output=str(tmp_path / "out"), generate=0, cores=None,
         bucketed_warehouse=None, eval_docs=evald, embeddings=embp,
         eval_embeddings=evalemb, semantic_tau=0.9,
+        # bloom prefilter is bit-identical to the exact lane (gated by
+        # test_contamination_bloom_equals_exact); driving it here also
+        # covers the CLI wiring
+        decontam_bloom=True,
     )
     counts = clean_job.run(spark, args)
     # both stages removed at least their planted doc, monotonically
