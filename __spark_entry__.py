@@ -656,6 +656,33 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination_pairs(docs, evalset)
 
 
+def _q_crawl_diff(spark, sf_dir):
+    """Two crawl snapshots derived deterministically from `documents`
+    (old = doc_id%3≠0, new = doc_id%3≠1 with every %5==0 text reversed)
+    → per-url added/removed/changed/unchanged via ONE full-outer join
+    on the url key."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.webops import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.reverse(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return crawl_diff(old, new)
+
+
 def _q_source_cap_survivors(spark, sf_dir):
     """C4/Dolma-style per-domain cap: keep the 10 longest docs per
     source (ties by doc_id) — count-first plan windows only over-cap
@@ -1438,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": _q_contamination_pairs,
         "contamination_pairs_bloom": _q_contamination_pairs_bloom,
         "source_cap_survivors": _q_source_cap_survivors,
+        "crawl_diff": _q_crawl_diff,
         "quality_scores": _q_quality_scores,
         "mixture_sample": _q_mixture_sample,
         "token_budget_pack": _q_token_budget_pack,
@@ -1966,6 +1994,30 @@ def oracle_sql() -> dict[str, str]:
                      AS containment_milli
             FROM hits h JOIN sizes s ON s.eval_id = h.eval_id
             WHERE common_shingles * 1000 // n_eval_sh >= 500
+        """,
+        "crawl_diff": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '.example/d' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents),
+            old AS (SELECT url, md5(coalesce(text, '')) AS oh,
+                           doc_id AS old_doc_id
+                    FROM d WHERE doc_id % 3 <> 0),
+            new AS (SELECT url,
+                           md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                             THEN reverse(text)
+                                             ELSE text END, '')) AS nh,
+                           doc_id AS new_doc_id
+                    FROM d WHERE doc_id % 3 <> 1)
+            SELECT coalesce(old.url, new.url) AS url,
+                   CASE WHEN oh IS NULL THEN 'added'
+                        WHEN nh IS NULL THEN 'removed'
+                        WHEN oh <> nh THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_doc_id, new_doc_id
+            FROM old FULL OUTER JOIN new ON old.url = new.url
         """,
         "source_cap_survivors": """
             SELECT doc_id, source, n_chars FROM (

@@ -123,6 +123,52 @@ def cap_docs_per_key(
     return under_rows.unionByName(kept_hot)
 
 
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl delta: classify every url across two crawl
+    snapshots as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, content hash differs) or ``unchanged`` — the
+    first question an incremental webtext pipeline asks of a fresh
+    crawl (process only added+changed; the reference's merge mode asks
+    the same of a new shard batch, mode_merge.cpp).
+
+    Inputs must carry one row per url (run :func:`url_dedup_latest`
+    first); content identity is ``md5(text)`` (NULL text hashes as
+    empty, so NULL→NULL is `unchanged`).  Returns
+    ``(url, status, old_doc_id, new_doc_id)``.
+
+    Scale: ONE full-outer shuffle join keyed on url — both sides hash
+    to the same partitioning, keys are unique per side so there is no
+    hot key by construction; with both crawls stored bucketed on url
+    (plans/bucketing.py) the Exchange disappears entirely.
+    """
+    h = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
+    o = old.select(
+        F.col(url_col).alias("url"),
+        h(text_col).alias("__old_h"),
+        F.col("doc_id").alias("old_doc_id"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        h(text_col).alias("__new_h"),
+        F.col("doc_id").alias("new_doc_id"),
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("__old_h").isNull(), F.lit("added"))
+        .when(F.col("__new_h").isNull(), F.lit("removed"))
+        .when(F.col("__old_h") != F.col("__new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_doc_id",
+        "new_doc_id",
+    )
+
+
 def url_dedup_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per canonical URL: the LATEST crawl wins (max
     ``warc_ts``; ties broken by raw url ascending for determinism).

@@ -359,6 +359,43 @@ def test_canonical_url_review_edge_cases(spark):
     assert _canon(spark, got) == got
 
 
+def test_crawl_diff_statuses(spark):
+    """All four statuses on a hand-built pair of crawl snapshots,
+    including the NULL-text-on-both-sides `unchanged` edge."""
+    from metacache_mpi_spark.operators.webops import crawl_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "u/stay", "same text"),
+            (2, "u/edit", "version one"),
+            (3, "u/gone", "bye"),
+            (5, "u/null", None),
+        ],
+        "doc_id long, url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "u/stay", "same text"),
+            (12, "u/edit", "version two"),
+            (14, "u/new", "hello"),
+            (15, "u/null", None),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {r["url"]: r for r in crawl_diff(old, new).collect()}
+    assert got["u/stay"]["status"] == "unchanged"
+    assert got["u/edit"]["status"] == "changed"
+    assert got["u/gone"]["status"] == "removed"
+    assert got["u/new"]["status"] == "added"
+    assert got["u/null"]["status"] == "unchanged"
+    assert got["u/gone"]["new_doc_id"] is None
+    assert got["u/new"]["old_doc_id"] is None
+    assert (got["u/edit"]["old_doc_id"], got["u/edit"]["new_doc_id"]) == (
+        2,
+        12,
+    )
+
+
 def test_cap_docs_per_key(spark):
     """Per-key document cap: over-cap keys keep exactly max_docs rows
     under the given order; under-cap keys pass through untouched."""
