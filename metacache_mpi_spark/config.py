@@ -56,8 +56,6 @@ class DedupConfig:
     #   candidates per oversized bucket, most rejected JVM-side by the
     #   min_sig_lanes prefilter before any text compare.
     oversize_policy: str = "drop"
-    # Salting fan-out for the band-bucket join's hot keys.
-    salt_buckets: int = 8
 
     # --- candidate thresholds (ref: hitsMin = sketchLen/3 deduced,
     # /root/reference/src/mode_query.cpp:247-260)

@@ -309,3 +309,139 @@ class IncrementalDedup:
         if self.compact_every > 0 and self.batch_no % self.compact_every == 0:
             self.compact()
         return clusters
+
+    def query_batch(self, pages: DataFrame) -> DataFrame:
+        """READ-ONLY probe of the resident index — the reference's
+        build-once/query-many mode (mode_query.cpp: a resident DB
+        serves query batches without mutation) for the webtext lane;
+        ``process_batch`` is `modify`, this is `query`.
+
+        Classifies each page of the batch against the CURRENT state:
+        one row per prepared page (the batch passes the same P11
+        prepare as the fold path: empty texts and in-batch duplicate
+        urls drop) with
+
+        - ``match_kind='url'``     — an indexed page with the same url
+          (the identity the fold path would anti-join away);
+        - ``match_kind='content'`` — best verified near-dup:
+          band-bucket collision against the resident band table →
+          signature-lane gate from the resident sketch store →
+          exact-Jaccard verify ≥ cfg.jaccard_threshold; ties to the
+          smallest indexed id; ``jaccard_milli`` carries the score;
+        - ``match_kind='none'``    — novel.
+
+        The state is probed, never re-sketched and never written; only
+        the batch's own docs pay the sketch UDF.  State-side bucket
+        membership is capped before the probe join (count-first, the
+        P13/P17 guard): ``drop`` discards over-cap buckets; ``sample``
+        and ``star`` probe a deterministic cap-sized subset (a hub edge
+        has no meaning on a read-only probe).
+        """
+        from pyspark.sql.window import Window
+
+        cfg = self.cfg
+        none_row = [
+            F.lit("none").alias("match_kind"),
+            F.lit(None).cast("long").alias("matched_doc_id"),
+            F.lit(None).cast("long").alias("jaccard_milli"),
+        ]
+        q = prepare_docs(pages)
+        docs = self._state("docs")
+        if docs is None:
+            return q.select("doc_id", "url", *none_row)
+
+        url_part = q.select("doc_id", "url").join(
+            docs.select(
+                "url", F.col("doc_id").alias("matched_doc_id")
+            ),
+            "url",
+        ).select(
+            "doc_id",
+            "url",
+            F.lit("url").alias("match_kind"),
+            "matched_doc_id",
+            F.lit(None).cast("long").alias("jaccard_milli"),
+        )
+
+        novel = q.join(docs.select("url"), "url", "left_anti")
+        qsigs = attach_signature(novel.select("doc_id", "text"), cfg)
+        qbands = emit_bands(qsigs, cfg)
+
+        bands = self._state("bands")
+        cap = cfg.max_docs_per_bucket
+        if cfg.oversize_policy == "drop":
+            ok = (
+                bands.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") <= cap)
+                .select("band", "bucket")
+            )
+            idx = bands.join(ok.hint("shuffle_hash"), ["band", "bucket"])
+        else:
+            # deterministic cap-sized subset per bucket (same ordering
+            # as the build-side "sample" lane: bucket-keyed xxhash)
+            w_rank = F.expr(
+                "row_number() OVER (PARTITION BY band, bucket "
+                "ORDER BY xxhash64(band, bucket, doc_id), doc_id)"
+            )
+            idx = (
+                bands.withColumn("__rn", w_rank)
+                .where(F.col("__rn") <= cap)
+                .drop("__rn")
+            )
+
+        cand = (
+            qbands.select(F.col("doc_id").alias("b"), "band", "bucket")
+            .join(
+                idx.select(F.col("doc_id").alias("a"), "band", "bucket")
+                .hint("shuffle_hash"),
+                ["band", "bucket"],
+            )
+            .where(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        all_sigs = self._state("sigs").unionByName(
+            qsigs.select("doc_id", "signature")
+        )
+        gated = prefilter_candidates(cand, all_sigs, cfg)
+        texts = docs.select("doc_id", "text").unionByName(
+            novel.select("doc_id", "text")
+        )
+        verified = exact_jaccard_pairs(
+            join_pair_texts(gated, texts), cfg
+        ).where(F.col("jaccard") >= cfg.jaccard_threshold)
+        best = (
+            verified.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("b").orderBy(
+                        F.col("jaccard").desc(), F.col("a").asc()
+                    )
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col("b").alias("doc_id"),
+                F.col("a").alias("matched_doc_id"),
+                F.floor(F.col("jaccard") * 1000)
+                .cast("long")
+                .alias("jaccard_milli"),
+            )
+        )
+        novel_part = (
+            novel.select("doc_id", "url")
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                "url",
+                F.when(
+                    F.col("matched_doc_id").isNotNull(), F.lit("content")
+                )
+                .otherwise(F.lit("none"))
+                .alias("match_kind"),
+                "matched_doc_id",
+                "jaccard_milli",
+            )
+        )
+        return url_part.unionByName(novel_part)

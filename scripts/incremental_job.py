@@ -42,6 +42,14 @@ def main() -> None:
         help="over-cap LSH buckets: drop / sample / star hub edges "
         "(mega-cluster-safe, config.py)",
     )
+    ap.add_argument(
+        "--query",
+        action="store_true",
+        help="READ-ONLY probe: classify the batch against the current "
+        "state (url / content / none per page) without folding it in — "
+        "the reference's query mode vs modify "
+        "(streaming/incremental.py::query_batch)",
+    )
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -63,6 +71,34 @@ def main() -> None:
         replace(DEFAULT_CONFIG, oversize_policy=args.oversize_policy),
         compact_every=args.compact_every,
     )
+    if args.query:
+        from pyspark.sql import functions as F
+
+        res = inc.query_batch(load_pages(spark, args.input))
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            res = spark.read.parquet(args.out)
+        kinds = {
+            r["match_kind"]: r["n"]
+            for r in res.groupBy("match_kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "mode": "query",
+                    "queries": sum(kinds.values()),
+                    "matched_url": kinds.get("url", 0),
+                    "matched_content": kinds.get("content", 0),
+                    "novel": kinds.get("none", 0),
+                    "sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        spark.stop()
+        return
+
     batch_no = inc.batch_no
     clusters = inc.process_batch(load_pages(spark, args.input))
     if args.out:

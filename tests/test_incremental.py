@@ -204,3 +204,53 @@ def test_auto_compaction_bounds_delta_depth(spark, tmp_path):
     assert ck.has("docs_c1") and ck.has("docs_c3")
     assert inc._compact_base() == 3
     assert inc._state("docs").count() == 120
+
+
+def test_query_batch_read_only_probe(spark, tmp_path):
+    """query_batch (the reference's build-once/query-many mode):
+    url-identical pages match by url, near-dup texts under new urls
+    match by content to the right indexed doc, novel texts match
+    nothing — and the state is not mutated."""
+    words = [f"word{i:03d}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:55] + ["changedA", "changedB"] + words[57:])
+    other = " ".join(f"zz{i:03d}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [("u/1", base), ("u/2", other)], "url string, text string"
+    )
+    inc = IncrementalDedup(spark, CheckpointManager(spark, str(tmp_path / "s")))
+    inc.process_batch(corpus)
+    n_snaps = len(inc.ck.snapshots())
+    batch_no = inc.batch_no
+
+    novel = " ".join(f"qq{i:03d}" for i in range(60))
+    queries = spark.createDataFrame(
+        [("u/1", "anything"), ("q/near", near), ("q/new", novel)],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in inc.query_batch(queries).collect()}
+    id_u1 = spark.range(1).select(F.xxhash64(F.lit("u/1"))).first()[0]
+
+    assert got["u/1"]["match_kind"] == "url"
+    assert got["u/1"]["matched_doc_id"] == id_u1
+    assert got["q/near"]["match_kind"] == "content"
+    assert got["q/near"]["matched_doc_id"] == id_u1
+    assert got["q/near"]["jaccard_milli"] >= 600
+    assert got["q/new"]["match_kind"] == "none"
+    assert got["q/new"]["matched_doc_id"] is None
+
+    # read-only: no snapshot written, no batch consumed
+    assert len(inc.ck.snapshots()) == n_snaps
+    assert inc.batch_no == batch_no
+
+
+def test_query_batch_empty_index(spark, tmp_path):
+    inc = IncrementalDedup(
+        spark, CheckpointManager(spark, str(tmp_path / "s0"))
+    )
+    q = spark.createDataFrame(
+        [("q/a", "some text for the probe to classify")],
+        "url string, text string",
+    )
+    rows = inc.query_batch(q).collect()
+    assert [r["match_kind"] for r in rows] == ["none"]
