@@ -64,11 +64,14 @@ def build_bloom(
     """
     h1, h2 = bloom_hash_cols(F.col(col))
     hashed = keys.select(h1.alias("h1"), h2.alias("h2")).distinct()
-    pdf = hashed.toPandas()
+    # the guard must bound the COLLECT itself, not fire after it: limit
+    # to max+1 rows so an oversized build side costs one extra row on
+    # the driver, never an unbounded toPandas
+    pdf = hashed.limit(max_build_rows + 1).toPandas()
     n = len(pdf)
     if n > max_build_rows:
         raise ValueError(
-            f"bloom build side has {n} distinct keys > {max_build_rows}; "
+            f"bloom build side has > {max_build_rows} distinct keys; "
             "driver memory is proportional to the build side — use the "
             "exact join lane for build sides this large"
         )
@@ -96,7 +99,15 @@ def bloom_filter_df(
 ) -> DataFrame:
     """Rows of ``df`` whose ``col`` MIGHT be in the bloom set (no false
     negatives; FP rate per module doc).  Map-side: scan → two xxhash64
-    columns → one ArrowEvalPython probe → Filter; no shuffle."""
+    columns → one ArrowEvalPython probe → Filter; no shuffle.
+
+    The bitset is shipped as a SparkContext broadcast whose lifetime is
+    the returned DataFrame's: it cannot be destroyed eagerly (the probe
+    UDF reads it at execution time), so a long-lived session running
+    MANY bloom builds accumulates one pinned bitset per call — batch
+    jobs (one session per run, the deployment shape) are unaffected;
+    REPL loops over large build sides should reuse one filter.
+    """
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bits)
     m = int(m_bits)

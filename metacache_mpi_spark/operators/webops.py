@@ -96,12 +96,13 @@ def cap_docs_per_key(
     The P17 location-list cap (reference insert-side cap,
     sketch_database.h max locations per feature) applied at document
     granularity, with a count-first plan: per-key counts find the
-    over-cap keys, which are by construction FEW and SMALL (one row
-    per hot host — broadcastable); under-cap rows pass through a
-    broadcast anti join with NO shuffle and NO sort, and only the hot
-    keys' rows shuffle into the row_number window.  A naive global
-    window would sort the entire corpus on (key, order) — this plan
-    sorts only the skewed tail it actually needs to cut.
+    over-cap keys (one row per hot host — AQE broadcasts the join when
+    that set is small, the common case); under-cap rows pass through
+    the anti join with NO sort, and only the hot keys' rows shuffle
+    into the row_number window.  A naive global window would sort the
+    entire corpus on (key, order) — this plan sorts only the skewed
+    tail it actually needs to cut.  NULL keys form one capped group
+    (null-safe join), matching SQL window semantics.
     """
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1, got {max_docs}")
@@ -110,10 +111,17 @@ def cap_docs_per_key(
         docs.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > max_docs)
-        .select(key_col)
+        .select(F.col(key_col).alias("__capk"))
     )
-    under_rows = docs.join(F.broadcast(over), key_col, "left_anti")
-    hot_rows = docs.join(F.broadcast(over), key_col, "left_semi")
+    # null-safe key match: NULL keys (e.g. unparseable-url hosts) form
+    # one capped group, same as the SQL window's NULL partition — a
+    # plain equi join would silently exempt every NULL-key row.
+    # No forced broadcast: the over-cap key set is small for sane caps
+    # but unbounded for max_docs=1 on a dup-heavy corpus — AQE promotes
+    # the join to broadcast at runtime when the set is actually small.
+    cond = F.col(key_col).eqNullSafe(F.col("__capk"))
+    under_rows = docs.join(over, cond, "left_anti")
+    hot_rows = docs.join(over, cond, "left_semi")
     w = Window.partitionBy(key_col).orderBy(*order)
     kept_hot = (
         hot_rows.withColumn("__rn", F.row_number().over(w))

@@ -363,8 +363,17 @@ class IncrementalDedup:
             F.lit(None).cast("long").alias("jaccard_milli"),
         )
 
-        novel = q.join(docs.select("url"), "url", "left_anti")
-        qsigs = attach_signature(novel.select("doc_id", "text"), cfg)
+        # pin the batch-sized probe subtrees: novel feeds qsigs, the
+        # verify text union and the result assembly; qsigs feeds the
+        # band emit and BOTH signature sides of the gate — unpinned,
+        # the sketch UDF would run ~3x and the batch prepare ~6x.
+        # (persist, not stage_write: a READ-ONLY probe must leave the
+        # checkpoint dir untouched.)  Lifetime = the returned
+        # DataFrame's, so the pins stay with it.
+        from ..plans.pinning import pin
+
+        novel = pin(q.join(docs.select("url"), "url", "left_anti"))
+        qsigs = pin(attach_signature(novel.select("doc_id", "text"), cfg))
         qbands = emit_bands(qsigs, cfg)
 
         bands = self._state("bands")

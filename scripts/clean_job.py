@@ -457,6 +457,7 @@ def run(spark, args) -> dict:
             args.max_per_host,
             [F.length("text").desc(), F.col("doc_id").asc()],
         ).drop("__host")
+        counts["after_host_cap"] = survivors.count()
 
     survivors.write.mode("overwrite").parquet(args.output)
     counts["clean"] = spark.read.parquet(args.output).count()

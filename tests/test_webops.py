@@ -428,6 +428,17 @@ def test_cap_docs_per_key(spark):
     )
     assert got == [10, 11, 12, 20, 21]
 
+    # NULL keys form ONE capped group (null-safe join; a plain equi
+    # anti-join would exempt every NULL-key row from the cap)
+    docs_null = spark.createDataFrame(
+        [(1, None, 1), (2, None, 2), (3, None, 3), (4, "k", 1)],
+        "doc_id long, key string, n long",
+    )
+    got = sorted(
+        r["doc_id"] for r in cap_docs_per_key(docs_null, "key", 2).collect()
+    )
+    assert got == [1, 2, 4]
+
     import pytest
 
     with pytest.raises(ValueError, match="max_docs"):
