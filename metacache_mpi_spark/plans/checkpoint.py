@@ -159,6 +159,28 @@ class CheckpointManager:
             )
         return out
 
+    def remove(self, names: list[str]) -> None:
+        """Drop snapshots from the manifest and reclaim their storage.
+
+        Order matters for crash safety: the manifest forgets the
+        snapshots FIRST (one atomic update), then the data dirs go — a
+        crash in between leaves orphan dirs (harmless, re-removable),
+        never a manifest entry pointing at deleted data.  Unknown names
+        raise before anything is touched."""
+        import shutil
+
+        manifest = self._read_manifest()
+        known = {s["name"]: s["path"] for s in manifest["snapshots"]}
+        missing = [n for n in names if n not in known]
+        if missing:
+            raise KeyError(f"snapshots not in manifest: {missing}")
+        manifest["snapshots"] = [
+            s for s in manifest["snapshots"] if s["name"] not in names
+        ]
+        self._write_manifest(manifest)
+        for n in names:
+            shutil.rmtree(known[n], ignore_errors=True)
+
     def load(self, name: str) -> DataFrame:
         snap = next(s for s in self.snapshots() if s.name == name)
         return self.spark.read.parquet(snap.path)

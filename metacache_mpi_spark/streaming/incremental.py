@@ -165,6 +165,43 @@ class IncrementalDedup:
             self.ck.stage_write(self._state(kind), f"{kind}_c{last}")
         self.ck.commit([f"{k}_c{last}" for k in self._DELTA_KINDS])
 
+    def gc(self) -> list[str]:
+        """Reclaim superseded state storage; returns the removed
+        snapshot names.  Without gc the state dir grows
+        O(corpus × batches) on a long stream (compaction supersedes
+        deltas but never deletes — snapshots are immutable).
+
+        Safe-to-remove = never read again AND not a resume anchor:
+        delta (and clusters) snapshots of batches BEFORE the newest
+        compacted base — ``_state`` reads base + deltas after it, and
+        ``_recluster_affected`` reads only the previous batch's
+        clusters — plus compacted bases older than the newest.  The
+        base batch itself and everything after it stay, so
+        ``_last_batch`` still resolves resume to the same batch after a
+        restart.  Post-gc storage is O(corpus + recent batches)."""
+        base = self._compact_base()
+        if base < 0:
+            return []
+        dead = []
+        for s in self.ck.snapshots():
+            for kind in self._KINDS:
+                tag = f"{kind}_b"
+                if (
+                    s.name.startswith(tag)
+                    and int(s.name[len(tag):]) < base
+                ):
+                    dead.append(s.name)
+            for kind in self._DELTA_KINDS:
+                tag = f"{kind}_c"
+                if (
+                    s.name.startswith(tag)
+                    and int(s.name[len(tag):]) < base
+                ):
+                    dead.append(s.name)
+        if dead:
+            self.ck.remove(dead)
+        return dead
+
     def _recluster_affected(
         self, new_docs: DataFrame, new_edges: DataFrame
     ) -> DataFrame:

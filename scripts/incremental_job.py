@@ -43,6 +43,13 @@ def main() -> None:
         "(mega-cluster-safe, config.py)",
     )
     ap.add_argument(
+        "--gc",
+        action="store_true",
+        help="after the batch (and any compaction), reclaim superseded "
+        "state storage — pre-base deltas and old compacted bases "
+        "(streaming/incremental.py::gc; resume-safe)",
+    )
+    ap.add_argument(
         "--query",
         action="store_true",
         help="READ-ONLY probe: classify the batch against the current "
@@ -106,6 +113,7 @@ def main() -> None:
     total_docs = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     new_docs = inc.ck.load(f"docs_b{batch_no}").count()
+    n_gc = len(inc.gc()) if args.gc else None
     print(
         json.dumps(
             {
@@ -114,6 +122,7 @@ def main() -> None:
                 "cc_edges": inc.last_cc_edges,
                 "total_docs": total_docs,
                 "clusters": n_clusters,
+                "gc_removed": n_gc,
                 "sec": round(time.time() - t0, 2),
                 # per-partition lineage for THIS batch's snapshots only
                 # (the state dir accumulates every prior batch's deltas)

@@ -254,3 +254,71 @@ def test_query_batch_empty_index(spark, tmp_path):
     )
     rows = inc.query_batch(q).collect()
     assert [r["match_kind"] for r in rows] == ["none"]
+
+
+def test_gc_reclaims_superseded_state(spark, tmp_path):
+    """gc() removes pre-base deltas and old compacted bases, frees the
+    dirs, and leaves resume + results identical to a no-gc twin."""
+    import os
+
+    from metacache_mpi_spark.sources.pages import generate_pages
+
+    pages, _ = generate_pages(n_pages=160, seed=17)
+
+    def batches():
+        for lo in range(0, 160, 40):
+            yield spark.createDataFrame(
+                pages.iloc[lo : lo + 40][["url", "text"]]
+            )
+
+    # twin WITHOUT gc (ground truth)
+    ref = IncrementalDedup(
+        spark, CheckpointManager(spark, str(tmp_path / "ref")), compact_every=2
+    )
+    for b in batches():
+        ref_clusters = ref.process_batch(b)
+    want = {(r["doc_id"], r["cluster_id"]) for r in ref_clusters.collect()}
+
+    root = str(tmp_path / "gc")
+    inc = IncrementalDedup(
+        spark, CheckpointManager(spark, root), compact_every=2
+    )
+    bs = list(batches())
+    for b in bs[:3]:
+        inc.process_batch(b)
+    # compact ran after batch 1 (base c1); batches 0..1 deltas + b0/b1
+    # clusters are superseded
+    freed = inc.gc()
+    assert freed, "expected superseded snapshots"
+    base = inc._compact_base()
+    assert all(
+        int(n.split("_b")[-1]) < base if "_b" in n else True for n in freed
+    )
+    # dirs actually reclaimed, manifest consistent
+    for n in freed:
+        assert not inc.ck.has(n)
+        assert not os.path.exists(os.path.join(root, n))
+
+    # resume after gc: fresh engine sees the same batch number and the
+    # same accumulated docs, and the final batch matches the twin
+    inc2 = IncrementalDedup(
+        spark, CheckpointManager(spark, root), compact_every=2
+    )
+    assert inc2.batch_no == inc.batch_no
+    assert inc2._state("docs").count() == 120
+    got_clusters = inc2.process_batch(bs[3])
+    got = {(r["doc_id"], r["cluster_id"]) for r in got_clusters.collect()}
+    assert got == want
+
+
+def test_gc_noop_without_compaction(spark, tmp_path):
+    inc = IncrementalDedup(
+        spark, CheckpointManager(spark, str(tmp_path / "s")), compact_every=0
+    )
+    inc.process_batch(
+        spark.createDataFrame(
+            [("u/1", "text for the only batch in this state dir")],
+            "url string, text string",
+        )
+    )
+    assert inc.gc() == []
