@@ -46,7 +46,12 @@ HEADLINE = [
 
 # timed the same way but NOT in the headline total (keeps the headline
 # comparable across rounds; these landed after the baseline was set)
-EXTRA_QUERIES = ["exact_substring_dedup", "semantic_dedup"]
+EXTRA_QUERIES = [
+    "exact_substring_dedup",
+    "semantic_dedup",
+    "contamination_pairs",
+    "contamination_pairs_bloom",  # identical result, map-side prefilter
+]
 
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "200000"))
 # smaller corpus for the marginal-throughput delta (cancels fixed
