@@ -60,3 +60,48 @@ def stream_dedup(
     if stream_checkpoint_dir:
         writer = writer.option("checkpointLocation", stream_checkpoint_dir)
     return writer.start()
+
+
+def stream_query(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    stream_checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """READ-ONLY streaming twin of :func:`stream_dedup`: screen page
+    files as they arrive against a FROZEN index (``checkpoint_dir``
+    state built by `stream_dedup`/`IncrementalDedup`/`dedup_job`),
+    appending one match report per page (url / content / none,
+    ``streaming/incremental.py::query_batch``) to ``output_dir``
+    partitioned by micro-batch.  The index state is never written —
+    this is continuous decontamination screening of an incoming crawl
+    against a reference corpus; promote batches into the index with
+    `stream_dedup` separately if and when they pass.
+
+    Returns the StreamingQuery.
+    """
+    engine = IncrementalDedup(
+        spark, CheckpointManager(spark, checkpoint_dir), cfg
+    )
+
+    def _probe(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.query_batch(batch_df).write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_probe).trigger(
+        availableNow=True
+    )
+    if stream_checkpoint_dir:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    return writer.start()

@@ -10,6 +10,7 @@ import pyarrow.parquet as pq
 from metacache_mpi_spark.plans.checkpoint import CheckpointManager
 from metacache_mpi_spark.plans.pipeline import dedup_pipeline
 from metacache_mpi_spark.sources.pages import generate_pages, load_pages, write_corpus
+from metacache_mpi_spark.streaming import IncrementalDedup
 from metacache_mpi_spark.streaming.stream_dedup import stream_dedup
 
 from .oracle import components
@@ -66,6 +67,59 @@ def test_stream_matches_batch(spark, tmp_path):
     ids = [r["doc_id"] for r in load_pages(spark, str(corpus_dir)).select("doc_id").collect()]
     want = {(i, comp.get(i, i)) for i in ids}
     assert got == want
+
+
+def test_stream_query_screens_against_frozen_index(spark, tmp_path):
+    """stream_query: arriving files are screened read-only against a
+    pre-built index — known urls report 'url', everything else in a
+    fresh corpus reports via content/none; the index state is not
+    mutated by the stream."""
+    from metacache_mpi_spark.streaming.stream_dedup import stream_query
+
+    pages, _ = generate_pages(120, seed=33)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    # build the frozen index from the first 80 pages
+    state = str(tmp_path / "state")
+    inc = IncrementalDedup(spark, CheckpointManager(spark, state))
+    inc.process_batch(spark.createDataFrame(pages.iloc[:80][["url", "text"]]))
+    n_snaps = len(inc.ck.snapshots())
+
+    # stream two probe files: one of INDEXED pages, one of unseen pages
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    for i, chunk in enumerate((pages.iloc[:40], pages.iloc[80:])):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
+            str(stream_dir / f"probe{i}.parquet"),
+        )
+    out = str(tmp_path / "reports")
+    q = stream_query(
+        spark,
+        str(stream_dir),
+        state,
+        out,
+        stream_checkpoint_dir=str(tmp_path / "qck"),
+    )
+    q.awaitTermination(300)
+
+    reports = spark.read.parquet(out)
+    kinds = {
+        r["url"]: r["match_kind"] for r in reports.collect()
+    }
+    first_urls = set(pages.iloc[:40]["url"])
+    assert all(kinds[u] == "url" for u in kinds if u in first_urls)
+    assert any(k != "url" for u, k in kinds.items() if u not in first_urls)
+    # read-only: the index grew no snapshots
+    assert len(CheckpointManager(spark, state).snapshots()) == n_snaps
 
 
 def test_stateful_exact_dedup_across_batches(spark, tmp_path):
