@@ -347,6 +347,14 @@ class IncrementalDedup:
             self.compact()
         return clusters
 
+    def release_query_pins(self) -> None:
+        """Free the caches the last :meth:`query_batch` pinned — call
+        AFTER materializing its result (an unpersisted result frame
+        would silently recompute the sketch UDF per consumer)."""
+        for df in getattr(self, "_query_pins", []):
+            df.unpersist()
+        self._query_pins = []
+
     def query_batch(self, pages: DataFrame) -> DataFrame:
         """READ-ONLY probe of the resident index — the reference's
         build-once/query-many mode (mode_query.cpp: a resident DB
@@ -411,6 +419,11 @@ class IncrementalDedup:
 
         novel = pin(q.join(docs.select("url"), "url", "left_anti"))
         qsigs = pin(attach_signature(novel.select("doc_id", "text"), cfg))
+        # repeated probes on one engine (stream_query's foreachBatch
+        # loop) must not accumulate one cache pair per batch: record
+        # the pins so release_query_pins() can free them once the
+        # batch's result is materialized
+        self._query_pins = [novel, qsigs]
         qbands = emit_bands(qsigs, cfg)
 
         bands = self._state("bands")

@@ -93,6 +93,9 @@ def stream_query(
         engine.query_batch(batch_df).write.mode("overwrite").parquet(
             f"{output_dir}/batch_id={batch_id}"
         )
+        # the write materialized the report — free this batch's probe
+        # caches so a long stream holds O(1) pinned frames, not O(batches)
+        engine.release_query_pins()
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
