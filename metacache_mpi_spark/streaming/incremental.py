@@ -355,7 +355,7 @@ class IncrementalDedup:
             df.unpersist()
         self._query_pins = []
 
-    def query_batch(self, pages: DataFrame) -> DataFrame:
+    def query_batch(self, pages: DataFrame, topk: int = 1) -> DataFrame:
         """READ-ONLY probe of the resident index — the reference's
         build-once/query-many mode (mode_query.cpp: a resident DB
         serves query batches without mutation) for the webtext lane;
@@ -381,32 +381,46 @@ class IncrementalDedup:
         P13/P17 guard): ``drop`` discards over-cap buckets; ``sample``
         and ``star`` probe a deterministic cap-sized subset (a hub edge
         has no meaning on a read-only probe).
+
+        ``topk > 1`` is the reference's ranked candidate list (A2,
+        top-k per query): up to k content matches per query doc with a
+        ``rank`` column appended (url matches rank 1; 'none' rows carry
+        a null rank).  The default ``topk=1`` keeps the best-match
+        schema above (no rank column) — the oracle-gated contract shape.
         """
         from pyspark.sql.window import Window
 
+        if topk < 1:
+            raise ValueError(f"topk must be >= 1, got {topk}")
+        ranked = topk > 1
         cfg = self.cfg
         none_row = [
             F.lit("none").alias("match_kind"),
             F.lit(None).cast("long").alias("matched_doc_id"),
             F.lit(None).cast("long").alias("jaccard_milli"),
         ]
+        if ranked:
+            none_row.append(F.lit(None).cast("int").alias("rank"))
         q = prepare_docs(pages)
         docs = self._state("docs")
         if docs is None:
             return q.select("doc_id", "url", *none_row)
 
+        url_cols = [
+            F.col("doc_id"),
+            F.col("url"),
+            F.lit("url").alias("match_kind"),
+            F.col("matched_doc_id"),
+            F.lit(None).cast("long").alias("jaccard_milli"),
+        ]
+        if ranked:
+            url_cols.append(F.lit(1).cast("int").alias("rank"))
         url_part = q.select("doc_id", "url").join(
             docs.select(
                 "url", F.col("doc_id").alias("matched_doc_id")
             ),
             "url",
-        ).select(
-            "doc_id",
-            "url",
-            F.lit("url").alias("match_kind"),
-            "matched_doc_id",
-            F.lit(None).cast("long").alias("jaccard_milli"),
-        )
+        ).select(*url_cols)
 
         # pin the batch-sized probe subtrees: novel feeds qsigs, the
         # verify text union and the result assembly; qsigs feeds the
@@ -470,6 +484,15 @@ class IncrementalDedup:
         verified = exact_jaccard_pairs(
             join_pair_texts(gated, texts), cfg
         ).where(F.col("jaccard") >= cfg.jaccard_threshold)
+        best_cols = [
+            F.col("b").alias("doc_id"),
+            F.col("a").alias("matched_doc_id"),
+            F.floor(F.col("jaccard") * 1000).cast("long").alias(
+                "jaccard_milli"
+            ),
+        ]
+        if ranked:
+            best_cols.append(F.col("__rn").cast("int").alias("rank"))
         best = (
             verified.withColumn(
                 "__rn",
@@ -479,14 +502,8 @@ class IncrementalDedup:
                     )
                 ),
             )
-            .where(F.col("__rn") == 1)
-            .select(
-                F.col("b").alias("doc_id"),
-                F.col("a").alias("matched_doc_id"),
-                F.floor(F.col("jaccard") * 1000)
-                .cast("long")
-                .alias("jaccard_milli"),
-            )
+            .where(F.col("__rn") <= topk)
+            .select(*best_cols)
         )
         novel_part = (
             novel.select("doc_id", "url")
@@ -501,6 +518,7 @@ class IncrementalDedup:
                 .alias("match_kind"),
                 "matched_doc_id",
                 "jaccard_milli",
+                *(["rank"] if ranked else []),
             )
         )
         return url_part.unionByName(novel_part)

@@ -50,6 +50,14 @@ def main() -> None:
         "(streaming/incremental.py::gc; resume-safe)",
     )
     ap.add_argument(
+        "--topk",
+        type=int,
+        default=1,
+        help="with --query: ranked candidate list size per query doc "
+        "(>1 adds a rank column to --out; the printed kind counts "
+        "always count query DOCS via their best match)",
+    )
+    ap.add_argument(
         "--query",
         action="store_true",
         help="READ-ONLY probe: classify the batch against the current "
@@ -81,13 +89,19 @@ def main() -> None:
     if args.query:
         from pyspark.sql import functions as F
 
-        res = inc.query_batch(load_pages(spark, args.input))
+        res = inc.query_batch(load_pages(spark, args.input), topk=args.topk)
         if args.out:
             res.write.mode("overwrite").parquet(args.out)
             res = spark.read.parquet(args.out)
+        # counts are per query DOC (best match), not per ranked row
+        per_doc = (
+            res.where((F.col("rank") == 1) | F.col("rank").isNull())
+            if args.topk > 1
+            else res
+        )
         kinds = {
             r["match_kind"]: r["n"]
-            for r in res.groupBy("match_kind")
+            for r in per_doc.groupBy("match_kind")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }

@@ -322,3 +322,48 @@ def test_gc_noop_without_compaction(spark, tmp_path):
         )
     )
     assert inc.gc() == []
+
+
+def test_query_batch_topk_ranked(spark, tmp_path):
+    """topk>1: ranked candidate list per query (the reference's A2
+    top-k), rank ordered by jaccard desc with smallest-id ties; the
+    default topk=1 schema is unchanged (no rank column)."""
+    words = [f"tok{i:03d}" for i in range(60)]
+    base = " ".join(words)
+    variant_a = " ".join(["xx"] + words[1:])        # ~very close to base
+    variant_b = " ".join(words[:58] + ["yy", "zz"])  # also close
+    corpus = spark.createDataFrame(
+        [("u/a", variant_a), ("u/b", variant_b)], "url string, text string"
+    )
+    inc = IncrementalDedup(
+        spark, CheckpointManager(spark, str(tmp_path / "s"))
+    )
+    inc.process_batch(corpus)
+
+    queries = spark.createDataFrame(
+        [("q/probe", base), ("q/new", " ".join(f"qq{i}" for i in range(60)))],
+        "url string, text string",
+    )
+    out = inc.query_batch(queries, topk=2).collect()
+    assert "rank" in out[0].asDict()
+    probe = sorted(
+        (r for r in out if r["url"] == "q/probe"),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in probe] == [1, 2]
+    assert probe[0]["jaccard_milli"] >= probe[1]["jaccard_milli"]
+    assert {r["matched_doc_id"] for r in probe} == {
+        spark.range(1).selectExpr("xxhash64('u/a')").first()[0],
+        spark.range(1).selectExpr("xxhash64('u/b')").first()[0],
+    }
+    none_rows = [r for r in out if r["url"] == "q/new"]
+    assert len(none_rows) == 1 and none_rows[0]["rank"] is None
+
+    # default schema untouched
+    out1 = inc.query_batch(queries)
+    assert "rank" not in out1.columns
+
+    import pytest
+
+    with pytest.raises(ValueError, match="topk"):
+        inc.query_batch(queries, topk=0)
