@@ -739,6 +739,51 @@ def _q_index_query_probe(spark, sf_dir):
     return inc.query_batch(qu.unionByName(qn))
 
 
+def _q_index_query_probe_topk(spark, sf_dir):
+    """Ranked top-2 form of `index_query_probe` (reference A2: ranked
+    candidate list per query) — same state build and probe fixture,
+    `rank` column added, up to 2 content matches per query doc."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.config import DedupConfig
+    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
+    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
+
+    cfg = DedupConfig(
+        shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
+        sketch_mode="md5",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_pages = docs.where(F.col("doc_id") % 4 != 0).select(
+        "doc_id",
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    inc = IncrementalDedup(
+        spark,
+        CheckpointManager(spark, tempfile.mkdtemp(prefix="mcs_qprobe_")),
+        cfg,
+    )
+    inc.process_batch(idx_pages)
+
+    base = docs.where(F.col("doc_id") % 4 == 0).alias("q")
+    d2 = docs.select(
+        F.col("doc_id").alias("nid"), F.col("text").alias("ntext")
+    )
+    qn = base.join(d2, F.col("nid") == F.col("q.doc_id") + 1, "left").select(
+        (F.col("q.doc_id") + 100000000).alias("doc_id"),
+        F.concat(
+            F.lit("q/"), F.col("q.doc_id").cast("string")
+        ).alias("url"),
+        F.when(F.col("q.doc_id") % 8 == 0, F.col("q.text"))
+        .otherwise(F.coalesce(F.col("ntext"), F.col("q.text")))
+        .alias("text"),
+    )
+    return inc.query_batch(qn, topk=2)
+
+
 def _q_source_cap_survivors(spark, sf_dir):
     """C4/Dolma-style per-domain cap: keep the 10 longest docs per
     source (ties by doc_id) — count-first plan windows only over-cap
@@ -1523,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_survivors": _q_source_cap_survivors,
         "crawl_diff": _q_crawl_diff,
         "index_query_probe": _q_index_query_probe,
+        "index_query_probe_topk": _q_index_query_probe_topk,
         "quality_scores": _q_quality_scores,
         "mixture_sample": _q_mixture_sample,
         "token_budget_pack": _q_token_budget_pack,
@@ -2138,6 +2184,79 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'none' END AS match_kind,
                    b.m AS matched_doc_id, b.jm AS jaccard_milli
             FROM nov n LEFT JOIN best b ON b.qid = n.qid AND b.rn = 1
+        """,
+        "index_query_probe_topk": """
+            WITH idx AS (
+              SELECT doc_id, 'd/' || CAST(doc_id AS VARCHAR) AS url, text
+              FROM documents
+              WHERE doc_id % 4 <> 0
+                AND text IS NOT NULL AND length(text) > 0),
+            nov AS (
+              SELECT * FROM (
+                SELECT d.doc_id + 100000000 AS qid,
+                       'q/' || CAST(d.doc_id AS VARCHAR) AS url,
+                       CASE WHEN d.doc_id % 8 = 0 THEN d.text
+                            ELSE coalesce(d2.text, d.text) END AS text
+                FROM documents d
+                LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+                WHERE d.doc_id % 4 = 0)
+              WHERE text IS NOT NULL AND length(text) > 0),
+            u AS (SELECT doc_id AS id, text FROM idx
+                  UNION ALL SELECT qid, text FROM nov),
+            posq AS (SELECT id, text,
+                            unnest(range(1, length(text) - 6)) AS i
+                     FROM u WHERE length(text) >= 8),
+            shq AS (SELECT DISTINCT id,
+                           substr(text, CAST(i AS INT), 8) AS sh
+                    FROM posq),
+            laned AS (SELECT id, unnest(range(0, 8)) AS lane, sh FROM shq),
+            mh AS (SELECT id, lane,
+                          min(md5(concat(CAST(lane AS VARCHAR), ':', sh)))
+                            AS minh
+                   FROM laned GROUP BY id, lane),
+            bkt AS (SELECT id, CAST(floor(lane / 2) AS BIGINT) AS band,
+                           string_agg(minh, '|' ORDER BY lane) AS bucket
+                    FROM mh GROUP BY id, floor(lane / 2)),
+            sb AS (SELECT band, bucket
+                   FROM bkt JOIN idx ON idx.doc_id = bkt.id
+                   GROUP BY band, bucket HAVING count(*) <= 254),
+            cand AS (SELECT DISTINCT si.id AS a, qi.id AS b
+                     FROM bkt si
+                     JOIN sb USING (band, bucket)
+                     JOIN bkt qi USING (band, bucket)
+                     JOIN idx ON idx.doc_id = si.id
+                     JOIN nov ON nov.qid = qi.id
+                     WHERE si.id <> qi.id),
+            gated AS (SELECT c.a, c.b FROM cand c
+                      JOIN mh ma ON ma.id = c.a
+                      JOIN mh mb ON mb.id = c.b AND mb.lane = ma.lane
+                      WHERE ma.minh = mb.minh
+                      GROUP BY c.a, c.b HAVING count(*) >= 4),
+            gsz AS (SELECT id, count(*) AS n FROM shq GROUP BY id),
+            ginter AS (SELECT g.a, g.b, count(*) AS c
+                       FROM gated g
+                       JOIN shq x ON x.id = g.a
+                       JOIN shq y ON y.id = g.b AND y.sh = x.sh
+                       GROUP BY g.a, g.b),
+            ver AS (SELECT i.a, i.b,
+                           CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c) AS j
+                    FROM ginter i
+                    JOIN gsz sa ON sa.id = i.a
+                    JOIN gsz sb2 ON sb2.id = i.b
+                    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c)
+                          >= 0.6),
+            best AS (SELECT b AS qid, a AS m,
+                            CAST(floor(j * 1000) AS BIGINT) AS jm,
+                            row_number() OVER (PARTITION BY b
+                                               ORDER BY j DESC, a ASC)
+                              AS rn
+                     FROM ver)
+            SELECT n.qid AS doc_id, n.url,
+                   CASE WHEN b.m IS NOT NULL THEN 'content'
+                        ELSE 'none' END AS match_kind,
+                   b.m AS matched_doc_id, b.jm AS jaccard_milli,
+                   CAST(b.rn AS INT) AS rank
+            FROM nov n LEFT JOIN best b ON b.qid = n.qid AND b.rn <= 2
         """,
         "crawl_diff": """
             WITH d AS (
