@@ -162,6 +162,77 @@ mpairs AS (SELECT i.a, i.b FROM ginter i
 """
 )
 
+# ---- query-probe oracle fragments (shared by index_query_probe and
+# its ranked top-k twin — one source of truth for the fixture and the
+# md5 probe lifecycle) --------------------------------------------------
+_QPROBE_IDX_CTE = """idx AS (
+  SELECT doc_id, 'd/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents
+  WHERE doc_id % 4 <> 0
+    AND text IS NOT NULL AND length(text) > 0)"""
+
+_QPROBE_QN_SQL = """SELECT d.doc_id + 100000000 AS qid,
+       'q/' || CAST(d.doc_id AS VARCHAR) AS url,
+       CASE WHEN d.doc_id % 8 = 0 THEN d.text
+            ELSE coalesce(d2.text, d.text) END AS text
+FROM documents d
+LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+WHERE d.doc_id % 4 = 0"""
+
+# from (idx, nov) to `best`: md5 minhash → band buckets → state-side
+# cap → cross candidates → ≥4-lane gate → exact shingle Jaccard ≥ 0.6
+# → ranked matches per query (j DESC, a ASC)
+_QPROBE_LIFECYCLE_CTE = """u AS (SELECT doc_id AS id, text FROM idx
+      UNION ALL SELECT qid, text FROM nov),
+posq AS (SELECT id, text,
+                unnest(range(1, length(text) - 6)) AS i
+         FROM u WHERE length(text) >= 8),
+shq AS (SELECT DISTINCT id,
+               substr(text, CAST(i AS INT), 8) AS sh
+        FROM posq),
+laned AS (SELECT id, unnest(range(0, 8)) AS lane, sh FROM shq),
+mh AS (SELECT id, lane,
+              min(md5(concat(CAST(lane AS VARCHAR), ':', sh)))
+                AS minh
+       FROM laned GROUP BY id, lane),
+bkt AS (SELECT id, CAST(floor(lane / 2) AS BIGINT) AS band,
+               string_agg(minh, '|' ORDER BY lane) AS bucket
+        FROM mh GROUP BY id, floor(lane / 2)),
+sb AS (SELECT band, bucket
+       FROM bkt JOIN idx ON idx.doc_id = bkt.id
+       GROUP BY band, bucket HAVING count(*) <= 254),
+cand AS (SELECT DISTINCT si.id AS a, qi.id AS b
+         FROM bkt si
+         JOIN sb USING (band, bucket)
+         JOIN bkt qi USING (band, bucket)
+         JOIN idx ON idx.doc_id = si.id
+         JOIN nov ON nov.qid = qi.id
+         WHERE si.id <> qi.id),
+gated AS (SELECT c.a, c.b FROM cand c
+          JOIN mh ma ON ma.id = c.a
+          JOIN mh mb ON mb.id = c.b AND mb.lane = ma.lane
+          WHERE ma.minh = mb.minh
+          GROUP BY c.a, c.b HAVING count(*) >= 4),
+gsz AS (SELECT id, count(*) AS n FROM shq GROUP BY id),
+ginter AS (SELECT g.a, g.b, count(*) AS c
+           FROM gated g
+           JOIN shq x ON x.id = g.a
+           JOIN shq y ON y.id = g.b AND y.sh = x.sh
+           GROUP BY g.a, g.b),
+ver AS (SELECT i.a, i.b,
+               CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c) AS j
+        FROM ginter i
+        JOIN gsz sa ON sa.id = i.a
+        JOIN gsz sb2 ON sb2.id = i.b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c)
+              >= 0.6),
+best AS (SELECT b AS qid, a AS m,
+                CAST(floor(j * 1000) AS BIGINT) AS jm,
+                row_number() OVER (PARTITION BY b
+                                   ORDER BY j DESC, a ASC)
+                  AS rn
+         FROM ver)"""
+
 _HEX_HIGH = "('8','9','a','b','c','d','e','f')"
 
 # windowed bottom-4 md5 sketch of the documents table as a genomic
@@ -683,17 +754,15 @@ def _q_crawl_diff(spark, sf_dir):
     return crawl_diff(old, new)
 
 
-def _q_index_query_probe(spark, sf_dir):
-    """Read-only index probe (reference query mode) oracle-gated via
-    the md5 sketch mode: build state from documents with doc_id%4≠0,
-    then probe with (a) url-identical queries (doc_id%8==1, indexed
-    urls), (b) planted content dups (doc_id%4==0 & %8≠0 carry the text
-    of doc_id+1, an indexed doc), (c) genuinely novel texts
-    (doc_id%8==0).  The DuckDB twin reproduces the full lifecycle:
-    prepare → md5 minhash → band buckets → state-side cap →
-    cross-candidates → ≥4-lane gate → exact shingle Jaccard ≥ 0.6 →
-    best match per query (ties to smallest indexed id)."""
-    import tempfile
+def _qprobe_engine(spark, sf_dir):
+    """Resident md5-mode index over documents with doc_id%4≠0, built
+    ONCE per (sf_dir, corpus fingerprint) under a FIXED path in
+    `_ORACLE_VIEW_ROOT` and reused by both probe entries — bounded
+    /tmp usage (a tempdir per call would leak a full index copy per
+    contract run) and no rebuild when the corpus is unchanged."""
+    import json
+    import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -701,28 +770,56 @@ def _q_index_query_probe(spark, sf_dir):
     from metacache_mpi_spark.plans.checkpoint import CheckpointManager
     from metacache_mpi_spark.streaming.incremental import IncrementalDedup
 
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("doc_id")).alias("h"),
+    ).first()
+    fp = {"n": r["n"], "h": r["h"]}
+    root = os.path.join(
+        _ORACLE_VIEW_ROOT,
+        f"qprobe_state_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(root, "corpus_fp.json")
+    try:
+        stale = json.load(open(marker)) != fp
+    except (OSError, ValueError):
+        stale = True
+    if stale:
+        shutil.rmtree(root, ignore_errors=True)
     cfg = DedupConfig(
         shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
         sketch_mode="md5",
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx_pages = docs.where(F.col("doc_id") % 4 != 0).select(
-        "doc_id",
-        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("url"),
-        "text",
-    )
-    inc = IncrementalDedup(
-        spark,
-        CheckpointManager(spark, tempfile.mkdtemp(prefix="mcs_qprobe_")),
-        cfg,
-    )
-    inc.process_batch(idx_pages)
+    inc = IncrementalDedup(spark, CheckpointManager(spark, root), cfg)
+    if inc.batch_no == 0:
+        idx_pages = docs.where(F.col("doc_id") % 4 != 0).select(
+            "doc_id",
+            F.concat(
+                F.lit("d/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            "text",
+        )
+        inc.process_batch(idx_pages)
+        with open(marker, "w") as f:
+            json.dump(fp, f)
+    return inc
 
+
+def _qprobe_novel_queries(spark, sf_dir):
+    """Novel-url probe batch: doc_id%4==0 pages under q/ urls; %8≠0
+    rows carry the text of doc_id+1 (an indexed doc — planted content
+    dup), %8==0 rows keep their own (novel) text."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.where(F.col("doc_id") % 4 == 0).alias("q")
     d2 = docs.select(
         F.col("doc_id").alias("nid"), F.col("text").alias("ntext")
     )
-    qn = base.join(d2, F.col("nid") == F.col("q.doc_id") + 1, "left").select(
+    return base.join(
+        d2, F.col("nid") == F.col("q.doc_id") + 1, "left"
+    ).select(
         (F.col("q.doc_id") + 100000000).alias("doc_id"),
         F.concat(
             F.lit("q/"), F.col("q.doc_id").cast("string")
@@ -731,57 +828,38 @@ def _q_index_query_probe(spark, sf_dir):
         .otherwise(F.coalesce(F.col("ntext"), F.col("q.text")))
         .alias("text"),
     )
+
+
+def _q_index_query_probe(spark, sf_dir):
+    """Read-only index probe (reference query mode) oracle-gated via
+    the md5 sketch mode: probe the `_qprobe_engine` state with (a)
+    url-identical queries (doc_id%8==1, indexed urls), (b) planted
+    content dups, (c) genuinely novel texts.  The DuckDB twin
+    reproduces the full lifecycle: prepare → md5 minhash → band
+    buckets → state-side cap → cross-candidates → ≥4-lane gate →
+    exact shingle Jaccard ≥ 0.6 → best match per query (ties to
+    smallest indexed id)."""
+    from pyspark.sql import functions as F
+
+    inc = _qprobe_engine(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     qu = docs.where(F.col("doc_id") % 8 == 1).select(
         (F.col("doc_id") + 100000000).alias("doc_id"),
         F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("url"),
         F.lit("probe").alias("text"),
     )
-    return inc.query_batch(qu.unionByName(qn))
+    return inc.query_batch(
+        qu.unionByName(_qprobe_novel_queries(spark, sf_dir))
+    )
 
 
 def _q_index_query_probe_topk(spark, sf_dir):
     """Ranked top-2 form of `index_query_probe` (reference A2: ranked
-    candidate list per query) — same state build and probe fixture,
+    candidate list per query) — same state and novel-probe fixture,
     `rank` column added, up to 2 content matches per query doc."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from metacache_mpi_spark.config import DedupConfig
-    from metacache_mpi_spark.plans.checkpoint import CheckpointManager
-    from metacache_mpi_spark.streaming.incremental import IncrementalDedup
-
-    cfg = DedupConfig(
-        shingle_k=8, sketch_size=8, bands=4, rows_per_band=2,
-        sketch_mode="md5",
+    return _qprobe_engine(spark, sf_dir).query_batch(
+        _qprobe_novel_queries(spark, sf_dir), topk=2
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx_pages = docs.where(F.col("doc_id") % 4 != 0).select(
-        "doc_id",
-        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("url"),
-        "text",
-    )
-    inc = IncrementalDedup(
-        spark,
-        CheckpointManager(spark, tempfile.mkdtemp(prefix="mcs_qprobe_")),
-        cfg,
-    )
-    inc.process_batch(idx_pages)
-
-    base = docs.where(F.col("doc_id") % 4 == 0).alias("q")
-    d2 = docs.select(
-        F.col("doc_id").alias("nid"), F.col("text").alias("ntext")
-    )
-    qn = base.join(d2, F.col("nid") == F.col("q.doc_id") + 1, "left").select(
-        (F.col("q.doc_id") + 100000000).alias("doc_id"),
-        F.concat(
-            F.lit("q/"), F.col("q.doc_id").cast("string")
-        ).alias("url"),
-        F.when(F.col("q.doc_id") % 8 == 0, F.col("q.text"))
-        .otherwise(F.coalesce(F.col("ntext"), F.col("q.text")))
-        .alias("text"),
-    )
-    return inc.query_batch(qn, topk=2)
 
 
 def _q_source_cap_survivors(spark, sf_dir):
@@ -2098,12 +2176,8 @@ def oracle_sql() -> dict[str, str]:
             FROM hits h JOIN sizes s ON s.eval_id = h.eval_id
             WHERE common_shingles * 1000 // n_eval_sh >= 500
         """,
-        "index_query_probe": """
-            WITH idx AS (
-              SELECT doc_id, 'd/' || CAST(doc_id AS VARCHAR) AS url, text
-              FROM documents
-              WHERE doc_id % 4 <> 0
-                AND text IS NOT NULL AND length(text) > 0),
+        "index_query_probe": f"""
+            WITH {_QPROBE_IDX_CTE},
             qall AS (
               SELECT * FROM (
                 SELECT doc_id + 100000000 AS qid,
@@ -2111,69 +2185,14 @@ def oracle_sql() -> dict[str, str]:
                        'probe' AS text
                 FROM documents WHERE doc_id % 8 = 1
                 UNION ALL
-                SELECT d.doc_id + 100000000 AS qid,
-                       'q/' || CAST(d.doc_id AS VARCHAR) AS url,
-                       CASE WHEN d.doc_id % 8 = 0 THEN d.text
-                            ELSE coalesce(d2.text, d.text) END AS text
-                FROM documents d
-                LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-                WHERE d.doc_id % 4 = 0)
+                {_QPROBE_QN_SQL})
               WHERE text IS NOT NULL AND length(text) > 0),
             urlm AS (SELECT q.qid, q.url, i.doc_id AS m
                      FROM qall q JOIN idx i USING (url)),
             nov AS (SELECT q.* FROM qall q
                     LEFT JOIN idx i USING (url)
                     WHERE i.doc_id IS NULL),
-            u AS (SELECT doc_id AS id, text FROM idx
-                  UNION ALL SELECT qid, text FROM nov),
-            posq AS (SELECT id, text,
-                            unnest(range(1, length(text) - 6)) AS i
-                     FROM u WHERE length(text) >= 8),
-            shq AS (SELECT DISTINCT id,
-                           substr(text, CAST(i AS INT), 8) AS sh
-                    FROM posq),
-            laned AS (SELECT id, unnest(range(0, 8)) AS lane, sh FROM shq),
-            mh AS (SELECT id, lane,
-                          min(md5(concat(CAST(lane AS VARCHAR), ':', sh)))
-                            AS minh
-                   FROM laned GROUP BY id, lane),
-            bkt AS (SELECT id, CAST(floor(lane / 2) AS BIGINT) AS band,
-                           string_agg(minh, '|' ORDER BY lane) AS bucket
-                    FROM mh GROUP BY id, floor(lane / 2)),
-            sb AS (SELECT band, bucket
-                   FROM bkt JOIN idx ON idx.doc_id = bkt.id
-                   GROUP BY band, bucket HAVING count(*) <= 254),
-            cand AS (SELECT DISTINCT si.id AS a, qi.id AS b
-                     FROM bkt si
-                     JOIN sb USING (band, bucket)
-                     JOIN bkt qi USING (band, bucket)
-                     JOIN idx ON idx.doc_id = si.id
-                     JOIN nov ON nov.qid = qi.id
-                     WHERE si.id <> qi.id),
-            gated AS (SELECT c.a, c.b FROM cand c
-                      JOIN mh ma ON ma.id = c.a
-                      JOIN mh mb ON mb.id = c.b AND mb.lane = ma.lane
-                      WHERE ma.minh = mb.minh
-                      GROUP BY c.a, c.b HAVING count(*) >= 4),
-            gsz AS (SELECT id, count(*) AS n FROM shq GROUP BY id),
-            ginter AS (SELECT g.a, g.b, count(*) AS c
-                       FROM gated g
-                       JOIN shq x ON x.id = g.a
-                       JOIN shq y ON y.id = g.b AND y.sh = x.sh
-                       GROUP BY g.a, g.b),
-            ver AS (SELECT i.a, i.b,
-                           CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c) AS j
-                    FROM ginter i
-                    JOIN gsz sa ON sa.id = i.a
-                    JOIN gsz sb2 ON sb2.id = i.b
-                    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c)
-                          >= 0.6),
-            best AS (SELECT b AS qid, a AS m,
-                            CAST(floor(j * 1000) AS BIGINT) AS jm,
-                            row_number() OVER (PARTITION BY b
-                                               ORDER BY j DESC, a ASC)
-                              AS rn
-                     FROM ver)
+            {_QPROBE_LIFECYCLE_CTE}
             SELECT qid AS doc_id, url, 'url' AS match_kind,
                    m AS matched_doc_id,
                    CAST(NULL AS BIGINT) AS jaccard_milli
@@ -2185,72 +2204,11 @@ def oracle_sql() -> dict[str, str]:
                    b.m AS matched_doc_id, b.jm AS jaccard_milli
             FROM nov n LEFT JOIN best b ON b.qid = n.qid AND b.rn = 1
         """,
-        "index_query_probe_topk": """
-            WITH idx AS (
-              SELECT doc_id, 'd/' || CAST(doc_id AS VARCHAR) AS url, text
-              FROM documents
-              WHERE doc_id % 4 <> 0
-                AND text IS NOT NULL AND length(text) > 0),
-            nov AS (
-              SELECT * FROM (
-                SELECT d.doc_id + 100000000 AS qid,
-                       'q/' || CAST(d.doc_id AS VARCHAR) AS url,
-                       CASE WHEN d.doc_id % 8 = 0 THEN d.text
-                            ELSE coalesce(d2.text, d.text) END AS text
-                FROM documents d
-                LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-                WHERE d.doc_id % 4 = 0)
-              WHERE text IS NOT NULL AND length(text) > 0),
-            u AS (SELECT doc_id AS id, text FROM idx
-                  UNION ALL SELECT qid, text FROM nov),
-            posq AS (SELECT id, text,
-                            unnest(range(1, length(text) - 6)) AS i
-                     FROM u WHERE length(text) >= 8),
-            shq AS (SELECT DISTINCT id,
-                           substr(text, CAST(i AS INT), 8) AS sh
-                    FROM posq),
-            laned AS (SELECT id, unnest(range(0, 8)) AS lane, sh FROM shq),
-            mh AS (SELECT id, lane,
-                          min(md5(concat(CAST(lane AS VARCHAR), ':', sh)))
-                            AS minh
-                   FROM laned GROUP BY id, lane),
-            bkt AS (SELECT id, CAST(floor(lane / 2) AS BIGINT) AS band,
-                           string_agg(minh, '|' ORDER BY lane) AS bucket
-                    FROM mh GROUP BY id, floor(lane / 2)),
-            sb AS (SELECT band, bucket
-                   FROM bkt JOIN idx ON idx.doc_id = bkt.id
-                   GROUP BY band, bucket HAVING count(*) <= 254),
-            cand AS (SELECT DISTINCT si.id AS a, qi.id AS b
-                     FROM bkt si
-                     JOIN sb USING (band, bucket)
-                     JOIN bkt qi USING (band, bucket)
-                     JOIN idx ON idx.doc_id = si.id
-                     JOIN nov ON nov.qid = qi.id
-                     WHERE si.id <> qi.id),
-            gated AS (SELECT c.a, c.b FROM cand c
-                      JOIN mh ma ON ma.id = c.a
-                      JOIN mh mb ON mb.id = c.b AND mb.lane = ma.lane
-                      WHERE ma.minh = mb.minh
-                      GROUP BY c.a, c.b HAVING count(*) >= 4),
-            gsz AS (SELECT id, count(*) AS n FROM shq GROUP BY id),
-            ginter AS (SELECT g.a, g.b, count(*) AS c
-                       FROM gated g
-                       JOIN shq x ON x.id = g.a
-                       JOIN shq y ON y.id = g.b AND y.sh = x.sh
-                       GROUP BY g.a, g.b),
-            ver AS (SELECT i.a, i.b,
-                           CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c) AS j
-                    FROM ginter i
-                    JOIN gsz sa ON sa.id = i.a
-                    JOIN gsz sb2 ON sb2.id = i.b
-                    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb2.n - i.c)
-                          >= 0.6),
-            best AS (SELECT b AS qid, a AS m,
-                            CAST(floor(j * 1000) AS BIGINT) AS jm,
-                            row_number() OVER (PARTITION BY b
-                                               ORDER BY j DESC, a ASC)
-                              AS rn
-                     FROM ver)
+        "index_query_probe_topk": f"""
+            WITH {_QPROBE_IDX_CTE},
+            nov AS (SELECT * FROM ({_QPROBE_QN_SQL})
+                    WHERE text IS NOT NULL AND length(text) > 0),
+            {_QPROBE_LIFECYCLE_CTE}
             SELECT n.qid AS doc_id, n.url,
                    CASE WHEN b.m IS NOT NULL THEN 'content'
                         ELSE 'none' END AS match_kind,

@@ -108,6 +108,12 @@ class CheckpointManager:
         manifest["snapshots"] = [
             s for s in manifest["snapshots"] if s["name"] not in names
         ]
+        # seq is a unique monotonic id (creation order), NOT a list
+        # index: after remove() reclaims old snapshots, len() would
+        # re-issue seqs that surviving entries still hold
+        next_seq = 1 + max(
+            (s["seq"] for s in manifest["snapshots"]), default=-1
+        )
         for name in names:
             path, schema, partition_rows = self._staged.pop(name)
             manifest["snapshots"].append(
@@ -116,11 +122,12 @@ class CheckpointManager:
                     path=path,
                     rows=sum(partition_rows),
                     schema=schema,
-                    seq=len(manifest["snapshots"]),
+                    seq=next_seq,
                     created_unix=time.time(),
                     partition_rows=partition_rows,
                 ).__dict__
             )
+            next_seq += 1
         self._write_manifest(manifest)
 
     def save(self, df: DataFrame, name: str) -> DataFrame:
@@ -164,9 +171,10 @@ class CheckpointManager:
 
         Order matters for crash safety: the manifest forgets the
         snapshots FIRST (one atomic update), then the data dirs go — a
-        crash in between leaves orphan dirs (harmless, re-removable),
-        never a manifest entry pointing at deleted data.  Unknown names
-        raise before anything is touched."""
+        crash in between leaves orphan dirs (invisible to the manifest
+        but reclaimed by the next :meth:`sweep_orphans`), never a
+        manifest entry pointing at deleted data.  Unknown names raise
+        before anything is touched."""
         import shutil
 
         manifest = self._read_manifest()
@@ -180,6 +188,23 @@ class CheckpointManager:
         self._write_manifest(manifest)
         for n in names:
             shutil.rmtree(known[n], ignore_errors=True)
+
+    def sweep_orphans(self) -> list[str]:
+        """Reclaim data dirs under the root that no manifest entry and
+        no staged write references — the leftovers of a crash between
+        :meth:`remove`'s manifest update and its dir deletion (or of a
+        crash mid-:meth:`stage_write`).  Returns the removed dir names.
+        Do not call concurrently with in-flight writes to this root."""
+        import shutil
+
+        live = {s.name for s in self.snapshots()} | set(self._staged)
+        removed = []
+        for entry in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, entry)
+            if os.path.isdir(full) and entry not in live:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(entry)
+        return removed
 
     def load(self, name: str) -> DataFrame:
         snap = next(s for s in self.snapshots() if s.name == name)

@@ -200,6 +200,9 @@ class IncrementalDedup:
                     dead.append(s.name)
         if dead:
             self.ck.remove(dead)
+        # also reclaim orphan dirs a previous crashed remove() left
+        # behind (manifest-first ordering makes them invisible to it)
+        self.ck.sweep_orphans()
         return dead
 
     def _recluster_affected(
@@ -434,9 +437,13 @@ class IncrementalDedup:
         novel = pin(q.join(docs.select("url"), "url", "left_anti"))
         qsigs = pin(attach_signature(novel.select("doc_id", "text"), cfg))
         # repeated probes on one engine (stream_query's foreachBatch
-        # loop) must not accumulate one cache pair per batch: record
-        # the pins so release_query_pins() can free them once the
-        # batch's result is materialized
+        # loop, back-to-back CLI probes) must not accumulate one cache
+        # pair per call: free the PREVIOUS probe's pins first (a caller
+        # still holding that result recomputes, which is correct-but-
+        # slower; leaking JVM cache entries is neither), then record
+        # the new pair so release_query_pins() can free it eagerly once
+        # the result is materialized
+        self.release_query_pins()
         self._query_pins = [novel, qsigs]
         qbands = emit_bands(qsigs, cfg)
 

@@ -83,6 +83,23 @@ def stream_query(
 
     Returns the StreamingQuery.
     """
+    import glob as _glob
+    import os as _os
+
+    # batch_id numbering restarts without a stream checkpoint, so a
+    # re-run over a changed input set would OVERWRITE low batch dirs
+    # and leave stale high ones mixed into the output — refuse the
+    # ambiguous combination instead of silently double-reporting
+    if stream_checkpoint_dir is None and _glob.glob(
+        _os.path.join(output_dir, "batch_id=*")
+    ):
+        raise ValueError(
+            f"{output_dir!r} already holds batch reports and no "
+            "stream_checkpoint_dir was given — pass the original "
+            "stream checkpoint to resume exactly-once, or point at a "
+            "fresh output dir"
+        )
+
     engine = IncrementalDedup(
         spark, CheckpointManager(spark, checkpoint_dir), cfg
     )

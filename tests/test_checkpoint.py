@@ -108,3 +108,49 @@ def test_multi_snapshot_commit_is_atomic(spark, tmp_path):
     ck.commit(["s_a", "s_b"])
     assert ck.has("s_a") and ck.has("s_b")
     assert ck.load("s_b").count() == 5
+
+
+def test_remove_reclaims_and_seq_stays_monotonic(spark, tmp_path):
+    """remove() drops manifest entries + dirs; a later commit's seq is
+    HIGHER than every survivor (unique monotonic id, not a list
+    index); unknown names raise before anything is touched."""
+    import os
+
+    import pytest
+
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    for name in ("s0", "s1", "s2"):
+        ck.save(spark.range(3), name)
+    p0 = next(s.path for s in ck.snapshots() if s.name == "s0")
+
+    with pytest.raises(KeyError, match="nope"):
+        ck.remove(["s0", "nope"])
+    assert ck.has("s0")  # nothing was touched
+
+    ck.remove(["s0", "s1"])
+    assert not ck.has("s0") and not os.path.exists(p0)
+    assert ck.has("s2")
+
+    ck.save(spark.range(2), "s3")
+    seqs = {s.name: s.seq for s in ck.snapshots()}
+    assert seqs["s3"] > seqs["s2"]
+    assert len(set(seqs.values())) == len(seqs)
+
+
+def test_sweep_orphans(spark, tmp_path):
+    """Dirs under the root unknown to manifest + staging are reclaimed;
+    live and staged snapshot dirs survive."""
+    import os
+
+    ck = CheckpointManager(spark, str(tmp_path / "ck"))
+    ck.save(spark.range(3), "live")
+    ck.stage_write(spark.range(2), "staged")
+    orphan = os.path.join(ck.root, "crashed_leftover")
+    os.makedirs(orphan)
+
+    removed = ck.sweep_orphans()
+    assert removed == ["crashed_leftover"]
+    assert not os.path.exists(orphan)
+    assert ck.load("live").count() == 3
+    ck.commit(["staged"])
+    assert ck.load("staged").count() == 2

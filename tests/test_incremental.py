@@ -367,3 +367,28 @@ def test_query_batch_topk_ranked(spark, tmp_path):
 
     with pytest.raises(ValueError, match="topk"):
         inc.query_batch(queries, topk=0)
+
+
+def test_query_batch_releases_previous_pins(spark, tmp_path):
+    """Back-to-back probes must not accumulate cached frames: the
+    second query_batch unpersists the first probe's pins."""
+    inc = IncrementalDedup(
+        spark, CheckpointManager(spark, str(tmp_path / "s"))
+    )
+    inc.process_batch(
+        spark.createDataFrame(
+            [("u/1", "some indexed document text " * 3)],
+            "url string, text string",
+        )
+    )
+    q = spark.createDataFrame(
+        [("q/x", "a probe document with enough text to sketch")],
+        "url string, text string",
+    )
+    inc.query_batch(q).collect()
+    first_pins = list(inc._query_pins)
+    assert all(p.storageLevel.useMemory for p in first_pins)
+    inc.query_batch(q).collect()
+    assert all(not p.storageLevel.useMemory for p in first_pins)
+    inc.release_query_pins()
+    assert inc._query_pins == []

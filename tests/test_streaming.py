@@ -211,3 +211,24 @@ def test_windowed_page_stats_watermark(spark, tmp_path):
     # the 00:10 event moved the watermark to 00:08, closing both early
     # windows; the 00:10 window itself stays open (not emitted)
     assert got == {(0, 2, 1), (1, 1, 1)}
+
+
+def test_stream_query_refuses_stale_output_without_checkpoint(spark, tmp_path):
+    """Re-running stream_query over an output dir that already holds
+    batch reports, without the original stream checkpoint, would mix
+    stale and fresh reports — it must refuse."""
+    import os
+
+    import pytest
+
+    from metacache_mpi_spark.streaming.stream_dedup import stream_query
+
+    out = tmp_path / "reports"
+    (out / "batch_id=0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="batch reports"):
+        stream_query(
+            spark,
+            str(tmp_path / "incoming"),
+            str(tmp_path / "state"),
+            str(out),
+        )
