@@ -862,6 +862,33 @@ def _q_index_query_probe_topk(spark, sf_dir):
     )
 
 
+def _q_crawl_diff_scored(spark, sf_dir):
+    """`crawl_diff(score_changes=True)` on the crawl_diff fixture:
+    every `changed` url additionally carries the exact 8-char-shingle
+    Jaccard between its old and new text (milli) — the re-process
+    priority signal; other statuses carry null."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.webops import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.reverse(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return crawl_diff(old, new, score_changes=True)
+
+
 def _q_source_cap_survivors(spark, sf_dir):
     """C4/Dolma-style per-domain cap: keep the 10 longest docs per
     source (ties by doc_id) — count-first plan windows only over-cap
@@ -1645,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs_bloom": _q_contamination_pairs_bloom,
         "source_cap_survivors": _q_source_cap_survivors,
         "crawl_diff": _q_crawl_diff,
+        "crawl_diff_scored": _q_crawl_diff_scored,
         "index_query_probe": _q_index_query_probe,
         "index_query_probe_topk": _q_index_query_probe_topk,
         "quality_scores": _q_quality_scores,
@@ -2239,6 +2267,69 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status,
                    old_doc_id, new_doc_id
             FROM old FULL OUTER JOIN new ON old.url = new.url
+        """,
+        "crawl_diff_scored": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '.example/d' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents),
+            old AS (SELECT url, md5(coalesce(text, '')) AS oh,
+                           doc_id AS old_doc_id, text AS otext
+                    FROM d WHERE doc_id % 3 <> 0),
+            new AS (SELECT url,
+                           md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                             THEN reverse(text)
+                                             ELSE text END, '')) AS nh,
+                           doc_id AS new_doc_id,
+                           CASE WHEN doc_id % 5 = 0 THEN reverse(text)
+                                ELSE text END AS ntext
+                    FROM d WHERE doc_id % 3 <> 1),
+            j AS (SELECT coalesce(old.url, new.url) AS url,
+                         CASE WHEN oh IS NULL THEN 'added'
+                              WHEN nh IS NULL THEN 'removed'
+                              WHEN oh <> nh THEN 'changed'
+                              ELSE 'unchanged' END AS status,
+                         old_doc_id, new_doc_id, otext, ntext
+                  FROM old FULL OUTER JOIN new ON old.url = new.url),
+            ch AS (SELECT url, otext AS t, 'a' AS side FROM j
+                   WHERE status = 'changed'
+                   UNION ALL
+                   SELECT url, ntext, 'b' FROM j WHERE status = 'changed'),
+            shc AS (SELECT DISTINCT url, side,
+                           substr(t, CAST(i AS INT), 8) AS sh
+                    FROM (SELECT url, side, t,
+                                 unnest(range(1, length(t) - 6)) AS i
+                          FROM ch WHERE length(t) >= 8)),
+            sz AS (SELECT url, side, count(*) AS n FROM shc
+                   GROUP BY url, side),
+            sz2 AS (SELECT url,
+                           coalesce(max(CASE WHEN side = 'a' THEN n END), 0)
+                             AS na,
+                           coalesce(max(CASE WHEN side = 'b' THEN n END), 0)
+                             AS nb
+                    FROM sz GROUP BY url),
+            its AS (SELECT a.url, count(*) AS c
+                    FROM shc a JOIN shc b
+                      ON a.url = b.url AND a.sh = b.sh
+                     AND a.side = 'a' AND b.side = 'b'
+                    GROUP BY a.url),
+            jm AS (SELECT cu.url,
+                          CASE WHEN coalesce(na, 0) + coalesce(nb, 0) = 0
+                               THEN 0
+                               ELSE CAST(floor(
+                                 CAST(coalesce(c, 0) AS DOUBLE)
+                                 / (na + nb - coalesce(c, 0)) * 1000)
+                                 AS BIGINT) END AS m
+                   FROM (SELECT DISTINCT url FROM j
+                         WHERE status = 'changed') cu
+                   LEFT JOIN sz2 USING (url)
+                   LEFT JOIN its USING (url))
+            SELECT j.url, j.status, j.old_doc_id, j.new_doc_id,
+                   CASE WHEN j.status = 'changed' THEN coalesce(jm.m, 0)
+                        END AS change_jaccard_milli
+            FROM j LEFT JOIN jm ON jm.url = j.url
         """,
         "source_cap_survivors": """
             SELECT doc_id, source, n_chars FROM (

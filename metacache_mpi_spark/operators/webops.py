@@ -136,6 +136,8 @@ def crawl_diff(
     new: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
+    score_changes: bool = False,
+    shingle_k: int = 8,
 ) -> DataFrame:
     """Crawl-to-crawl delta: classify every url across two crawl
     snapshots as ``added`` (new only), ``removed`` (old only),
@@ -149,23 +151,35 @@ def crawl_diff(
     empty, so NULL→NULL is `unchanged`).  Returns
     ``(url, status, old_doc_id, new_doc_id)``.
 
+    ``score_changes`` appends ``change_jaccard_milli`` — the exact
+    ``shingle_k``-char Jaccard between the old and new text of every
+    ``changed`` url (null for the other statuses): the re-process
+    priority signal of an incremental crawl pipeline (a footer tweak
+    scores ~990, a rewrite ~0).  Row-local: both texts already sit on
+    the joined row, so scoring adds an Arrow projection but NO extra
+    shuffle.
+
     Scale: ONE full-outer shuffle join keyed on url — both sides hash
     to the same partitioning, keys are unique per side so there is no
     hot key by construction; with both crawls stored bucketed on url
     (plans/bucketing.py) the Exchange disappears entirely.
     """
     h = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
+    carry_o = [F.col(text_col).alias("__old_t")] if score_changes else []
+    carry_n = [F.col(text_col).alias("__new_t")] if score_changes else []
     o = old.select(
         F.col(url_col).alias("url"),
         h(text_col).alias("__old_h"),
         F.col("doc_id").alias("old_doc_id"),
+        *carry_o,
     )
     n = new.select(
         F.col(url_col).alias("url"),
         h(text_col).alias("__new_h"),
         F.col("doc_id").alias("new_doc_id"),
+        *carry_n,
     )
-    return o.join(n, "url", "full_outer").select(
+    base = o.join(n, "url", "full_outer").select(
         "url",
         F.when(F.col("__old_h").isNull(), F.lit("added"))
         .when(F.col("__new_h").isNull(), F.lit("removed"))
@@ -174,6 +188,44 @@ def crawl_diff(
         .alias("status"),
         "old_doc_id",
         "new_doc_id",
+        *([F.col("__old_t"), F.col("__new_t")] if score_changes else []),
+    )
+    if not score_changes:
+        return base
+    import numpy as np
+    import pandas as pd
+
+    from .verify import _pair_jaccard
+
+    # the shared correctness kernel directly, NOT exact_jaccard_pairs:
+    # that wrapper repartitions for CPU-heavy verify fan-out, which
+    # would add the very Exchange this row-local scoring avoids
+    k = shingle_k
+
+    @F.pandas_udf("double")
+    def _jac(ta, tb):
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            out[i] = _pair_jaccard(x, y, k)
+        return pd.Series(out)
+
+    # mask non-changed rows to '' so the Arrow kernel does no work on
+    # them (the UDF runs per projected row regardless of the when())
+    changed = F.col("status") == "changed"
+    scored = base.withColumn(
+        "jaccard",
+        _jac(
+            F.when(changed, F.col("__old_t")).otherwise(F.lit("")),
+            F.when(changed, F.col("__new_t")).otherwise(F.lit("")),
+        ),
+    )
+    return scored.select(
+        "url",
+        "status",
+        "old_doc_id",
+        "new_doc_id",
+        F.when(changed, F.floor(F.col("jaccard") * 1000).cast("long"))
+        .alias("change_jaccard_milli"),
     )
 
 

@@ -396,6 +396,43 @@ def test_crawl_diff_statuses(spark):
     )
 
 
+def test_crawl_diff_score_changes(spark):
+    """score_changes: changed urls carry the exact old-vs-new shingle
+    Jaccard (identical text under a changed hash is impossible, so the
+    interesting cases are small-edit ≈ high score, rewrite = 0);
+    other statuses carry null."""
+    from metacache_mpi_spark.operators.webops import crawl_diff
+
+    long_a = "".join(f"w{i:02d} " for i in range(40))
+    old = spark.createDataFrame(
+        [
+            (1, "u/minor", long_a),
+            (2, "u/rewrite", long_a),
+            (3, "u/same", "identical words here"),
+            (4, "u/gone", "bye"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "u/minor", long_a + "tail"),   # small append
+            (12, "u/rewrite", "".join(f"z{i:02d} " for i in range(40))),
+            (13, "u/same", "identical words here"),
+            (14, "u/new", "hello"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        r["url"]: r
+        for r in crawl_diff(old, new, score_changes=True).collect()
+    }
+    assert got["u/minor"]["status"] == "changed"
+    assert got["u/minor"]["change_jaccard_milli"] >= 900
+    assert got["u/rewrite"]["change_jaccard_milli"] == 0
+    for u in ("u/same", "u/gone", "u/new"):
+        assert got[u]["change_jaccard_milli"] is None
+
+
 def test_cap_docs_per_key(spark):
     """Per-key document cap: over-cap keys keep exactly max_docs rows
     under the given order; under-cap keys pass through untouched."""
