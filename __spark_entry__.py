@@ -1629,6 +1629,38 @@ def _q_pipeline_clusters(spark, sf_dir):
     return dedup_pipeline(docs, cfg).clusters
 
 
+def _q_source_dup_stats(spark, sf_dir):
+    """Per-source duplication report over the oracle-gated md5
+    pipeline clusters — THE dedup analysis a webtext curator reads
+    first (which domains are mirror farms): per source, doc count,
+    non-representative copies (doc_id ≠ cluster_id), and the dup rate
+    in milli.  One extra join + map-side-combinable groupBy on top of
+    `pipeline_clusters`."""
+    from pyspark.sql import functions as F
+
+    clusters = _q_pipeline_clusters(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        clusters.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1)
+                .otherwise(0)
+            ).cast("long").alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            F.expr("dup_docs * 1000 div n_docs")
+            .cast("long")
+            .alias("dup_rate_milli"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1673,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_survivors": _q_source_cap_survivors,
         "crawl_diff": _q_crawl_diff,
         "crawl_diff_scored": _q_crawl_diff_scored,
+        "source_dup_stats": _q_source_dup_stats,
         "index_query_probe": _q_index_query_probe,
         "index_query_probe_topk": _q_index_query_probe_topk,
         "quality_scores": _q_quality_scores,
@@ -1914,6 +1947,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(m) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "source_dup_stats": f"""
+            WITH RECURSIVE {_MD5_PIPE_VERIFIED_CTE},
+            sym AS (SELECT a AS u, b AS v FROM mpairs
+                    UNION SELECT b, a FROM mpairs),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+                UNION
+                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+            ),
+            cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+                   FROM reach GROUP BY node)
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                   CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id
+                                 THEN 1 ELSE 0 END) * 1000 // count(*)
+                        AS BIGINT) AS dup_rate_milli
+            FROM cl JOIN documents d USING (doc_id)
+            GROUP BY d.source
         """,
         "simhash_fingerprints": f"""
             WITH {_simhash_votes_sql()}
