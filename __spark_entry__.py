@@ -233,6 +233,47 @@ best AS (SELECT b AS qid, a AS m,
                   AS rn
          FROM ver)"""
 
+# crawl-diff oracle fragment shared by `crawl_diff` and
+# `crawl_diff_scored` (the SQL mirror of _crawl_fixture + crawl_diff's
+# join/status logic): d/old/new/j with both texts carried on j
+_CRAWL_DIFF_CTE = """d AS (
+  SELECT doc_id,
+         'https://' || source || '.example/d' ||
+           CAST(doc_id AS VARCHAR) AS url,
+         text
+  FROM documents),
+old AS (SELECT url, md5(coalesce(text, '')) AS oh,
+               doc_id AS old_doc_id, text AS otext
+        FROM d WHERE doc_id % 3 <> 0),
+new AS (SELECT url,
+               md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                 THEN reverse(text)
+                                 ELSE text END, '')) AS nh,
+               doc_id AS new_doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN reverse(text)
+                    ELSE text END AS ntext
+        FROM d WHERE doc_id % 3 <> 1),
+j AS (SELECT coalesce(old.url, new.url) AS url,
+             CASE WHEN oh IS NULL THEN 'added'
+                  WHEN nh IS NULL THEN 'removed'
+                  WHEN oh <> nh THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             old_doc_id, new_doc_id, otext, ntext
+      FROM old FULL OUTER JOIN new ON old.url = new.url)"""
+
+# connected-components tail over `mpairs` (md5 pipeline funnel) shared
+# by `pipeline_clusters` and `source_dup_stats`
+_MD5_CLUSTERS_CTE = """sym AS (SELECT a AS u, b AS v FROM mpairs
+       UNION SELECT b, a FROM mpairs),
+reach(node, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+    UNION
+    SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+),
+cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+       FROM reach GROUP BY node)"""
+
 _HEX_HIGH = "('8','9','a','b','c','d','e','f')"
 
 # windowed bottom-4 md5 sketch of the documents table as a genomic
@@ -727,14 +768,13 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination_pairs(docs, evalset)
 
 
-def _q_crawl_diff(spark, sf_dir):
-    """Two crawl snapshots derived deterministically from `documents`
-    (old = doc_id%3≠0, new = doc_id%3≠1 with every %5==0 text reversed)
-    → per-url added/removed/changed/unchanged via ONE full-outer join
-    on the url key."""
+def _crawl_fixture(spark, sf_dir):
+    """Two deterministic crawl snapshots derived from `documents`
+    (old = doc_id%3≠0, new = doc_id%3≠1 with every %5==0 text
+    reversed) — ONE builder shared by `crawl_diff` and
+    `crawl_diff_scored`, mirrored by the shared `_CRAWL_DIFF_CTE` on
+    the oracle side so the paired gates cannot drift apart."""
     from pyspark.sql import functions as F
-
-    from metacache_mpi_spark.operators.webops import crawl_diff
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -751,7 +791,15 @@ def _q_crawl_diff(spark, sf_dir):
             F.col("doc_id") % 5 == 0, F.reverse(F.col("text"))
         ).otherwise(F.col("text")),
     )
-    return crawl_diff(old, new)
+    return old, new
+
+
+def _q_crawl_diff(spark, sf_dir):
+    """Per-url added/removed/changed/unchanged across the two fixture
+    crawls via ONE full-outer join on the url key."""
+    from metacache_mpi_spark.operators.webops import crawl_diff
+
+    return crawl_diff(*_crawl_fixture(spark, sf_dir))
 
 
 def _qprobe_engine(spark, sf_dir):
@@ -863,30 +911,13 @@ def _q_index_query_probe_topk(spark, sf_dir):
 
 
 def _q_crawl_diff_scored(spark, sf_dir):
-    """`crawl_diff(score_changes=True)` on the crawl_diff fixture:
-    every `changed` url additionally carries the exact 8-char-shingle
-    Jaccard between its old and new text (milli) — the re-process
-    priority signal; other statuses carry null."""
-    from pyspark.sql import functions as F
-
+    """`crawl_diff(score_changes=True)` on the shared crawl fixture:
+    every `changed` url additionally carries the 8-shingle Jaccard
+    between its old and new text (milli) — the re-process priority
+    signal; other statuses carry null."""
     from metacache_mpi_spark.operators.webops import crawl_diff
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example/d"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        "text",
-    )
-    old = docs.where(F.col("doc_id") % 3 != 0)
-    new = docs.where(F.col("doc_id") % 3 != 1).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 5 == 0, F.reverse(F.col("text"))
-        ).otherwise(F.col("text")),
-    )
-    return crawl_diff(old, new, score_changes=True)
+    return crawl_diff(*_crawl_fixture(spark, sf_dir), score_changes=True)
 
 
 def _q_source_cap_survivors(spark, sf_dir):
@@ -1937,29 +1968,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_clusters": f"""
             WITH RECURSIVE {_MD5_PIPE_VERIFIED_CTE},
-            sym AS (SELECT a AS u, b AS v FROM mpairs
-                    UNION SELECT b, a FROM mpairs),
-            reach(node, m) AS (
-                SELECT doc_id, doc_id FROM documents
-                WHERE text IS NOT NULL AND length(text) > 0
-                UNION
-                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
-            )
-            SELECT node AS doc_id, min(m) AS cluster_id
-            FROM reach GROUP BY node
+            {_MD5_CLUSTERS_CTE}
+            SELECT doc_id, cluster_id FROM cl
         """,
         "source_dup_stats": f"""
             WITH RECURSIVE {_MD5_PIPE_VERIFIED_CTE},
-            sym AS (SELECT a AS u, b AS v FROM mpairs
-                    UNION SELECT b, a FROM mpairs),
-            reach(node, m) AS (
-                SELECT doc_id, doc_id FROM documents
-                WHERE text IS NOT NULL AND length(text) > 0
-                UNION
-                SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
-            ),
-            cl AS (SELECT node AS doc_id, min(m) AS cluster_id
-                   FROM reach GROUP BY node)
+            {_MD5_CLUSTERS_CTE}
             SELECT d.source,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id
@@ -2299,55 +2313,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn AS INT) AS rank
             FROM nov n LEFT JOIN best b ON b.qid = n.qid AND b.rn <= 2
         """,
-        "crawl_diff": """
-            WITH d AS (
-              SELECT doc_id,
-                     'https://' || source || '.example/d' ||
-                       CAST(doc_id AS VARCHAR) AS url,
-                     text
-              FROM documents),
-            old AS (SELECT url, md5(coalesce(text, '')) AS oh,
-                           doc_id AS old_doc_id
-                    FROM d WHERE doc_id % 3 <> 0),
-            new AS (SELECT url,
-                           md5(coalesce(CASE WHEN doc_id % 5 = 0
-                                             THEN reverse(text)
-                                             ELSE text END, '')) AS nh,
-                           doc_id AS new_doc_id
-                    FROM d WHERE doc_id % 3 <> 1)
-            SELECT coalesce(old.url, new.url) AS url,
-                   CASE WHEN oh IS NULL THEN 'added'
-                        WHEN nh IS NULL THEN 'removed'
-                        WHEN oh <> nh THEN 'changed'
-                        ELSE 'unchanged' END AS status,
-                   old_doc_id, new_doc_id
-            FROM old FULL OUTER JOIN new ON old.url = new.url
+        "crawl_diff": f"""
+            WITH {_CRAWL_DIFF_CTE}
+            SELECT url, status, old_doc_id, new_doc_id FROM j
         """,
-        "crawl_diff_scored": """
-            WITH d AS (
-              SELECT doc_id,
-                     'https://' || source || '.example/d' ||
-                       CAST(doc_id AS VARCHAR) AS url,
-                     text
-              FROM documents),
-            old AS (SELECT url, md5(coalesce(text, '')) AS oh,
-                           doc_id AS old_doc_id, text AS otext
-                    FROM d WHERE doc_id % 3 <> 0),
-            new AS (SELECT url,
-                           md5(coalesce(CASE WHEN doc_id % 5 = 0
-                                             THEN reverse(text)
-                                             ELSE text END, '')) AS nh,
-                           doc_id AS new_doc_id,
-                           CASE WHEN doc_id % 5 = 0 THEN reverse(text)
-                                ELSE text END AS ntext
-                    FROM d WHERE doc_id % 3 <> 1),
-            j AS (SELECT coalesce(old.url, new.url) AS url,
-                         CASE WHEN oh IS NULL THEN 'added'
-                              WHEN nh IS NULL THEN 'removed'
-                              WHEN oh <> nh THEN 'changed'
-                              ELSE 'unchanged' END AS status,
-                         old_doc_id, new_doc_id, otext, ntext
-                  FROM old FULL OUTER JOIN new ON old.url = new.url),
+        "crawl_diff_scored": f"""
+            WITH {_CRAWL_DIFF_CTE},
             ch AS (SELECT url, otext AS t, 'a' AS side FROM j
                    WHERE status = 'changed'
                    UNION ALL

@@ -98,6 +98,22 @@ def _pin_udf_parallelism(df: DataFrame) -> DataFrame:
     return df.repartition(2 * sc.defaultParallelism)
 
 
+def jaccard_udf(k: int):
+    """Arrow UDF over the shared :func:`_pair_jaccard` kernel — the
+    ONE place the batching loop lives (exact_jaccard_pairs and
+    webops.crawl_diff both route through it, so the verify and
+    crawl-scoring lanes cannot drift)."""
+
+    @F.pandas_udf("double")
+    def _jac(ta, tb):
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            out[i] = _pair_jaccard(x, y, k)
+        return pd.Series(out)
+
+    return _jac
+
+
 def exact_jaccard_pairs(
     pairs_with_text: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
@@ -106,16 +122,10 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """Append exact k-shingle Jaccard per pair (pandas UDF, Arrow)."""
     pairs_with_text = _pin_udf_parallelism(pairs_with_text)
-    k = cfg.shingle_k
-
-    @F.pandas_udf("double")
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            out[i] = _pair_jaccard(x, y, k)
-        return pd.Series(out)
-
-    return pairs_with_text.withColumn("jaccard", _jac(F.col(text_a), F.col(text_b)))
+    jac = jaccard_udf(cfg.shingle_k)
+    return pairs_with_text.withColumn(
+        "jaccard", jac(F.col(text_a), F.col(text_b))
+    )
 
 
 def prefilter_candidates(

@@ -151,13 +151,16 @@ def crawl_diff(
     empty, so NULL→NULL is `unchanged`).  Returns
     ``(url, status, old_doc_id, new_doc_id)``.
 
-    ``score_changes`` appends ``change_jaccard_milli`` — the exact
-    ``shingle_k``-char Jaccard between the old and new text of every
-    ``changed`` url (null for the other statuses): the re-process
-    priority signal of an incremental crawl pipeline (a footer tweak
-    scores ~990, a rewrite ~0).  Row-local: both texts already sit on
-    the joined row, so scoring adds an Arrow projection but NO extra
-    shuffle.
+    ``score_changes`` appends ``change_jaccard_milli`` — the
+    ``shingle_k``-shingle Jaccard between the old and new text of
+    every ``changed`` url (null for the other statuses): the
+    re-process priority signal of an incremental crawl pipeline (a
+    footer tweak scores ~990, a rewrite ~0).  Computed by the SAME
+    kernel as the dedup verify lanes (``verify._pair_jaccard``:
+    byte-shingles compared via their 32-bit hashes — collision-exact
+    up to ~10^4 shingles/side, within ±1 milli beyond).  Row-local:
+    both texts already sit on the joined row, so scoring adds an
+    Arrow projection but NO extra shuffle.
 
     Scale: ONE full-outer shuffle join keyed on url — both sides hash
     to the same partitioning, keys are unique per side so there is no
@@ -192,29 +195,19 @@ def crawl_diff(
     )
     if not score_changes:
         return base
-    import numpy as np
-    import pandas as pd
+    from .verify import jaccard_udf
 
-    from .verify import _pair_jaccard
-
-    # the shared correctness kernel directly, NOT exact_jaccard_pairs:
-    # that wrapper repartitions for CPU-heavy verify fan-out, which
-    # would add the very Exchange this row-local scoring avoids
-    k = shingle_k
-
-    @F.pandas_udf("double")
-    def _jac(ta, tb):
-        out = np.empty(len(ta), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            out[i] = _pair_jaccard(x, y, k)
-        return pd.Series(out)
-
+    # the shared verify kernel via its UDF factory, NOT
+    # exact_jaccard_pairs: that wrapper repartitions for CPU-heavy
+    # verify fan-out, which would add the very Exchange this row-local
+    # scoring avoids (plan-asserted in test_webops)
+    jac = jaccard_udf(shingle_k)
     # mask non-changed rows to '' so the Arrow kernel does no work on
     # them (the UDF runs per projected row regardless of the when())
     changed = F.col("status") == "changed"
     scored = base.withColumn(
         "jaccard",
-        _jac(
+        jac(
             F.when(changed, F.col("__old_t")).otherwise(F.lit("")),
             F.when(changed, F.col("__new_t")).otherwise(F.lit("")),
         ),

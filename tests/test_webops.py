@@ -432,6 +432,16 @@ def test_crawl_diff_score_changes(spark):
     for u in ("u/same", "u/gone", "u/new"):
         assert got[u]["change_jaccard_milli"] is None
 
+    # the advertised row-local property, plan-asserted: scoring adds an
+    # Arrow projection but NO Exchange beyond the diff join's own
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    assert n_exchanges(
+        crawl_diff(old, new, score_changes=True)
+    ) == n_exchanges(crawl_diff(old, new))
+
 
 def test_cap_docs_per_key(spark):
     """Per-key document cap: over-cap keys keep exactly max_docs rows
