@@ -101,6 +101,13 @@ sp_merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
 # oracles that need the pair lane AND the bucket lane in one WITH
 # (string surgery is deliberate: one source of truth for the fragment)
 def _buckets_after_sh() -> str:
+    # fail LOUDLY at call time if the literal-prefix construction of
+    # _BUCKETS_CTE ever drifts (a whitespace edit is enough) — slicing
+    # on a wrong prefix would silently yield garbled oracle SQL
+    assert _BUCKETS_CTE.startswith(_SH_CTE), (
+        "_BUCKETS_CTE no longer starts with _SH_CTE; "
+        "_buckets_after_sh() slicing is invalid"
+    )
     return _BUCKETS_CTE[len(_SH_CTE):]
 
 
@@ -365,9 +372,20 @@ scored AS (SELECT e.vec_id, e.label,
 def _q_exact_dup_groups(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # SELF-PLANTING: the driver corpus has no md5-identical texts, so a
+    # bare groupBy-HAVING returns 0 rows in every round — a green row
+    # that proves nothing.  Union a deterministic re-keyed copy of the
+    # doc_id % 97 == 0 slice (same transform in the DuckDB twin) so the
+    # gate exercises real duplicate-group detection: every planted text
+    # must come back as a group with n_docs >= 2 whose representative
+    # is the ORIGINAL (smaller) doc_id.
+    planted = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
     return (
-        docs.groupBy(F.md5("text").alias("fp"))
+        docs.unionByName(planted)
+        .groupBy(F.md5("text").alias("fp"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("rep_doc_id"),
@@ -1703,19 +1721,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate verifies only the
+    # FIRST 50 entries per round.  Slots 1-29 hold the queries with no
+    # green row in the most recent driver file (never-checked lanes and
+    # the r04 stalwarts rotated out by r05's window); slots 30-50 hold
+    # queries whose implementation changed this round plus the flagship
+    # dedup lanes; slots 51+ are long-stable trivial projections whose
+    # last driver row is recent — all 79 stay oracle-gated in pytest
+    # (test_contract.py) regardless of position.
     return {
+        # -- never driver-checked (r01-r05) --------------------------------
+        "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
+        "embedding_contamination_pairs": _q_embedding_contamination_pairs,
+        "embedding_contamination_banded": _q_embedding_contamination_banded,
+        "genomic_candidates": _q_genomic_candidates,
+        "genomic_candidates_paired": _q_genomic_candidates_paired,
+        "genomic_candidates_merged": _q_genomic_candidates_merged,
+        # -- last green r04 or earlier --------------------------------------
+        "genomic_candidates_md5": _q_genomic_candidates_md5,
+        "genomic_candidates_paired_md5": _q_genomic_candidates_paired_md5,
+        "genomic_candidates_merged_md5": _q_genomic_candidates_merged_md5,
+        "classify_lca": _q_classify_lca,
+        "abundance_estimate": _q_abundance_estimate,
+        "classification_rank_stats": _q_classification_rank_stats,
+        "lang_confusion_stats": _q_lang_confusion_stats,
+        "matches_per_target": _q_matches_per_target,
+        "index_bucket_stats": _q_index_bucket_stats,
+        "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
+        "pipeline_clusters": _q_pipeline_clusters,
+        "ann_lsh_dup_pairs": _q_ann_lsh_dup_pairs,
+        "value_moments": _q_value_moments,
+        "tpch_q1": _q_tpch_q1,
+        "top_users_per_event_type": _q_top_users,
+        "contiguous_range_hits": _q_contig_hits,
+        "event_type_cumulative": _q_event_cumulative,
+        "merge_topk_sources": _q_merge_topk,
+        "star_join_revenue": _q_star_join_revenue,
+        "nation_region_rollup": _q_nation_region_rollup,
+        "paired_zip_events": _q_paired_zip,
+        "sessionize_events": _q_sessionize,
+        "props_extract": _q_props_extract,
+        # -- changed this round / flagship dedup lanes ----------------------
         "exact_dup_groups": _q_exact_dup_groups,
-        "exact_dedup_keep_first": _q_exact_dedup_keep_first,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "dedup_clusters": _q_dedup_clusters,
+        "crawl_diff": _q_crawl_diff,
+        "crawl_diff_scored": _q_crawl_diff_scored,
         "dedup_pair_metrics": _q_dedup_pair_metrics,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "cluster_agreement_lang": _q_cluster_agreement_lang,
+        "exact_substring_dedup": _q_exact_substring_dedup,
+        "repeated_spans": _q_repeated_spans,
+        "repeated_span_intervals": _q_repeated_span_intervals,
+        "semantic_dup_candidates": _q_semantic_dup_candidates,
+        "semantic_dedup": _q_semantic_dedup,
+        "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
+        "contamination_pairs": _q_contamination_pairs,
+        "contamination_pairs_bloom": _q_contamination_pairs_bloom,
+        "source_dup_stats": _q_source_dup_stats,
+        "index_query_probe": _q_index_query_probe,
+        "lsh_star_pairs": _q_lsh_star_pairs,
+        "upsample_repeat": _q_upsample_repeat,
+        "hash_split_assign": _q_hash_split_assign,
+        # ---- 50-slot window boundary --------------------------------------
+        "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "cluster_reps_longest": _q_cluster_reps_longest,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_band_buckets": _q_lsh_band_buckets,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "lsh_star_pairs": _q_lsh_star_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "simhash_banded_pairs": _q_simhash_banded_pairs,
@@ -1727,70 +1800,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "repetition_stats": _q_repetition_stats,
-        "repeated_spans": _q_repeated_spans,
-        "repeated_span_intervals": _q_repeated_span_intervals,
-        "exact_substring_dedup": _q_exact_substring_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
-        "contamination_pairs": _q_contamination_pairs,
-        "contamination_pairs_bloom": _q_contamination_pairs_bloom,
         "source_cap_survivors": _q_source_cap_survivors,
-        "crawl_diff": _q_crawl_diff,
-        "crawl_diff_scored": _q_crawl_diff_scored,
-        "source_dup_stats": _q_source_dup_stats,
-        "index_query_probe": _q_index_query_probe,
         "index_query_probe_topk": _q_index_query_probe_topk,
         "quality_scores": _q_quality_scores,
         "mixture_sample": _q_mixture_sample,
         "token_budget_pack": _q_token_budget_pack,
         "mixture_report": _q_mixture_report,
-        "hash_split_assign": _q_hash_split_assign,
-        "upsample_repeat": _q_upsample_repeat,
         "sequence_pack": _q_sequence_pack,
         "sequence_pack_global": _q_sequence_pack_global,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
-        "semantic_dup_candidates": _q_semantic_dup_candidates,
-        "semantic_dedup": _q_semantic_dedup,
         "ann_lsh_bucketed": _q_ann_lsh_bucketed,
         "ann_batch_topk": _q_ann_batch_topk,
-        "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
-        "embedding_contamination_pairs": _q_embedding_contamination_pairs,
-        "embedding_contamination_banded": _q_embedding_contamination_banded,
-        "ann_lsh_dup_pairs": _q_ann_lsh_dup_pairs,
-        "lang_confusion_stats": _q_lang_confusion_stats,
-        "value_moments": _q_value_moments,
-        "matches_per_target": _q_matches_per_target,
-        "tpch_q1": _q_tpch_q1,
-        "top_users_per_event_type": _q_top_users,
-        "contiguous_range_hits": _q_contig_hits,
-        "event_type_cumulative": _q_event_cumulative,
-        "merge_topk_sources": _q_merge_topk,
-        "star_join_revenue": _q_star_join_revenue,
-        "nation_region_rollup": _q_nation_region_rollup,
-        "paired_zip_events": _q_paired_zip,
-        "sessionize_events": _q_sessionize,
-        "props_extract": _q_props_extract,
-        "index_bucket_stats": _q_index_bucket_stats,
-        "classify_lca": _q_classify_lca,
-        "abundance_estimate": _q_abundance_estimate,
-        "genomic_candidates_md5": _q_genomic_candidates_md5,
-        "genomic_candidates_paired_md5": _q_genomic_candidates_paired_md5,
-        "genomic_candidates_merged_md5": _q_genomic_candidates_merged_md5,
-        "pipeline_lsh_pairs": _q_pipeline_lsh_pairs,
-        "pipeline_clusters": _q_pipeline_clusters,
-        "genomic_candidates": _q_genomic_candidates,
-        "genomic_candidates_paired": _q_genomic_candidates_paired,
-        "genomic_candidates_merged": _q_genomic_candidates_merged,
-        "classification_rank_stats": _q_classification_rank_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = {
         "exact_dup_groups": """
+            WITH uni AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 97 = 0
+            )
             SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS rep_doc_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM uni GROUP BY md5(text) HAVING count(*) > 1
         """,
         "exact_dedup_keep_first": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

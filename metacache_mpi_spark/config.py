@@ -46,9 +46,12 @@ class DedupConfig:
     #   (the reference's insert-time 254-cap analog; members outside
     #   every band's sample still get no pairs).
     # - "star": oversized buckets emit HUB edges (bucket-min id,
-    #   member) instead of all pairs — O(n) pairs via a window-min, no
-    #   array materialization, so a 10^7-member bucket costs 10^7 rows
-    #   spread over its shuffle partitions, never n²/2 in one task.
+    #   member) instead of all pairs — O(n) edges via a groupBy().min()
+    #   plus a shuffle-hash join-back (NOT a window-min: a window over
+    #   the bucket would buffer the whole mega-bucket in one task;
+    #   lsh.py::_star_edges documents the shape), so a 10^7-member
+    #   bucket costs 10^7 rows spread over its shuffle partitions,
+    #   never n²/2 in one task.
     #   Every member stays reachable from the hub, so after per-pair
     #   verification connected components glues true mega-clusters at
     #   recall 1.0, while chance collisions still die at the verify

@@ -90,12 +90,29 @@ def build_bloom(
     return bits, m_bits, n_hashes
 
 
+class BloomBroadcastHandle:
+    """Release handle for a probe's bitset broadcast (mirrors
+    ``IncrementalDedup.release_query_pins``): call :meth:`release` AFTER
+    every DataFrame produced from the probe has been materialized — the
+    probe UDF reads the broadcast at execution time, so an eager destroy
+    would break still-lazy consumers.  Idempotent."""
+
+    def __init__(self, bc) -> None:
+        self._bc = bc
+
+    def release(self) -> None:
+        if self._bc is not None:
+            self._bc.destroy()
+            self._bc = None
+
+
 def bloom_filter_df(
     df: DataFrame,
     col: str,
     bits: np.ndarray,
     m_bits: int,
     n_hashes: int = BLOOM_N_HASHES,
+    handle_out: list | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose ``col`` MIGHT be in the bloom set (no false
     negatives; FP rate per module doc).  Map-side: scan → two xxhash64
@@ -103,13 +120,18 @@ def bloom_filter_df(
 
     The bitset is shipped as a SparkContext broadcast whose lifetime is
     the returned DataFrame's: it cannot be destroyed eagerly (the probe
-    UDF reads it at execution time), so a long-lived session running
-    MANY bloom builds accumulates one pinned bitset per call — batch
-    jobs (one session per run, the deployment shape) are unaffected;
-    REPL loops over large build sides should reuse one filter.
+    UDF reads it at execution time).  Batch jobs (one session per run,
+    the deployment shape) never need to care; a long-lived session
+    looping decontamination probes (REPL, repeated clean_job runs on a
+    shared session, streaming) should pass ``handle_out=[]`` — a
+    :class:`BloomBroadcastHandle` is appended to it, and calling
+    ``handle.release()`` after materializing the consuming DataFrames
+    destroys the pinned bitset on driver and executors.
     """
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bits)
+    if handle_out is not None:
+        handle_out.append(BloomBroadcastHandle(bc))
     m = int(m_bits)
     k = int(n_hashes)
 

@@ -67,6 +67,19 @@ def fnv1a32_window(data: np.ndarray, k: int) -> np.ndarray:
     return h
 
 
+def fnv1a64_window(data: np.ndarray, k: int) -> np.ndarray:
+    """FNV-1a (64-bit) over every length-k byte window of ``data`` —
+    the wide twin of :func:`fnv1a32_window`, same empty-input rule."""
+    n = data.shape[0] - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.full(n, _FNV64_BASIS, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h ^ data[j : j + n].astype(np.uint64)) * _FNV64_PRIME
+    return h
+
+
 def shingle_hashes(text: str, k: int) -> np.ndarray:
     """All k-byte-shingle hashes of ``text`` (UTF-8), mixed with h₁.
 
@@ -77,6 +90,23 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     """
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     return mueller_hash32(fnv1a32_window(data, k))
+
+
+def shingle_hashes64(text: str, k: int) -> np.ndarray:
+    """64-bit k-byte-shingle hashes (FNV-1a64 fold → splitmix64 mix).
+
+    The EXACTNESS lane's shingle identity: the verify kernel
+    (verify._pair_jaccard) compares shingle sets through these, and at
+    64 bits a collision flipping a set-intersection count is negligible
+    up to ~10^9 shingles per side (vs ~10^4 for the 32-bit sketch
+    hashes), so milli-scale Jaccard scores stay bit-equal to the
+    exact-string DuckDB oracles at any realistic document length.  The
+    32-bit :func:`shingle_hashes` remains the SKETCH identity (MinHash/
+    SimHash lanes) — sketches tolerate collisions by design and their
+    oracles share the same 32-bit lanes.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    return splitmix64(fnv1a64_window(data, k))
 
 
 _POLY_B = np.uint64(0x100000001B3)  # odd ⇒ invertible mod 2^64

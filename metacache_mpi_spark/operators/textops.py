@@ -183,6 +183,7 @@ def contamination_pairs_bloom(
     cap: int = DF_CAP,
     min_containment_milli: int = 500,
     exclude_self: bool = True,
+    handle_out: list | None = None,
 ) -> DataFrame:
     """`contamination_pairs` with a broadcast Bloom prefilter — same
     rows, bit for bit (shares the exact lane's DuckDB oracle), but the
@@ -205,7 +206,12 @@ def contamination_pairs_bloom(
         F.col("doc_id").alias("eval_id"), "sh"
     )
     bits, m_bits, n_hashes = build_bloom(es, "sh")
-    pre = bloom_filter_df(shingles(corpus, k), "sh", bits, m_bits, n_hashes)
+    # handle_out (optional): forwards the bitset-broadcast release
+    # handle so looping callers can destroy it post-materialization
+    pre = bloom_filter_df(
+        shingles(corpus, k), "sh", bits, m_bits, n_hashes,
+        handle_out=handle_out,
+    )
     keep = (
         pre.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, DedupConfig
-from ..functions.hashing import poly_window_hashes, shingle_hashes
+from ..functions.hashing import poly_window_hashes, shingle_hashes64
 
 
 def signature_jaccard(
@@ -58,9 +58,15 @@ def _pair_jaccard(x: str | None, y: str | None, k: int) -> float:
     """Exact k-shingle Jaccard of two texts — THE correctness kernel
     (unique-before-intersect; empty-vs-empty = 0.0), shared by every
     verify lane so a threshold/hashing tweak cannot de-synchronize the
-    fused pipeline from the unfused operators the oracles gate."""
-    ha = np.unique(shingle_hashes(x or "", k))
-    hb = np.unique(shingle_hashes(y or "", k))
+    fused pipeline from the unfused operators the oracles gate.
+
+    Shingles are compared through 64-bit hashes (shingle_hashes64):
+    the DuckDB oracles intersect exact shingle STRINGS, and a 32-bit
+    collision near a floor(j*1000) boundary could flip a milli score —
+    64 bits keeps hash-vs-string agreement collision-exact up to ~10^9
+    shingles per side, far beyond any document."""
+    ha = np.unique(shingle_hashes64(x or "", k))
+    hb = np.unique(shingle_hashes64(y or "", k))
     if ha.size == 0 and hb.size == 0:
         return 0.0
     inter = np.intersect1d(ha, hb, assume_unique=True).size

@@ -157,8 +157,9 @@ def crawl_diff(
     re-process priority signal of an incremental crawl pipeline (a
     footer tweak scores ~990, a rewrite ~0).  Computed by the SAME
     kernel as the dedup verify lanes (``verify._pair_jaccard``:
-    byte-shingles compared via their 32-bit hashes — collision-exact
-    up to ~10^4 shingles/side, within ±1 milli beyond).  Row-local:
+    byte-shingles compared via 64-bit hashes — collision-exact up to
+    ~10^9 shingles/side, so the milli score is bit-equal to the
+    exact-string DuckDB oracle at any document length).  Row-local:
     both texts already sit on the joined row, so scoring adds an
     Arrow projection but NO extra shuffle.
 

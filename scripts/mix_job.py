@@ -105,13 +105,26 @@ def run(spark, args) -> dict:
         docs = docs.join(kept.hint("shuffle_hash"), "doc_id")
         counts["after_budget"] = docs.count()
 
+    # split BEFORE upsampling, upsample ONLY the train split: repeat
+    # factors are a training-mixture knob — eval splits must carry
+    # exactly one copy per document (rep_idx>0 copies landing in
+    # val/test would inflate their doc/token counts and mixture
+    # reports).  The split salt stays keyed on doc_id, so assignment is
+    # identical to splitting the upsampled frame (copies share the
+    # doc_id) — determinism is unchanged, only the copies' destination.
+    split = hash_split(docs, _parse_splits(args.splits))
     if args.repeat_factors:
         factors = json.loads(args.repeat_factors)
-        docs = upsample_repeat(docs, factors)
+        split = upsample_repeat(
+            split.where(F.col("split") == "train"), factors
+        ).unionByName(
+            split.where(F.col("split") != "train").withColumn(
+                "rep_idx", F.lit(0)
+            )
+        )
     else:
-        docs = docs.withColumn("rep_idx", F.lit(0))
-
-    split = hash_split(docs, _parse_splits(args.splits)).persist()
+        split = split.withColumn("rep_idx", F.lit(0))
+    split = split.persist()
     counts["assembled"] = split.count()
 
     per_split: dict = {}

@@ -15,11 +15,16 @@ def shingle_set(text: str, k: int) -> np.ndarray:
 
 
 def jaccard(a: str, b: str, k: int) -> float:
-    ha, hb = shingle_set(a, k), shingle_set(b, k)
-    if ha.size == 0 and hb.size == 0:
+    """EXACT byte-shingle Jaccard — literal k-byte substrings, no
+    hashing at all (the engine's 64-bit-hash kernel must agree with
+    this, which is the whole point of the oracle)."""
+    xa, xb = a.encode("utf-8"), b.encode("utf-8")
+    sa = {xa[i : i + k] for i in range(len(xa) - k + 1)}
+    sb = {xb[i : i + k] for i in range(len(xb) - k + 1)}
+    if not sa and not sb:
         return 0.0
-    inter = np.intersect1d(ha, hb, assume_unique=True).size
-    return inter / (ha.size + hb.size - inter)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
 
 
 def longest_common_substring(a: str, b: str) -> int:

@@ -82,6 +82,45 @@ def test_mix_job_full_composition(spark, corpus, tmp_path):
     assert chunks.groupBy("pack_key").count().where("count > 1").count() == 0
 
 
+def test_mix_job_upsample_is_train_only(spark, corpus, tmp_path):
+    """Repeat factors are a TRAINING-mixture knob: rep_idx>0 copies may
+    appear only in the train split — val/test carry exactly one copy
+    per document (an upsampled doc in an eval split would inflate its
+    doc/token counts and leak repeated text into evaluation)."""
+    out = str(tmp_path / "mix_up")
+    # heavy factor on every stratum so copies WOULD land in val/test if
+    # upsampling ran before the split
+    factors = json.dumps({f"site{i}.example": 3.0 for i in range(40)})
+    counts = mix_job.run(
+        spark, _args(input=corpus, output=out, repeat_factors=factors)
+    )
+    train = spark.read.parquet(f"{out}/train.parquet")
+    assert train.where(F.col("rep_idx") > 0).count() > 0
+    for s in ("val", "test"):
+        part = spark.read.parquet(f"{out}/{s}.parquet")
+        n = part.count()
+        assert n > 0, f"fixture too small: empty {s} split"
+        assert part.where(F.col("rep_idx") != 0).count() == 0
+        assert part.select("doc_id").distinct().count() == n
+    # split assignment itself is unaffected by the factors: the salted
+    # uniform is keyed on doc_id, which copies share
+    base_out = str(tmp_path / "mix_up_base")
+    mix_job.run(spark, _args(input=corpus, output=base_out))
+    for s in ("val", "test"):
+        a = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/{s}.parquet")
+            .select("doc_id").collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{base_out}/{s}.parquet")
+            .select("doc_id").collect()
+        )
+        assert a == b
+    assert counts["splits"]["train"]["docs"] == train.count()
+
+
 def test_mix_job_split_is_total_partition(spark, corpus, tmp_path):
     out = str(tmp_path / "mix2")
     counts = mix_job.run(spark, _args(input=corpus, output=out))
