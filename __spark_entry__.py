@@ -1472,6 +1472,39 @@ def _q_index_bucket_stats(spark, sf_dir):
     return bucket_size_stats(b, bucket_cols=["bucket"], group_cols=["band"])
 
 
+def _q_taxon_coverage_stats(spark, sf_dir):
+    """-taxon-coverage per-rank DB-coverage confusion table
+    (classification.cpp:294-320 + stat_confusion.h:37-130) over a
+    deterministic synthetic truth/assignment set: each ranked
+    truth-lineage taxon scored covered×classified-at-rank; guarded
+    fixed-point micros."""
+    from metacache_mpi_spark.operators.evaluate import (
+        coverage_stats,
+        db_covered_taxa,
+    )
+    from metacache_mpi_spark.operators.taxonomy import Taxonomy
+
+    tax = Taxonomy(
+        parent={1: 1, 100: 1, 101: 1, 10: 100, 11: 100, 12: 100,
+                13: 101, 14: 101, 15: 101},
+        rank={1: "root", 100: "genus", 101: "genus",
+              **{t: "species" for t in range(10, 16)}},
+    )
+    covered = db_covered_taxa(tax, [10, 11])  # DB targets' lineages
+    rows = [
+        (0, 10, 10),    # species-level call, fully covered truth
+        (1, 100, 13),   # genus-level call, uncovered species/genus
+        (2, None, 11),  # unclassified, covered truth
+        (3, 10, None),  # no ground truth -> skipped
+        (4, 13, 13),    # species call on uncovered lineage
+        (5, None, 15),  # unclassified, uncovered lineage
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, taxid long, truth_taxid long"
+    )
+    return coverage_stats(df, tax, covered)
+
+
 def _q_classify_lca(spark, sf_dir):
     """A4 LCA-voting classification (classification.cpp:235-265) over a
     deterministic synthetic candidate set: best-candidate seed, strict
@@ -1762,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "props_extract": _q_props_extract,
         # -- changed this round / flagship dedup lanes ----------------------
+        "taxon_coverage_stats": _q_taxon_coverage_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "crawl_diff": _q_crawl_diff,
         "crawl_diff_scored": _q_crawl_diff_scored,
@@ -1782,8 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_query_probe": _q_index_query_probe,
         "lsh_star_pairs": _q_lsh_star_pairs,
         "upsample_repeat": _q_upsample_repeat,
-        "hash_split_assign": _q_hash_split_assign,
         # ---- 50-slot window boundary --------------------------------------
+        "hash_split_assign": _q_hash_split_assign,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "cluster_reps_longest": _q_cluster_reps_longest,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -3106,5 +3140,56 @@ def oracle_sql() -> dict[str, str]:
                  FROM ptax)
         SELECT qid, CAST(taxid AS BIGINT) AS taxid, hits, CAST(rank AS INT) AS rank
         FROM topk WHERE rank <= 4 AND hits >= 2
+    """
+    # -taxon-coverage twin: literal ranked lineages + the covered set
+    # {1,10,11,100} = union of the DB targets' (10, 11) lineages;
+    # pred rank positions via prank, NULL assignment = NONE_POS 10
+    out["taxon_coverage_stats"] = """
+        WITH asg(qid, pred, truth) AS (VALUES
+          (0,10,10),(1,100,13),(2,NULL,11),(3,10,NULL),
+          (4,13,13),(5,NULL,15)),
+        prank(taxid, pos) AS (VALUES
+          (10,1),(11,1),(12,1),(13,1),(14,1),(15,1),
+          (100,2),(101,2),(1,9)),
+        lin(taxid, pos, anc) AS (VALUES
+          (10,1,10),(10,2,100),(10,9,1),
+          (11,1,11),(11,2,100),(11,9,1),
+          (13,1,13),(13,2,101),(13,9,1),
+          (15,1,15),(15,2,101),(15,9,1)),
+        cov(taxid) AS (VALUES (1),(10),(11),(100)),
+        ranks(pos, rank) AS (VALUES
+          (1,'species'),(2,'genus'),(9,'root')),
+        scored AS (
+          SELECT l.pos,
+                 (c.taxid IS NOT NULL) AS covered,
+                 (coalesce(pr.pos, 10) <= l.pos) AS classified
+          FROM asg a
+          JOIN lin l ON l.taxid = a.truth
+          LEFT JOIN prank pr ON pr.taxid = a.pred
+          LEFT JOIN cov c ON c.taxid = l.anc
+          WHERE a.truth IS NOT NULL),
+        agg AS (
+          SELECT pos,
+                 CAST(sum(CASE WHEN covered AND classified
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN NOT covered AND classified
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN NOT covered AND NOT classified
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                 CAST(sum(CASE WHEN covered AND NOT classified
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM scored GROUP BY pos)
+        SELECT r.rank, CAST(a.pos AS BIGINT) AS rank_pos,
+               a.tp, a.fp, a.tn, a.fn,
+               CAST(floor((a.tp + a.tn) * 1000000.0
+                    / (a.tp + a.fp + a.tn + a.fn)) AS BIGINT)
+                 AS accuracy_micro,
+               CASE WHEN a.tp + a.fn > 0
+                    THEN CAST(floor(a.tp * 1000000.0 / (a.tp + a.fn))
+                              AS BIGINT) ELSE 0 END AS sensitivity_micro,
+               CASE WHEN a.tn + a.fp > 0
+                    THEN CAST(floor(a.tn * 1000000.0 / (a.tn + a.fp))
+                              AS BIGINT) ELSE 0 END AS specificity_micro
+        FROM agg a JOIN ranks r USING (pos)
     """
     return out

@@ -294,3 +294,147 @@ def align_pairs(
     return _pin_udf_parallelism(pairs_with_seqs).mapInPandas(
         _compute, schema=schema
     )
+
+
+def align_top_candidates(
+    cands: DataFrame,
+    queries: DataFrame,
+    target_seqs: DataFrame,
+    cfg,
+    match: int = DEFAULT_MATCH,
+    mismatch: int = DEFAULT_MISMATCH,
+    gap: int = DEFAULT_GAP,
+    band: int | None = None,
+) -> DataFrame:
+    """The ``-align`` query mode end-to-end: per query, align against
+    the TOP candidate's window range on BOTH strands and keep the
+    better one — transcribing
+    /root/reference/src/classification.cpp:437-477 (``show_alignment``:
+    subject = target view [stride·beg, stride·end + winlen) clamped to
+    the target end) and :79-104 (``make_semi_global_alignment``: seq1
+    aligned forward and reverse-complemented; a paired mate's scores
+    are ADDED to each strand's total — seq2 forward to the forward
+    total, seq2 revcomp to the reverse total; the reverse strand wins
+    ties, matching the reference's strict ``score > scorer`` test).
+
+    Inputs: ``cands`` (qid, tgt, hits, win_beg, rank — query_index
+    output), ``queries`` (qid, seq1[, seq2]), ``target_seqs``
+    (tgt, seq).  Output: (qid, tgt, strand, align_score [seq1's
+    alignment on the winning strand], total_score [plus the mate],
+    target_begin [GLOBAL char offset], cigar, win_char_beg,
+    win_char_end).
+
+    Scale shape: only rank-1 candidates join back to the target dim
+    (J9 point lookup — one row per query), the window is sliced
+    JVM-side BEFORE the Arrow stage so Python never sees whole
+    genomes, and the revcomp is a JVM translate(reverse()) projection.
+    The DP itself is per-pair work pinned to full parallelism like the
+    Jaccard verify.
+    """
+    from pyspark.sql import functions as F, types as T
+
+    from .verify import _pin_udf_parallelism
+
+    paired = "seq2" in queries.columns
+    length = (cfg.num_windows - 1) * cfg.winstride + cfg.winlen
+    rc = lambda c: F.translate(  # noqa: E731
+        F.reverse(F.col(c)), "ACGTacgt", "TGCATGCA"
+    )
+    j = (
+        cands.where(F.col("rank") == 1)
+        .select("qid", "tgt", "win_beg")
+        .join(queries, "qid")
+        .join(target_seqs.select("tgt", F.col("seq").alias("__tseq")), "tgt")
+        .withColumn(
+            "win_char_beg", (F.col("win_beg") * cfg.winstride).cast("long")
+        )
+        .withColumn(
+            "win_char_end",
+            F.least(
+                F.col("win_beg") * cfg.winstride + F.lit(length),
+                F.length("__tseq").cast("long"),
+            ).cast("long"),
+        )
+        .withColumn(
+            "window",
+            F.expr(
+                f"substring(__tseq, CAST(win_char_beg + 1 AS INT), {length})"
+            ),
+        )
+        .withColumn("rc1", rc("seq1"))
+    )
+    if paired:
+        j = j.withColumn("rc2", rc("seq2"))
+    cols = ["qid", "tgt", "win_char_beg", "win_char_end", "seq1", "rc1",
+            "window"] + (["seq2", "rc2"] if paired else [])
+    j = _pin_udf_parallelism(j.select(*cols))
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("tgt", T.LongType()),
+            T.StructField("strand", T.StringType()),
+            T.StructField("align_score", T.LongType()),
+            T.StructField("total_score", T.LongType()),
+            T.StructField("target_begin", T.LongType()),
+            T.StructField("cigar", T.StringType()),
+            T.StructField("win_char_beg", T.LongType()),
+            T.StructField("win_char_end", T.LongType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("strand", "align_score", "total_score",
+                    "target_begin", "cigar")}
+            for row in pdf.itertuples(index=False):
+                win = row.window or ""
+                fs, fb, fc = align_semi_global(
+                    row.seq1 or "", win, match, mismatch, gap, band
+                )
+                rs, rb, rcig = align_semi_global(
+                    row.rc1 or "", win, match, mismatch, gap, band
+                )
+                tot_f, tot_r = fs, rs
+                if paired:
+                    tot_f += align_semi_global(
+                        row.seq2 or "", win, match, mismatch, gap, band
+                    )[0]
+                    tot_r += align_semi_global(
+                        row.rc2 or "", win, match, mismatch, gap, band
+                    )[0]
+                if tot_f > tot_r:  # reference: reverse wins ties
+                    out["strand"].append("+")
+                    out["align_score"].append(fs)
+                    out["target_begin"].append(fb)
+                    out["cigar"].append(fc)
+                else:
+                    out["strand"].append("-")
+                    out["align_score"].append(rs)
+                    out["target_begin"].append(rb)
+                    out["cigar"].append(rcig)
+                out["total_score"].append(tot_f if tot_f > tot_r else tot_r)
+            res = pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "tgt": pdf["tgt"],
+                    "strand": out["strand"],
+                    "align_score": pd.Series(
+                        out["align_score"], dtype="int64"
+                    ),
+                    "total_score": pd.Series(
+                        out["total_score"], dtype="int64"
+                    ),
+                    "target_begin": pd.Series(
+                        out["target_begin"], dtype="int64"
+                    )
+                    + pdf["win_char_beg"].to_numpy(dtype="int64"),
+                    "cigar": out["cigar"],
+                    "win_char_beg": pdf["win_char_beg"],
+                    "win_char_end": pdf["win_char_end"],
+                }
+            )
+            yield res
+
+    return j.mapInPandas(_compute, schema=schema)

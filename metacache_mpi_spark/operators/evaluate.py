@@ -345,3 +345,126 @@ def per_rank_stats(pos_df: DataFrame) -> DataFrame:
             F.col("correct"), F.col("correct") + F.col("wrong")
         ).alias("precision_micro"),
     )
+
+
+def coverage_stats(
+    assignments_with_truth: DataFrame,
+    taxonomy: Taxonomy,
+    covered_taxa: frozenset[int] | set[int],
+) -> DataFrame:
+    """Per-rank DB-coverage confusion counters — the reference's
+    ``-taxon-coverage`` mode (/root/reference/src/classification.cpp:
+    294-320 ``update_coverage_statistics`` feeding
+    src/stat_confusion.h:37-130).  For every query with resolved ground
+    truth, each RANKED taxon in the truth's lineage is scored by
+    (is it covered by the DB) × (was the query classified at a rank at
+    least as specific):
+
+    ====================  =================  ===================
+    ..                    classified@rank    unclassified@rank
+    ====================  =================  ===================
+    DB covers taxon       tp                 fn
+    DB lacks taxon        fp                 tn
+    ====================  =================  ===================
+
+    "classified on rank r" transcribes the reference's
+    ``!(!best || r < best->rank())``: an assignment exists and its rank
+    is not LESS specific than r.  Queries without ground truth are
+    skipped (classification.cpp:299 early return).
+
+    Input: (taxid [assignment, nullable], truth_taxid [nullable]).
+    ``covered_taxa``: the taxids covered by any DB target — the union
+    of the targets' lineages (sketch_database.h:784-800 ``covers``),
+    bounded by the taxonomy size, rides as one broadcast.
+
+    Output: one row per rank with ≥1 counted lineage taxon —
+    (rank, rank_pos, tp, fp, tn, fn, accuracy_micro, sensitivity_micro,
+    specificity_micro), micros floor-fixed-point with the reference's
+    guarded-denominator rule (0 when the denominator is 0).
+
+    Scale shape: the pandas stage emits PARTIAL per-rank counters per
+    Arrow batch (≤ len(RANKS) rows each — a hand-rolled map-side
+    combine), so the single groupBy(rank) shuffle carries
+    O(batches × ranks) rows, never O(queries × ranks).
+    """
+    import pandas as pd
+
+    spark = assignments_with_truth.sparkSession
+    b_tax = spark.sparkContext.broadcast(taxonomy)
+    b_cov = spark.sparkContext.broadcast(frozenset(covered_taxa))
+
+    def _partials(batches):
+        tax: Taxonomy = b_tax.value
+        cov = b_cov.value
+        for pdf in batches:
+            counts: dict[int, list[int]] = {}
+            for pred, truth in zip(pdf["taxid"], pdf["truth_taxid"]):
+                if pd.isna(truth):
+                    continue
+                a_pos = (
+                    NONE_POS if pd.isna(pred) else tax.rank_pos(int(pred))
+                )
+                for p, t in enumerate(tax.ranked_lineage(int(truth))):
+                    if t is None:
+                        continue
+                    c = counts.setdefault(p, [0, 0, 0, 0])
+                    classified = a_pos <= p
+                    if t in cov:
+                        c[0 if classified else 3] += 1
+                    else:
+                        c[1 if classified else 2] += 1
+            if counts:
+                pos = sorted(counts)
+                yield pd.DataFrame(
+                    {
+                        "pos": pos,
+                        "tp": [counts[p][0] for p in pos],
+                        "fp": [counts[p][1] for p in pos],
+                        "tn": [counts[p][2] for p in pos],
+                        "fn": [counts[p][3] for p in pos],
+                    }
+                )
+
+    part = assignments_with_truth.select("taxid", "truth_taxid").mapInPandas(
+        _partials, "pos int, tp long, fp long, tn long, fn long"
+    )
+    agg = part.groupBy("pos").agg(
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("tn").alias("tn"),
+        F.sum("fn").alias("fn"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * 1000000.0 / den)
+    ).otherwise(F.lit(0)).cast("long")
+    rank_names = F.array(*[F.lit(r) for r in RANKS])
+    total = F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")
+    return agg.select(
+        F.element_at(rank_names, F.col("pos") + 1).alias("rank"),
+        F.col("pos").cast("long").alias("rank_pos"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        ratio(F.col("tp") + F.col("tn"), total).alias("accuracy_micro"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias(
+            "sensitivity_micro"
+        ),
+        ratio(F.col("tn"), F.col("tn") + F.col("fp")).alias(
+            "specificity_micro"
+        ),
+    )
+
+
+def db_covered_taxa(taxonomy: Taxonomy, target_taxids) -> frozenset[int]:
+    """The DB-coverage set for :func:`coverage_stats`: every taxid on
+    the lineage of any target's taxon (sketch_database.h:784-800
+    ``covers`` walks each Sequence-rank taxon's lineage).  Driver-side
+    and bounded by the taxonomy size — the same replication bound the
+    reference accepts for its taxa cache."""
+    covered: set[int] = set()
+    for t in target_taxids:
+        if t is None:
+            continue
+        covered.update(taxonomy.lineage(int(t)))
+    return frozenset(covered)

@@ -15,8 +15,9 @@ Spark engine::
         [--remove-overpopulated]
     ... query --db /data/db --reads r.fastq [--reads2 mate2.fastq] \
         [--nodes nodes.dmp] [--out outdir] [--truth [map.tsv]] \
-        [--precision] [--exclude RANK] [--abundance-per RANK] \
-        [--lowest RANK] [--insert-size-max N]
+        [--precision] [--taxon-coverage] [--exclude RANK] \
+        [--abundance-per RANK] [--lowest RANK] [--insert-size-max N] \
+        [--align targets.fasta]
     ... merge --results shard1_out shard2_out --out merged [--nodes ...]
     ... annotate --input seqs.fasta --mapping acc2taxid.tsv --out dir
     ... info [statistics|targets|lineages|featurecounts|featuremap] \
@@ -395,6 +396,11 @@ def cmd_query(spark, args) -> dict:
         # the per-rank table is computed inside the classification tail
         # — without a taxonomy it would be silently skipped
         raise ValueError("--precision needs --nodes")
+    if getattr(args, "taxon_coverage", False):
+        if not getattr(args, "truth", None):
+            raise ValueError("--taxon-coverage needs --truth")
+        if not tax:
+            raise ValueError("--taxon-coverage needs --nodes")
     if getattr(args, "exclude", None) and not (
         getattr(args, "truth", None) and tax
     ):
@@ -576,6 +582,42 @@ def cmd_query(spark, args) -> dict:
     else:
         cands = cands.persist()
     out["candidates"] = cands.count()
+    if getattr(args, "align", None):
+        # -align (classification.cpp:437-477): semi-global alignment of
+        # each read against its TOP candidate's window range, both
+        # strands, mate scores added per strand.  The reference re-reads
+        # the target sequence from its recorded source file; this DB
+        # stores no source paths, so the flag takes the original
+        # targets FASTA and re-derives the content-addressed tgt ids.
+        if lowest:
+            # under -lowest candidates are TAXA, not sequence targets —
+            # the reference's show_alignment skips non-sequence tophits
+            raise ValueError("--align is incompatible with --lowest")
+        from metacache_mpi_spark.operators.alignment import (
+            align_top_candidates,
+        )
+
+        tgt_seqs, _ = _read_target_seqs(spark, args.align)
+        if args.reads2:
+            qseqs = paired_in.select("qid", "seq1", "seq2")
+        else:
+            qseqs = reads.select("qid", F.col("seq").alias("seq1"))
+        aligned = align_top_candidates(
+            cands, qseqs, tgt_seqs.select("tgt", "seq"), cfg
+        )
+        if args.out:
+            aligned.write.mode("overwrite").parquet(
+                os.path.join(args.out, "alignments.parquet")
+            )
+            aligned = spark.read.parquet(
+                os.path.join(args.out, "alignments.parquet")
+            )
+        else:
+            aligned = aligned.persist()
+        out["alignments"] = aligned.count()
+        out["align_score_sum"] = int(
+            aligned.agg(F.sum("align_score")).first()[0] or 0
+        )
     if truth is not None:
         out["truth_known"] = truth.where(
             F.col("truth_taxid").isNotNull()
@@ -627,6 +669,46 @@ def cmd_query(spark, args) -> dict:
                     "precision_micro": r["precision_micro"],
                 }
                 for r in stats.collect()
+            }
+        if getattr(args, "taxon_coverage", False):
+            # per-rank DB-coverage confusion table (-taxon-coverage,
+            # classification.cpp:294-320 + stat_confusion.h:37-130):
+            # each ranked truth-lineage taxon scored covered×classified
+            from metacache_mpi_spark.operators.evaluate import (
+                coverage_stats,
+                db_covered_taxa,
+            )
+
+            legacy = _legacy_map(args.db, meta)
+            if legacy is not None:
+                tgt_taxids = list(legacy.values())
+            else:
+                tgt_taxids = [
+                    r["taxid"]
+                    for r in spark.read.parquet(
+                        os.path.join(args.db, "targets.parquet")
+                    ).where(F.col("taxid").isNotNull())
+                    .select("taxid").collect()
+                ]
+            covered = db_covered_taxa(tax, tgt_taxids)
+            cov_joined = truth.join(
+                assigned.select("qid", "taxid"), "qid", "left"
+            )
+            cov = coverage_stats(cov_joined, tax, covered)
+            if args.out:
+                cov.write.mode("overwrite").parquet(
+                    os.path.join(args.out, "taxon_coverage.parquet")
+                )
+                cov = spark.read.parquet(
+                    os.path.join(args.out, "taxon_coverage.parquet")
+                )
+            out["taxon_coverage"] = {
+                r["rank"]: {
+                    "tp": r["tp"], "fp": r["fp"],
+                    "tn": r["tn"], "fn": r["fn"],
+                    "accuracy_micro": r["accuracy_micro"],
+                }
+                for r in cov.collect()
             }
         if getattr(args, "abundance_per", None):
             # A6 hierarchical abundance at the requested rank
@@ -919,6 +1001,13 @@ def main() -> None:
         "accession2taxid mapping file (full 4-strategy chain)",
     )
     q.add_argument("--precision", action="store_true")
+    q.add_argument(
+        "--taxon-coverage",
+        action="store_true",
+        help="per-rank DB-coverage confusion table (tp/fp/tn/fn) over "
+        "the ground-truth lineages (needs --truth and --nodes; "
+        "reference -taxon-coverage)",
+    )
     q.add_argument("--exclude", default=None, metavar="RANK")
     q.add_argument("--abundance-per", default=None, metavar="RANK")
     q.add_argument(
@@ -927,6 +1016,15 @@ def main() -> None:
         "candidates become taxa at that rank)",
     )
     q.add_argument("--insert-size-max", type=int, default=0)
+    q.add_argument(
+        "--align",
+        default=None,
+        metavar="TARGETS_FASTA",
+        help="semi-global-align each read to its top candidate's "
+        "window range (both strands, paired mates added per strand); "
+        "takes the build-time targets FASTA to fetch target text "
+        "(reference -align, classification.cpp:437-477)",
+    )
 
     m = sub.add_parser("merge", parents=[common])
     m.add_argument("--results", nargs="+", required=True)

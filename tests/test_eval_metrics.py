@@ -85,3 +85,49 @@ def test_clustering_pair_metrics_identical_and_singletons(spark):
     assert (r2["tp_pairs"], r2["pred_pairs"], r2["truth_pairs"]) == (0, 0, 0)
     assert r2["precision_micro"] == r2["recall_micro"] == 1_000_000
     assert r2["rand_micro"] == 1_000_000
+
+
+def test_coverage_stats_exact(spark):
+    """-taxon-coverage semantics (classification.cpp:294-320): per
+    ranked truth-lineage taxon, covered×classified → tp/fp/tn/fn."""
+    from metacache_mpi_spark.operators.evaluate import (
+        coverage_stats,
+        db_covered_taxa,
+    )
+    from metacache_mpi_spark.operators.taxonomy import Taxonomy
+
+    tax = Taxonomy(
+        parent={1: 1, 100: 1, 101: 1, 10: 100, 11: 100, 12: 100,
+                13: 101, 14: 101, 15: 101},
+        rank={1: "root", 100: "genus", 101: "genus",
+              **{t: "species" for t in range(10, 16)}},
+    )
+    covered = db_covered_taxa(tax, [10, 11])
+    assert covered == frozenset({1, 10, 11, 100})
+
+    rows = [
+        (0, 10, 10),     # species assignment, fully covered truth
+        (1, 100, 13),    # genus assignment, uncovered species/genus truth
+        (2, None, 11),   # unclassified, covered truth
+        (3, 10, None),   # no ground truth -> skipped entirely
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, taxid long, truth_taxid long"
+    )
+    out = {
+        r["rank"]: r
+        for r in coverage_stats(df, tax, covered).collect()
+    }
+    assert set(out) == {"species", "genus", "root"}
+    s = out["species"]
+    assert (s["tp"], s["fp"], s["tn"], s["fn"]) == (1, 0, 1, 1)
+    assert s["accuracy_micro"] == 666_666
+    assert s["sensitivity_micro"] == 500_000
+    assert s["specificity_micro"] == 1_000_000
+    g = out["genus"]
+    assert (g["tp"], g["fp"], g["tn"], g["fn"]) == (1, 1, 0, 1)
+    assert g["specificity_micro"] == 0
+    r = out["root"]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (2, 0, 0, 1)
+    assert r["specificity_micro"] == 0  # guarded 0/0
+    assert r["sensitivity_micro"] == 666_666

@@ -833,3 +833,112 @@ def test_precision_without_nodes_raises(spark, cli_fixture, built_db):
                 insert_size_max=0,
             ),
         )
+
+
+def test_query_taxon_coverage(
+    spark, cli_fixture, built_db, eval_reads, tmp_path
+):
+    """--taxon-coverage (classification.cpp:294-320): both targets'
+    lineages cover every truth taxon here, so fp=tn=0 at every rank,
+    tp+fn equals the truth-resolved read count, and the
+    zero-candidate alien read lands in fn at every rank."""
+    out_dir = str(tmp_path / "covq")
+    args = argparse.Namespace(
+        db=built_db, reads=eval_reads, reads2=None,
+        nodes=cli_fixture["nodes"], out=out_dir,
+        truth="header", precision=False, exclude=None,
+        abundance_per=None, taxon_coverage=True,
+    )
+    out = genomic_job.cmd_query(spark, args)
+    cov = out["taxon_coverage"]
+    assert {"species", "genus", "root"} <= set(cov)
+    for rank, c in cov.items():
+        assert c["fp"] == 0 and c["tn"] == 0, rank
+        assert c["tp"] + c["fn"] == out["truth_known"], rank
+    # the alien read (truth resolved, zero candidates, unclassified)
+    # is a false negative at every rank
+    assert cov["species"]["fn"] >= 1
+    assert cov["root"]["fn"] >= 1
+    # classified reads count tp at every lineage rank
+    assert cov["root"]["tp"] >= cov["species"]["tp"] > 0
+    pq_path = os.path.join(out_dir, "taxon_coverage.parquet")
+    assert os.path.exists(pq_path)
+    stored = spark.read.parquet(pq_path)
+    assert stored.count() == len(cov)
+
+
+def test_query_taxon_coverage_needs_truth(spark, cli_fixture, built_db):
+    with pytest.raises(ValueError, match="--taxon-coverage needs --truth"):
+        genomic_job.cmd_query(
+            spark,
+            argparse.Namespace(
+                db=built_db, reads=cli_fixture["reads1"], reads2=None,
+                nodes=cli_fixture["nodes"], out=None, truth=None,
+                precision=False, exclude=None, abundance_per=None,
+                taxon_coverage=True,
+            ),
+        )
+
+
+def test_query_align_emits_alignments(
+    spark, cli_fixture, built_db, tmp_path
+):
+    """--align: every rank-1 candidate yields one alignment row; reads
+    are exact forward substrings of the genomes, so at least one
+    aligns perfectly (100M CIGAR, score 2*100) on the + strand."""
+    out_dir = str(tmp_path / "alnq")
+    args = argparse.Namespace(
+        db=built_db, reads=cli_fixture["reads1"], reads2=None,
+        nodes=None, out=out_dir, truth=None, precision=False,
+        exclude=None, abundance_per=None,
+        align=cli_fixture["targets"],
+    )
+    out = genomic_job.cmd_query(spark, args)
+    assert out["alignments"] > 0
+    aln = spark.read.parquet(os.path.join(out_dir, "alignments.parquet"))
+    rows = aln.collect()
+    assert len(rows) == out["alignments"]
+    # one alignment per query that produced candidates
+    cands = spark.read.parquet(os.path.join(out_dir, "candidates.parquet"))
+    n_rank1 = cands.where(F.col("rank") == 1).count()
+    assert len(rows) == n_rank1
+    perfect = [r for r in rows if r["cigar"] == "100M"]
+    assert perfect, "no perfect alignment among exact-substring reads"
+    assert all(r["align_score"] == 200 for r in perfect)
+    assert all(r["strand"] == "+" for r in perfect)
+    for r in rows:
+        assert r["win_char_beg"] <= r["target_begin"] < r["win_char_end"]
+
+
+def test_query_align_rejects_lowest(spark, cli_fixture, built_db):
+    with pytest.raises(ValueError, match="--align is incompatible"):
+        genomic_job.cmd_query(
+            spark,
+            argparse.Namespace(
+                db=built_db, reads=cli_fixture["reads1"], reads2=None,
+                nodes=cli_fixture["nodes"], out=None, truth=None,
+                precision=False, exclude=None, abundance_per=None,
+                lowest="genus", align=cli_fixture["targets"],
+            ),
+        )
+
+
+def test_query_align_paired_adds_mate_scores(
+    spark, cli_fixture, built_db, tmp_path
+):
+    """Paired --align: mate-2 scores join the per-strand totals
+    (make_semi_global_alignment:79-104), so total_score > align_score
+    whenever the mate also matches the window."""
+    out_dir = str(tmp_path / "alnp")
+    args = argparse.Namespace(
+        db=built_db, reads=cli_fixture["reads1"],
+        reads2=cli_fixture["reads2"], nodes=None, out=out_dir,
+        truth=None, precision=False, exclude=None, abundance_per=None,
+        insert_size_max=0, align=cli_fixture["targets"],
+    )
+    out = genomic_job.cmd_query(spark, args)
+    assert out["alignments"] > 0
+    aln = spark.read.parquet(os.path.join(out_dir, "alignments.parquet"))
+    assert aln.where(
+        F.col("total_score") > F.col("align_score")
+    ).count() > 0
