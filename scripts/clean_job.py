@@ -8,7 +8,8 @@ entirely from this repo's operators::
       ├─ remove_boilerplate_lines ───── site-template removal
       │
       ├─ quality gates ──────────────── token/alpha/repetition filters
-      │      (token_stats ⋈ quality_scores ⋈ repetition_stats)
+      │      (quality_gate: the fused row-local predicate of
+      │       token_stats ⋈ quality_scores ⋈ repetition_stats)
       │
       ├─ decontamination (optional) ─── eval-set leak removal in BOTH
       │      modalities: shingle containment (--eval-docs) and
@@ -94,6 +95,15 @@ def main() -> None:
         help="SemDeDup pass over the dedup survivors: remove docs whose "
         "embedding cosine to a lower-id same-cluster survivor is >= "
         "MICRO/1e6 (0 = off; needs --embeddings; operators/semdedup.py)",
+    )
+    ap.add_argument(
+        "--semdedup-centroids",
+        type=int,
+        default=16,
+        metavar="K",
+        help="k-means cluster count for the SemDeDup pass — the "
+        "paper's cost knob (per-task work is cluster_size**2): size it "
+        "so survivors/K stays in the hundreds at large corpus sizes",
     )
     ap.add_argument(
         "--strip-spans",
@@ -187,10 +197,8 @@ def run(spark, args) -> dict:
     from pyspark.sql import functions as F
 
     from metacache_mpi_spark.operators.textops import (
-        quality_scores,
+        quality_gate,
         remove_boilerplate_lines,
-        repetition_stats,
-        token_stats,
     )
     from metacache_mpi_spark.operators.webops import url_dedup_latest
     from metacache_mpi_spark.plans.pipeline import dedup_pipeline
@@ -240,30 +248,30 @@ def run(spark, args) -> dict:
     )
     counts["after_boilerplate"] = clean.count()
 
-    # 3. quality gates — all JVM-side relational ops over the cache
-    keep = (
-        token_stats(clean)
-        .join(quality_scores(clean), ["doc_id", "n_chars_text"])
-        .join(repetition_stats(clean), "doc_id")
-        .where(
-            (F.col("n_tokens") >= MIN_WORDS)
-            & (F.col("alpha_milli") >= MIN_ALPHA_MILLI)
-            & (F.col("dup_word_milli") <= MAX_DUP_WORD_MILLI)
-            & (F.col("top_2gram_milli") <= MAX_TOP_2GRAM_MILLI)
-        )
-        .select("doc_id")
+    # 3. quality gates — ONE fused row-local filter (quality_gate is
+    #    the predicate composition of token_stats / quality_scores /
+    #    repetition_stats; the joined formulation cost 3 corpus scans
+    #    + 3 doc_id exchanges for row-local signals — measured 36.5 s
+    #    → 8.0 s at 200k/16 cores)
+    gated = quality_gate(
+        clean,
+        min_words=MIN_WORDS,
+        min_alpha_milli=MIN_ALPHA_MILLI,
+        max_dup_word_milli=MAX_DUP_WORD_MILLI,
+        max_top_2gram_milli=MAX_TOP_2GRAM_MILLI,
     )
     if getattr(args, "max_oov_milli", 0):
         from metacache_mpi_spark.operators.textops import word_freq_scores
 
+        # corpus-statistical signal (vocabulary df) — genuinely NOT
+        # row-local, stays a join; the keep-set scales with the corpus
+        # so shuffle join, never broadcast
         wf = (
             word_freq_scores(clean)
             .where(F.col("oov_milli") <= args.max_oov_milli)
             .select("doc_id")
         )
-        keep = keep.join(wf.hint("shuffle_hash"), "doc_id")
-    # keep-set scales with the corpus — shuffle join, never broadcast
-    gated = clean.join(keep.hint("shuffle_hash"), "doc_id")
+        gated = gated.join(wf.hint("shuffle_hash"), "doc_id")
     counts["after_quality"] = gated.count()
 
     # 3b. decontamination — drop anything too close to the eval set,
@@ -401,6 +409,10 @@ def run(spark, args) -> dict:
     res = dedup_pipeline(
         gated, cfg, bucketed_warehouse=args.bucketed_warehouse
     )
+    if "warehouse" in res.metrics:
+        # audit line: which bucketed sketch state served the dedup
+        # stage — fingerprint + reused-vs-freshly-written
+        counts["warehouse"] = res.metrics["warehouse"]
     from metacache_mpi_spark.operators.cc import cluster_representatives
 
     keep = getattr(args, "keep", "min_id")
@@ -429,7 +441,11 @@ def run(spark, args) -> dict:
             "vec_id",
             "left_semi",
         )
-        verdict = semantic_dedup(emb_surv, tau_micro=args.semdedup_tau)
+        verdict = semantic_dedup(
+            emb_surv,
+            n_centroids=getattr(args, "semdedup_centroids", 16),
+            tau_micro=args.semdedup_tau,
+        )
         # anti-join on the REMOVED set (not inner-join on keepers):
         # survivors without an embedding row must pass through
         sem_drop = verdict.where(verdict.removed).select(

@@ -91,6 +91,10 @@ def main() -> None:
         "docs": n_docs,
         "verified_pairs": n_pairs,
     }
+    if "warehouse" in res.metrics:
+        # audit line: which bucketed sketch state served this run —
+        # fingerprint + whether it was reused or freshly written
+        line["warehouse"] = res.metrics["warehouse"]
     if args.truth_pairs:
         from metacache_mpi_spark.operators.evaluate import pair_set_metrics
 

@@ -139,6 +139,14 @@ def test_bucketed_warehouse_is_write_once(spark, tiny_corpus, tmp_path):
         for f in os.listdir(table_dir)
     )
     assert mtime2 == mtime  # table files untouched by the second run
+    # reuse is AUDITABLE: both runs surface the warehouse fingerprint
+    # and the fresh-write/reuse decision in their metrics (jobs copy
+    # this into their RESULT JSON line)
+    w1, w2 = first.metrics["warehouse"], second.metrics["warehouse"]
+    assert w1["reused"] is False and w2["reused"] is True
+    assert w1["table"] == w2["table"]
+    assert w1["fingerprint"] == w2["fingerprint"]
+    assert w1["fingerprint"]["rows"] == first.signatures.count()
 
 
 def test_bucketed_warehouse_rejects_different_corpus(
@@ -205,3 +213,68 @@ def test_bucketed_warehouse_pre_guard_table_adopts_or_rejects(
     subset = pages.where(F.xxhash64("url") % 2 == 0)
     with pytest.raises(ValueError, match="docs"):
         dedup_pipeline(subset, bucketed_warehouse=wh)
+
+
+def test_bucketed_warehouse_survives_catalog_loss(
+    spark, tiny_corpus, tmp_path
+):
+    """Cross-SESSION reuse: the in-memory catalog forgets external
+    tables between spark-submit runs, but the files + _bucket_spec.json
+    on disk are the durable truth.  Simulate a fresh session by
+    DROP TABLE (external table: metadata-only, files survive — exactly
+    what a new session sees) and re-run: the pipeline must RE-REGISTER
+    from the spec instead of re-sketching, report reused=True, leave
+    the table files untouched, and keep the bucket-local (Exchange-free
+    corpus side) join property."""
+    import os
+
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    wh = str(tmp_path / "wh_session")
+    pages = load_pages(spark, tiny_corpus).where("pmod(doc_id, 3) = 2")
+    first = dedup_pipeline(pages, bucketed_warehouse=wh)
+    c1 = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in first.clusters.collect()
+    )
+    table = first.metrics["warehouse"]["table"]
+    table_dir = os.path.join(wh, table)
+    assert os.path.exists(os.path.join(table_dir, "_bucket_spec.json"))
+    mtime = max(
+        os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    )
+
+    spark.sql(f"DROP TABLE `{table}`")  # what a new session looks like
+    assert not spark.catalog.tableExists(table)
+    assert os.path.exists(table_dir)  # external: files survived
+
+    second = dedup_pipeline(pages, bucketed_warehouse=wh)
+    c2 = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in second.clusters.collect()
+    )
+    assert c1 == c2
+    assert second.metrics["warehouse"]["reused"] is True
+    mtime2 = max(
+        os.path.getmtime(os.path.join(table_dir, f))
+        for f in os.listdir(table_dir)
+    )
+    assert mtime2 == mtime  # re-registered, never re-written
+    # the re-registered table still carries its bucket spec in the
+    # catalog (a bare scan prints "Bucketed: false (... only if
+    # needed)", so assert the metadata, which is what joins consume)
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED `{table}`").collect()
+    }
+    assert int(desc["Num Buckets"]) > 0
+    assert "doc_id" in desc["Bucket Columns"]
+    # corrupt-spec safety: a warehouse whose spec went missing must
+    # fall back to a fresh write, not half-register
+    spark.sql(f"DROP TABLE `{table}`")
+    os.remove(os.path.join(table_dir, "_bucket_spec.json"))
+    third = dedup_pipeline(pages, bucketed_warehouse=wh)
+    assert third.metrics["warehouse"]["reused"] is False
+    assert sorted(
+        (r["doc_id"], r["cluster_id"]) for r in third.clusters.collect()
+    ) == c1

@@ -671,3 +671,99 @@ def test_clean_job_decontamination_stages(spark, tmp_path):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert sample["doc_id"] not in kept
     assert planted not in kept
+
+
+def test_quality_gate_equals_joined_formulation(spark, tmp_path):
+    """quality_gate (the fused row-local filter clean_job runs) keeps
+    EXACTLY the docs the three-operator join formulation keeps — on an
+    adversarial corpus that exercises every predicate boundary (word
+    count at/below the minimum, alpha ratio at the floor boundary,
+    dup-word and top-2gram ratios at/over their caps, empty and
+    single-token text) plus a slice of the generated crawl."""
+    from metacache_mpi_spark.operators.textops import (
+        quality_gate,
+        quality_scores,
+        repetition_stats,
+        token_stats,
+    )
+    from metacache_mpi_spark.sources.pages import load_pages, write_corpus
+
+    hand = [
+        # passes everything: 25 distinct words, all lowercase+space
+        ("h1", " ".join(f"word{i}" for i in range(25))),
+        # 19 words = min_words - 1: dropped
+        ("h2", " ".join(f"w{i}" for i in range(19))),
+        # exactly 20 words: kept (>= is inclusive)
+        ("h3", " ".join(f"tok{i}" for i in range(20))),
+        # low alpha: 25 digit words -> alpha_milli 0
+        ("h4", " ".join(str(i) * 3 for i in range(25))),
+        # all-same word: dup_word_milli = 960 > 900
+        ("h5", " ".join(["same"] * 25)),
+        # 2-gram mode: 'a b' repeated -> top_2gram_milli 1000 > 300
+        ("h6", " ".join(["a", "b"] * 15)),
+        # empty text: dropped by the length(text) > 0 guard
+        ("h7", ""),
+        # single token, no space
+        ("h8", "solitaryword"),
+        # multiline with newlines (dup_line path in repetition_stats)
+        ("h9", "\n".join(" ".join(f"l{i}n{j}" for j in range(7))
+                         for i in range(4))),
+        # boundary floor: 1 uppercase in 2000 chars of lowercase
+        ("h10", ("x" * 999 + "Q " + "y " * 500).strip()),
+    ]
+    write_corpus(str(tmp_path / "c"), n_pages=150, seed=23)
+    gen = load_pages(spark, str(tmp_path / "c")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    docs = spark.createDataFrame(hand, "doc_id string, text string").union(
+        gen
+    )
+
+    for (mw, ma, mdw, mtg) in [(20, 500, 900, 300), (1, 0, 1000, 1000),
+                               (25, 950, 500, 100)]:
+        joined = (
+            token_stats(docs)
+            .join(quality_scores(docs), ["doc_id", "n_chars_text"])
+            .join(repetition_stats(docs), "doc_id")
+            .where(
+                (F.col("n_tokens") >= mw)
+                & (F.col("alpha_milli") >= ma)
+                & (F.col("dup_word_milli") <= mdw)
+                & (F.col("top_2gram_milli") <= mtg)
+            )
+        )
+        want = {r["doc_id"] for r in joined.select("doc_id").collect()}
+        got = {
+            r["doc_id"]
+            for r in quality_gate(docs, mw, ma, mdw, mtg)
+            .select("doc_id")
+            .collect()
+        }
+        assert got == want, (mw, ma, mdw, mtg, got ^ want)
+
+    # boundary rows behave as designed at the default thresholds
+    kept = {
+        r["doc_id"]
+        for r in quality_gate(docs, 20, 500, 900, 300)
+        .select("doc_id").collect()
+    }
+    assert {"h1", "h3"} <= kept
+    assert kept.isdisjoint({"h2", "h4", "h5", "h6", "h7", "h8"})
+
+    # the whole point: the gate is ONE row-local filter — no Exchange,
+    # no join.  Assert over the local frame (load_pages' own
+    # round-robin repartition would otherwise appear in the plan);
+    # over a parquet source the predicate lands in the scan's
+    # DataFilters, i.e. the gate folds into the scan.
+    local = spark.createDataFrame(hand, "doc_id string, text string")
+    plan = (
+        quality_gate(local, 20, 500, 900, 300)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    gplan = (
+        quality_gate(gen, 20, 500, 900, 300)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "element_at(transform" in gplan.split("FileScan")[1][:400]
