@@ -58,6 +58,22 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--cores", default=None)
+    # quality-gate thresholds (textops.quality_gate — the fused
+    # row-local predicate of token/alpha/repetition stats); defaults
+    # are the module constants so existing invocations are unchanged
+    ap.add_argument("--min-words", type=int, default=MIN_WORDS)
+    ap.add_argument(
+        "--min-alpha-milli", type=int, default=MIN_ALPHA_MILLI,
+        help="min lowercase-alpha chars per 1000 chars",
+    )
+    ap.add_argument(
+        "--max-dup-word-milli", type=int, default=MAX_DUP_WORD_MILLI,
+        help="max repeated word occurrences per 1000 words",
+    )
+    ap.add_argument(
+        "--max-top-2gram-milli", type=int, default=MAX_TOP_2GRAM_MILLI,
+        help="max share of the most common word 2-gram, in milli",
+    )
     ap.add_argument(
         "--bucketed-warehouse",
         default=None,
@@ -255,10 +271,14 @@ def run(spark, args) -> dict:
     #    → 8.0 s at 200k/16 cores)
     gated = quality_gate(
         clean,
-        min_words=MIN_WORDS,
-        min_alpha_milli=MIN_ALPHA_MILLI,
-        max_dup_word_milli=MAX_DUP_WORD_MILLI,
-        max_top_2gram_milli=MAX_TOP_2GRAM_MILLI,
+        min_words=getattr(args, "min_words", MIN_WORDS),
+        min_alpha_milli=getattr(args, "min_alpha_milli", MIN_ALPHA_MILLI),
+        max_dup_word_milli=getattr(
+            args, "max_dup_word_milli", MAX_DUP_WORD_MILLI
+        ),
+        max_top_2gram_milli=getattr(
+            args, "max_top_2gram_milli", MAX_TOP_2GRAM_MILLI
+        ),
     )
     if getattr(args, "max_oov_milli", 0):
         from metacache_mpi_spark.operators.textops import word_freq_scores

@@ -767,3 +767,46 @@ def test_quality_gate_equals_joined_formulation(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "element_at(transform" in gplan.split("FileScan")[1][:400]
+
+
+def test_clean_job_quality_threshold_knobs(spark, tmp_path):
+    """The quality-gate thresholds are CLI knobs: an impossible
+    --min-words empties the funnel at the quality stage (and the job
+    still completes on the empty survivor set); all-permissive
+    thresholds pass every boilerplate survivor through."""
+    import argparse
+    import importlib.util
+    import os
+
+    from metacache_mpi_spark.sources.pages import write_corpus
+
+    spec = importlib.util.spec_from_file_location(
+        "clean_job",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "clean_job.py"),
+    )
+    clean_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(clean_job)
+
+    cdir = str(tmp_path / "corpus")
+    write_corpus(cdir, n_pages=120, seed=37)
+
+    def run(**gate):
+        args = argparse.Namespace(
+            input=cdir, output=str(tmp_path / "out"), generate=0,
+            cores=None, bucketed_warehouse=None, eval_docs=None,
+            embeddings=None, eval_embeddings=None, semantic_tau=0.9,
+            max_per_host=0, **gate,
+        )
+        return clean_job.run(spark, args)
+
+    strict = run(min_words=10**6)
+    assert strict["after_quality"] == 0
+    assert strict["clean"] == 0
+
+    permissive = run(
+        min_words=0, min_alpha_milli=0,
+        max_dup_word_milli=1000, max_top_2gram_milli=1000,
+    )
+    assert permissive["after_quality"] == permissive["after_boilerplate"]
+    assert permissive["clean"] > 0
