@@ -170,17 +170,24 @@ def _write_funnel_embeddings(
 
     from metacache_mpi_spark.sources.pages import load_pages
 
-    if os.path.exists(emb_path):
+    # _SUCCESS marker, not bare existence: a crashed first write would
+    # otherwise permanently poison every later run with a truncated
+    # embedding set (missing rows bypass SemDeDup via the anti-join)
+    if os.path.exists(os.path.join(emb_path, "_SUCCESS")):
         return
     spark = get_spark(8, app_name="bench-funnel-emb")
 
     def _gen(batches):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
+            # seed from the FULL 64-bit doc_id: a 31-bit truncation
+            # collides ~9 id pairs at 200k docs into byte-identical
+            # vectors, which SemDeDup then removes (cosine exactly 1)
+            # — violating the no-survivor-change contract above
             vecs = [
-                np.random.RandomState(
-                    np.uint32(int(i) & 0x7FFFFFFF)
-                ).randn(dims).tolist()
+                np.random.default_rng(
+                    np.random.SeedSequence(int(i) & (2**64 - 1))
+                ).standard_normal(dims).tolist()
                 for i in ids
             ]
             yield pd.DataFrame({"vec_id": ids, "embedding": vecs})

@@ -553,6 +553,43 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     ).where(n > 0)
 
 
+# Shared SQL fragments for the repetition signals — used by BOTH
+# repetition_stats (the authoritative contract operator, where `w` and
+# `sg` are projected columns) and quality_gate (the fused filter, where
+# the same identifiers are HOF lambda variables).  One definition, two
+# binding contexts: a fix to either hazard documented below lands in
+# both formulations at once (the set-equality test in test_webops
+# guards the pairing).
+#
+# repeated word occurrences per 1000 words (integer div — BIGINT-exact)
+_DUP_WORD_MILLI_SQL = (
+    "(size(w) - size(array_distinct(w))) * 1000 div size(w)"
+)
+# sorted 2-gram array over the word array `w` (zip_with over shifted
+# slices: every array-valued subexpression is a HOF *input*, evaluated
+# once per row — see the lambda-purity note in repetition_stats)
+_SORTED_2GRAMS_SQL = (
+    "array_sort(zip_with(slice(w, 1, size(w) - 1), "
+    "slice(w, 2, size(w) - 1), (x, y) -> concat(x, ' ', y)))"
+)
+# mode count of the SORTED gram array `sg` = longest equal-neighbor
+# run + 1, per 1000 grams; 0 when there is no 2-gram
+_TOP_2GRAM_MILLI_SQL = """
+    CAST(CASE WHEN size(w) < 2 THEN 0 ELSE
+      aggregate(
+        zip_with(slice(sg, 1, size(sg) - 1), slice(sg, 2, size(sg) - 1),
+                 (x, y) -> x = y),
+        struct(CAST(1 AS BIGINT) AS cur, CAST(1 AS BIGINT) AS best),
+        (acc, e) -> IF(
+          e,
+          struct(acc.cur + CAST(1 AS BIGINT) AS cur,
+                 greatest(acc.best, acc.cur + CAST(1 AS BIGINT)) AS best),
+          struct(CAST(1 AS BIGINT) AS cur, acc.best AS best)),
+        acc -> acc.best) * 1000 div size(sg)
+    END AS BIGINT)
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document, as exact
     fixed-point milli-ratios (BIGINT, integer ``div`` — no float
@@ -583,44 +620,21 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # to unbounded).  With zip_with over slices, array-valued
     # subexpressions are HOF *inputs* — evaluated once per row per
     # inlined copy, never per element.
-    dup_words = "(size(w) - size(array_distinct(w))) * 1000 div size(w)"
     dup_lines = (
         "(size(lns) - size(array_distinct(lns))) * 1000 div size(lns)"
     )
-    # sorted 2-gram array; mode count = longest equal-neighbor run + 1,
-    # via a boolean neighbor-equality array (lambda-pure)
-    top_gram = """
-    CAST(CASE WHEN size(w) < 2 THEN 0 ELSE
-      aggregate(
-        zip_with(slice(sg, 1, size(sg) - 1), slice(sg, 2, size(sg) - 1),
-                 (x, y) -> x = y),
-        struct(CAST(1 AS BIGINT) AS cur, CAST(1 AS BIGINT) AS best),
-        (acc, e) -> IF(
-          e,
-          struct(acc.cur + CAST(1 AS BIGINT) AS cur,
-                 greatest(acc.best, acc.cur + CAST(1 AS BIGINT)) AS best),
-          struct(CAST(1 AS BIGINT) AS cur, acc.best AS best)),
-        acc -> acc.best) * 1000 div size(sg)
-    END AS BIGINT)
-    """
     return (
         docs.where(F.length("text") > 0)
         .withColumn("w", F.split("text", " "))
         .withColumn("lns", F.split("text", "\n"))
-        .withColumn(
-            "sg",
-            F.expr(
-                "array_sort(zip_with(slice(w, 1, size(w) - 1), "
-                "slice(w, 2, size(w) - 1), "
-                "(x, y) -> concat(x, ' ', y)))"
-            ),
-        )
+        .withColumn("sg", F.expr(_SORTED_2GRAMS_SQL))
         .select(
             "doc_id",
             F.expr("size(w)").cast("long").alias("n_words"),
-            F.expr(dup_words).cast("long").alias("dup_word_milli"),
+            F.expr(_DUP_WORD_MILLI_SQL).cast("long")
+            .alias("dup_word_milli"),
             F.expr(dup_lines).cast("long").alias("dup_line_milli"),
-            F.expr(top_gram).alias("top_2gram_milli"),
+            F.expr(_TOP_2GRAM_MILLI_SQL).alias("top_2gram_milli"),
         )
     )
 
@@ -661,21 +675,6 @@ def quality_gate(
     quality_scores' Python ``1000.0`` is a double; the cast keeps the
     two formulations bit-identical at the floor boundary.
     """
-    top_gram_sg = """
-      CAST(CASE WHEN size(w) < 2 THEN 0 ELSE
-        aggregate(
-          zip_with(slice(sg, 1, size(sg) - 1), slice(sg, 2, size(sg) - 1),
-                   (x, y) -> x = y),
-          struct(CAST(1 AS BIGINT) AS cur, CAST(1 AS BIGINT) AS best),
-          (acc, e) -> IF(
-            e,
-            struct(acc.cur + CAST(1 AS BIGINT) AS cur,
-                   greatest(acc.best,
-                            acc.cur + CAST(1 AS BIGINT)) AS best),
-            struct(CAST(1 AS BIGINT) AS cur, acc.best AS best)),
-          acc -> acc.best) * 1000 div size(sg)
-      END AS BIGINT)
-    """
     pred = f"""
     length(text) > 0 AND element_at(transform(array(split(text, ' ')),
       w ->
@@ -683,12 +682,9 @@ def quality_gate(
         AND floor(length(regexp_replace(text, '[^a-z]', ''))
                   * CAST(1000 AS DOUBLE)
                   / length(text)) >= {int(min_alpha_milli)}
-        AND (size(w) - size(array_distinct(w))) * 1000 div size(w)
-            <= {int(max_dup_word_milli)}
-        AND element_at(transform(array(array_sort(zip_with(
-              slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-              (x, y) -> concat(x, ' ', y)))), sg ->
-            {top_gram_sg} <= {int(max_top_2gram_milli)}), 1)
+        AND {_DUP_WORD_MILLI_SQL} <= {int(max_dup_word_milli)}
+        AND element_at(transform(array({_SORTED_2GRAMS_SQL}), sg ->
+            {_TOP_2GRAM_MILLI_SQL} <= {int(max_top_2gram_milli)}), 1)
     ), 1)
     """
     return docs.where(F.expr(pred))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -87,16 +88,33 @@ def try_register_bucketed(
             spec = json.load(fh)
         cols = ", ".join(f"`{n}` {t}" for n, t in spec["schema"])
         bc = spec["bucket_col"]
+        nb = int(spec["num_buckets"])
+    except (OSError, ValueError, KeyError, TypeError) as exc:
+        # unreadable/incomplete spec: unregisterable — the caller
+        # rebuilds (its fingerprint guard still protects a mismatched
+        # corpus from overwriting the stored state).  Surfaced, not
+        # swallowed: a persistent spec problem would otherwise pay the
+        # full re-sketch EVERY session with no signal.
+        warnings.warn(
+            f"bucketed table {table!r}: unreadable _bucket_spec.json "
+            f"at {spec_path!r} ({exc!r}); falling back to a fresh write"
+        )
+        return False
+    try:
         spark.sql(
             f"CREATE TABLE `{table}` ({cols}) USING PARQUET "
             f"CLUSTERED BY (`{bc}`) SORTED BY (`{bc}`) "
-            f"INTO {int(spec['num_buckets'])} BUCKETS "
+            f"INTO {nb} BUCKETS "
             f"LOCATION '{path}'"
         )
         return True
-    except Exception:
-        # unreadable spec / DDL failure: treat as unregisterable and
-        # let the caller rebuild from the corpus (never half-register)
+    except Exception as exc:
+        # DDL failure with a VALID spec: never half-register, but make
+        # the reuse loss loud — every later session would re-sketch
+        warnings.warn(
+            f"bucketed table {table!r}: re-registration DDL failed "
+            f"({exc!r}); falling back to a fresh write"
+        )
         return False
 
 

@@ -238,6 +238,26 @@ def dedup_pipeline(
                 spark, table, _os.path.join(bucketed_warehouse, table)
             )
         if not spark.catalog.tableExists(table):
+            # fresh-write path must STILL honor the corpus-fingerprint
+            # guard: a pre-spec warehouse (or one whose spec failed to
+            # register) has no catalog entry, but its fingerprint file
+            # survives — overwriting it with a DIFFERENT corpus would
+            # silently destroy the stored sketch state the guard exists
+            # to protect.  Same corpus → rebuild is allowed (the spec
+            # or catalog entry was lost, the data is reproducible).
+            if _os.path.exists(fp_path):
+                got = _docs_fingerprint()
+                with open(fp_path) as fh:
+                    stored = _json.load(fh)
+                if {k: got.get(k) for k in stored} != stored:
+                    raise ValueError(
+                        f"bucketed_warehouse {bucketed_warehouse!r} holds "
+                        f"a DIFFERENT corpus (stored fingerprint {stored},"
+                        f" this call's docs {got}) and its table is not "
+                        f"registrable in this session; point a new corpus "
+                        f"at a new warehouse dir or delete "
+                        f"{fp_path!r} + the table dir {table!r}"
+                    )
             sig_df = (
                 checkpoints.get_or_compute("signatures", _signatures)
                 if checkpoints is not None

@@ -278,3 +278,36 @@ def test_bucketed_warehouse_survives_catalog_loss(
     assert sorted(
         (r["doc_id"], r["cluster_id"]) for r in third.clusters.collect()
     ) == c1
+
+
+def test_unregistrable_warehouse_still_guards_corpus_mismatch(
+    spark, tiny_corpus, tmp_path
+):
+    """Review finding: the fresh-write fallback (catalog entry gone AND
+    no/unreadable _bucket_spec.json) must NOT silently overwrite a
+    stored warehouse with a DIFFERENT corpus — the surviving
+    fingerprint file still gates the write."""
+    import os
+
+    import pytest
+
+    from metacache_mpi_spark.plans.pipeline import dedup_pipeline
+    from metacache_mpi_spark.sources.pages import load_pages
+
+    wh = str(tmp_path / "wh_guard")
+    pages_a = load_pages(spark, tiny_corpus).where("pmod(doc_id, 3) = 0")
+    first = dedup_pipeline(pages_a, bucketed_warehouse=wh)
+    first.clusters.count()
+    table = first.metrics["warehouse"]["table"]
+    table_dir = os.path.join(wh, table)
+
+    # simulate a pre-spec warehouse seen from a new session
+    spark.sql(f"DROP TABLE `{table}`")
+    os.remove(os.path.join(table_dir, "_bucket_spec.json"))
+
+    pages_b = load_pages(spark, tiny_corpus).where("pmod(doc_id, 3) = 1")
+    with pytest.raises(ValueError, match="DIFFERENT corpus"):
+        dedup_pipeline(pages_b, bucketed_warehouse=wh).clusters.count()
+    # the stored state survived the refused write
+    assert os.path.exists(os.path.join(wh, table + ".fingerprint.json"))
+    assert any(f.endswith(".parquet") for f in os.listdir(table_dir))
