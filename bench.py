@@ -67,25 +67,26 @@ SKETCH_REPLICATE = 4  # sketch-scaling input = SMALL_PAGES × this
 CORES_LOW, CORES_HIGH = 4, 16
 
 
-def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
-    spark = get_spark(cpus, app_name="bench")
-
-    # Warm what is session startup, not query work, exactly as
-    # run_dedup_at does for the scaling runs: the Python-UDF worker
-    # pool (first pandas_udf job pays ~2-4 s of fork+import per core)
-    # and whole-stage-codegen compilation.  Without this the FIRST
-    # headline query (minhash_lsh_pairs) absorbs the session's entire
-    # warmup and its number swings round-to-round (r1 10.7 s → r2
-    # 14.3 s with an unchanged plan).
+def _warm_udf_pool(spark, n_parts: int) -> None:
+    """Warm what is session startup, not query work: the Python-UDF
+    worker pool (first pandas_udf job pays ~2-4 s of fork+import per
+    core) and whole-stage-codegen compilation.  Without this the FIRST
+    timed query absorbs the session's entire warmup and its number
+    swings round-to-round (r1 10.7 s → r2 14.3 s, unchanged plan)."""
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
         return s
 
-    spark.range(10000).repartition(int(cpus)).select(
+    spark.range(10000).repartition(n_parts).select(
         F.sum(_warm(F.col("id")))
     ).collect()
+
+
+def run_headline(sf_dir: str, cpus: str) -> tuple[float, dict[str, float]]:
+    spark = get_spark(cpus, app_name="bench")
+    _warm_udf_pool(spark, int(cpus))
 
     qs = entry_mod.queries()
     # the bench measures the PRODUCTION sketch lane; the same-named
@@ -129,21 +130,12 @@ def run_dedup_at(
     """One full dedup pipeline over the corpus; returns wall seconds.
     JVM startup AND the Python-UDF worker pool are warmed outside the
     timed window (cluster/worker start time is not throughput)."""
-    from pyspark.sql import functions as F
-
     from metacache_mpi_spark.plans.pipeline import dedup_pipeline
     from metacache_mpi_spark.sources.pages import load_pages
 
     spark = get_spark(cores, app_name=f"bench-dedup-{cores}",
                       shuffle_partitions=2 * cores)
-
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(10000).repartition(2 * cores).select(
-        F.sum(_warm(F.col("id")))
-    ).collect()
+    _warm_udf_pool(spark, 2 * cores)
     from metacache_mpi_spark.config import DEFAULT_CONFIG
 
     t0 = time.time()
@@ -198,7 +190,9 @@ def _write_funnel_embeddings(
     spark.stop()
 
 
-def run_funnel_at(corpus_dir: str, emb_path: str, cores: int) -> float:
+def run_funnel_at(
+    corpus_dir: str, emb_path: str, cores: int, n_pages: int
+) -> float:
     """One composed cleanup funnel — the pipeline shape a user actually
     deploys (clean_job: url-dedup → intra-doc line dedup → boilerplate
     → quality gates → PII scrub → ExactSubstr span strip → near-dup
@@ -208,8 +202,6 @@ def run_funnel_at(corpus_dir: str, emb_path: str, cores: int) -> float:
     keep per-cluster work bounded (the paper's own cost knob)."""
     import argparse
     import importlib.util
-
-    from pyspark.sql import functions as F
 
     spec = importlib.util.spec_from_file_location(
         "clean_job",
@@ -224,15 +216,7 @@ def run_funnel_at(corpus_dir: str, emb_path: str, cores: int) -> float:
 
     spark = get_spark(cores, app_name=f"bench-funnel-{cores}",
                       shuffle_partitions=2 * cores)
-
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(10000).repartition(2 * cores).select(
-        F.sum(_warm(F.col("id")))
-    ).collect()
-    n_pages = int(os.path.basename(corpus_dir.rstrip("/")).rsplit("_", 1)[-1])
+    _warm_udf_pool(spark, 2 * cores)
     ns = argparse.Namespace(
         input=corpus_dir, output=f"/tmp/bench_funnel_out_{cores}",
         generate=0, cores=None, bucketed_warehouse=None,
@@ -547,8 +531,12 @@ def main() -> None:
             )
             bestf = None
             for _ in range(repsf):
-                fl = run_funnel_at(funnel_dir, emb_path, CORES_LOW)
-                fh = run_funnel_at(funnel_dir, emb_path, CORES_HIGH)
+                fl = run_funnel_at(
+                    funnel_dir, emb_path, CORES_LOW, funnel_pages
+                )
+                fh = run_funnel_at(
+                    funnel_dir, emb_path, CORES_HIGH, funnel_pages
+                )
                 if bestf is None or fl + fh < sum(bestf):
                     bestf = (fl, fh)
             fl, fh = bestf

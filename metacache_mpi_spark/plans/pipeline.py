@@ -245,17 +245,19 @@ def dedup_pipeline(
             # silently destroy the stored sketch state the guard exists
             # to protect.  Same corpus → rebuild is allowed (the spec
             # or catalog entry was lost, the data is reproducible).
+            fresh_fp = None  # guard result reused below: the
+            # fingerprint is a full corpus scan, never pay it twice
             if _os.path.exists(fp_path):
-                got = _docs_fingerprint()
+                fresh_fp = _docs_fingerprint()
                 with open(fp_path) as fh:
                     stored = _json.load(fh)
-                if {k: got.get(k) for k in stored} != stored:
+                if {k: fresh_fp.get(k) for k in stored} != stored:
                     raise ValueError(
                         f"bucketed_warehouse {bucketed_warehouse!r} holds "
                         f"a DIFFERENT corpus (stored fingerprint {stored},"
-                        f" this call's docs {got}) and its table is not "
-                        f"registrable in this session; point a new corpus "
-                        f"at a new warehouse dir or delete "
+                        f" this call's docs {fresh_fp}) and its table is "
+                        f"not registrable in this session; point a new "
+                        f"corpus at a new warehouse dir or delete "
                         f"{fp_path!r} + the table dir {table!r}"
                     )
             sig_df = (
@@ -270,7 +272,8 @@ def dedup_pipeline(
                 num_buckets=spark.sparkContext.defaultParallelism,
                 path=_os.path.join(bucketed_warehouse, table),
             )
-            fresh_fp = _docs_fingerprint()
+            if fresh_fp is None:
+                fresh_fp = _docs_fingerprint()
             with open(fp_path, "w") as fh:
                 _json.dump(fresh_fp, fh)
             # auditable in job logs: which sketch state this run used

@@ -23,7 +23,13 @@ def main() -> None:
     write_corpus(corpus, n_pages=500, seed=42)
     res = dedup_pipeline(load_pages(spark, corpus))
     os.makedirs(OUT, exist_ok=True)
-    res.signatures.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(
+    # sketch columns ONLY: the signature table also carries the text
+    # passthrough (round-3 verify fusion), but pinning corpus text in
+    # the golden would bloat the fixture 17× with bytes write_corpus
+    # already derives — the golden pins hashing/sketching semantics
+    res.signatures.select(
+        "doc_id", "signature", "simhash", "fps"
+    ).orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(
         f"{OUT}/signatures.golden.parquet"
     )
     res.pairs.orderBy("a", "b").coalesce(1).write.mode("overwrite").parquet(

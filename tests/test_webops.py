@@ -492,6 +492,22 @@ def test_cap_docs_per_key(spark):
         cap_docs_per_key(docs, "key", 0)
 
 
+def _load_clean_job():
+    """Import scripts/clean_job.py as a module (it lives outside the
+    package; the job's run() is driven directly by these tests)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "clean_job",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "clean_job.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_clean_job_max_per_host(spark, tmp_path):
     """clean_job --max-per-host: the final survivors carry at most N
     pages per url host."""
@@ -501,13 +517,7 @@ def test_clean_job_max_per_host(spark, tmp_path):
 
     from metacache_mpi_spark.sources.pages import write_corpus
 
-    spec = importlib.util.spec_from_file_location(
-        "clean_job",
-        os.path.join(os.path.dirname(__file__), "..", "scripts",
-                     "clean_job.py"),
-    )
-    clean_job = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(clean_job)
+    clean_job = _load_clean_job()
 
     cdir = str(tmp_path / "corpus")
     write_corpus(cdir, n_pages=150, seed=31)
@@ -606,12 +616,7 @@ def test_clean_job_decontamination_stages(spark, tmp_path):
 
     from metacache_mpi_spark.sources.pages import load_pages, write_corpus
 
-    spec = importlib.util.spec_from_file_location(
-        "clean_job",
-        os.path.join(os.path.dirname(__file__), "..", "scripts", "clean_job.py"),
-    )
-    clean_job = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(clean_job)
+    clean_job = _load_clean_job()
 
     cdir = str(tmp_path / "corpus")
     write_corpus(cdir, n_pages=150, seed=23)
@@ -780,13 +785,7 @@ def test_clean_job_quality_threshold_knobs(spark, tmp_path):
 
     from metacache_mpi_spark.sources.pages import write_corpus
 
-    spec = importlib.util.spec_from_file_location(
-        "clean_job",
-        os.path.join(os.path.dirname(__file__), "..", "scripts",
-                     "clean_job.py"),
-    )
-    clean_job = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(clean_job)
+    clean_job = _load_clean_job()
 
     cdir = str(tmp_path / "corpus")
     write_corpus(cdir, n_pages=120, seed=37)
