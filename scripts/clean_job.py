@@ -221,9 +221,25 @@ def run(spark, args) -> dict:
     from metacache_mpi_spark.sources.pages import load_pages
 
     counts: dict[str, int] = {}
+    # per-stage wall seconds between funnel barriers (each counts[...]
+    # materialization is one): "clean" covers the whole dedup stage
+    # (sketch -> verify -> CC -> representative pick -> output write),
+    # which has no intermediate action of its own.  Copied into the
+    # RESULT JSON line — the per-stage profile a funnel operator needs.
+    import time as _time
+
+    stage_sec: dict[str, float] = {}
+    _last = [_time.time()]
+
+    def _count(key: str, n: int) -> int:
+        counts[key] = n
+        now = _time.time()
+        stage_sec[key] = round(now - _last[0], 2)
+        _last[0] = now
+        return n
 
     pages = load_pages(spark, args.input)
-    counts["raw"] = pages.count()
+    _count("raw", pages.count())
 
     # 1. crawl-snapshot dedup on canonical URL identity
     pages = url_dedup_latest(pages).withColumn(
@@ -232,7 +248,7 @@ def run(spark, args) -> dict:
     docs = pages.select("doc_id", "url", "text").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    counts["after_url_dedup"] = docs.count()
+    _count("after_url_dedup", docs.count())
 
     # 1b. optional intra-document line dedup (keep-first within a page)
     #     BEFORE the cross-document df count, so a page repeating its
@@ -244,9 +260,9 @@ def run(spark, args) -> dict:
         )
 
         stripped = strip_repeated_lines(docs)
-        counts["intra_doc_lines_dropped"] = int(
+        _count("intra_doc_lines_dropped", int(
             stripped.agg(F.sum("n_dropped")).first()[0] or 0
-        )
+        ))
         # passthrough columns: NO join-back, the stage stays shuffle-free
         docs = stripped.select(
             "doc_id", "url", F.col("clean_text").alias("text")
@@ -262,7 +278,7 @@ def run(spark, args) -> dict:
         .join(docs.select("doc_id", "url"), "doc_id")
         .persist()
     )
-    counts["after_boilerplate"] = clean.count()
+    _count("after_boilerplate", clean.count())
 
     # 3. quality gates — ONE fused row-local filter (quality_gate is
     #    the predicate composition of token_stats / quality_scores /
@@ -292,7 +308,7 @@ def run(spark, args) -> dict:
             .select("doc_id")
         )
         gated = gated.join(wf.hint("shuffle_hash"), "doc_id")
-    counts["after_quality"] = gated.count()
+    _count("after_quality", gated.count())
 
     # 3b. decontamination — drop anything too close to the eval set,
     #     in EITHER modality (verbatim shingle containment / embedding
@@ -310,7 +326,7 @@ def run(spark, args) -> dict:
         overflows a default 1g spark-submit driver heap (unpersist on a
         never-pinned frame is a no-op)."""
         nxt = nxt.persist()
-        counts[stage_key] = nxt.count()
+        _count(stage_key, nxt.count())
         prev.unpersist()
         clean.unpersist()  # superseded once any stage's output is pinned
         return nxt
@@ -332,9 +348,9 @@ def run(spark, args) -> dict:
         from metacache_mpi_spark.operators.pii import scrub_pii
 
         scrubbed = scrub_pii(gated)
-        counts["pii_redactions"] = int(
+        _count("pii_redactions", int(
             scrubbed.agg(F.sum("n_redactions")).first()[0] or 0
-        )
+        ))
         gated = _advance(
             gated,
             scrubbed.select(
@@ -402,7 +418,7 @@ def run(spark, args) -> dict:
         probe = corpus_emb.first()
         if probe is None:
             # empty survivors/embeddings: nothing can be contaminated
-            counts["after_decontam_semantic"] = gated.count()
+            _count("after_decontam_semantic", gated.count())
         else:
             pairs = sign_banded_cross_pairs(
                 corpus_emb,
@@ -493,15 +509,16 @@ def run(spark, args) -> dict:
             args.max_per_host,
             [F.length("text").desc(), F.col("doc_id").asc()],
         ).drop("__host")
-        counts["after_host_cap"] = survivors.count()
+        _count("after_host_cap", survivors.count())
 
     survivors.write.mode("overwrite").parquet(args.output)
-    counts["clean"] = spark.read.parquet(args.output).count()
+    _count("clean", spark.read.parquet(args.output).count())
     # release every pinned subtree: run() is driven on SHARED sessions
     # by tests (unpersist is a no-op on frames that were never pinned)
     clean.unpersist()
     gated.unpersist()
     res.unpersist()
+    counts["stage_sec"] = stage_sec
     return counts
 
 
