@@ -62,11 +62,21 @@ def md5_signature_expr(k: int, s: int, text_col: str = "text") -> "F.Column":
     parity at fixture scale (DuckDB runs the same SQL); production
     corpora use the streaming kperm lane — see
     ``DedupConfig.sketch_mode``."""
+    # distinct-before-hash: the lane min over a multiset equals the min
+    # over its distinct values, so hashing each distinct shingle once
+    # (instead of once per position per lane) is result-identical and
+    # cuts the md5 count by the corpus's shingle repetition factor; the
+    # shingle array is let-bound so it is built once per row, not once
+    # per lane (the repetition_stats inlining discipline)
+    shs = (
+        f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k})))"
+    )
     return F.expr(
         f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"element_at(transform(array({shs}), shs -> "
         f"transform(sequence(0, {s - 1}), lane -> "
-        f"array_min(transform(sequence(1, length({text_col}) - {k} + 1), "
-        f"i -> md5(concat(lane, ':', substring({text_col}, i, {k})))))) "
+        f"array_min(transform(shs, s -> md5(concat(lane, ':', s)))))), 1) "
         f"ELSE NULL END"
     )
 

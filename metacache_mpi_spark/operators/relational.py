@@ -86,11 +86,21 @@ def contiguous_range_hits(
         events.select("user_id", ts_us.alias("us"))
         .withColumn("hits", F.count(F.lit(1)).over(w))
     )
-    best = Window.partitionBy("user_id").orderBy(F.desc("hits"), F.asc("us"))
+    # best window = argmin of (-hits, us): a struct-ordered min
+    # aggregate (partial, map-side) instead of a second full sort +
+    # row_number over the window output — same partitioning key as the
+    # range window, so no extra exchange AND no extra sort (guide §2.4)
+    key = F.struct(
+        (-F.col("hits")).alias("neg_hits"), F.col("us").alias("us")
+    )
     return (
-        hits.withColumn("rn", F.row_number().over(best))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("hits").alias("best_hits"), F.col("us").alias("at_us"))
+        hits.groupBy("user_id")
+        .agg(F.min(key).alias("k"))
+        .select(
+            "user_id",
+            (-F.col("k.neg_hits")).alias("best_hits"),
+            F.col("k.us").alias("at_us"),
+        )
     )
 
 

@@ -22,7 +22,6 @@ the faster NumPy uint32 path.  Semantics mirrored from the reference:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 NGRAM_K = 8          # shingle chars for the documents table (short docs)
 DF_CAP = 100         # stop-shingle document-frequency cap (P13 analog)
@@ -73,28 +72,46 @@ def ngram_jaccard_pairs(
     The brute-force dedup baseline (shingle-level equi join); the LSH
     path below approximates exactly this at scale.
     """
-    # the discriminative-shingle subtree is referenced four times below
-    # (sizes, keep-join, both self-join sides) — pin it once instead of
-    # recomputing the explode+distinct chain per reference.  This is
-    # the measured storage_dominated exception (caching the
-    # corpus×shingles explode via persist() cost 2× the whole query):
-    # decision rule + A/B numbers live in plans/pinning.py.
+    # Grouped-by-shingle formulation (guide §2.3-2.4): ONE
+    # groupBy(sh) collects each shingle's (df-capped, sorted) doc list,
+    # and ONE further aggregation serves BOTH downstream needs — pair
+    # intersection counts (in-array pair expansion, bounded by cap²/2
+    # per shingle) and per-doc surviving-shingle sizes (a unit row per
+    # (doc, NULL) key riding the same exchange).  The old shape
+    # self-joined the exploded (doc_id, sh) rows (a corpus-sized build
+    # side — at sf0.1 a ~10⁶-row BroadcastExchange) and computed the
+    # sizes aggregation TWICE (once per join side); this computes each
+    # quantity once and shuffles corpus-scale data exactly twice
+    # (groupBy(sh), then the fused pair/size groupBy).
     from ..plans.pinning import pin
+    from .lsh import PAIR_EXPANSION
 
-    disc = pin(discriminative_shingles(docs, k, cap), storage_dominated=True)
-    sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = disc.alias("x")
-    y = disc.alias("y")
-    inter = (
-        x.join(y, "sh")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+    g = (
+        shingles(docs, k)
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= cap)
+        .select("ids")
+    )
+    # one exchange for pairs AND sizes: unit rows (doc, NULL) count the
+    # doc's surviving shingles; (a, b) rows count shared shingles
+    unit_rows = "transform(ids, x -> struct(x as a, CAST(NULL AS BIGINT) as b))"
+    m = pin(
+        g.select(
+            F.explode(
+                F.expr(f"concat({unit_rows}, {PAIR_EXPANSION})")
+            ).alias("p")
         )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    inter = m.where(F.col("b").isNotNull())
+    sa = m.where(F.col("b").isNull()).select(
+        F.col("a"), F.col("c").alias("na")
+    )
+    sb = m.where(F.col("b").isNull()).select(
+        F.col("a").alias("b"), F.col("c").alias("nb")
+    )
     uni = F.col("na") + F.col("nb") - F.col("c")
     return (
         inter.join(sa, "a")
@@ -138,25 +155,49 @@ def contamination_pairs(
     the corpus.  Denominator is the eval doc's UNCAPPED shingle count,
     so scores are conservative under the cap.
     """
-    cs = discriminative_shingles(corpus, k, cap)
-    es = shingles(evalset, k).select(
-        F.col("doc_id").alias("eval_id"), "sh"
+    return _containment_pairs(
+        shingles(corpus, k), es=shingles(evalset, k).select(
+            F.col("doc_id").alias("eval_id"), "sh"
+        ),
+        cap=cap,
+        min_containment_milli=min_containment_milli,
+        exclude_self=exclude_self,
     )
-    return _containment_pairs(cs, es, min_containment_milli, exclude_self)
 
 
 def _containment_pairs(
-    cs: DataFrame,
+    corpus_sh: DataFrame,
     es: DataFrame,
+    cap: int,
     min_containment_milli: int,
     exclude_self: bool,
 ) -> DataFrame:
-    """Shared exact tail of the decontamination lanes: (capped) corpus
-    shingles × eval shingles equi join → per-pair containment milli."""
+    """Shared exact tail of the decontamination lanes: df-capped corpus
+    shingles × eval shingles equi join → per-pair containment milli.
+
+    Grouped-by-shingle shape (guide §2.3): the corpus side is ONE
+    groupBy(sh) collecting each shingle's doc list with the df-cap as a
+    filter on the collected size — the old count-then-join-back shape
+    shuffled the corpus (doc_id, sh) rows a second time just to apply
+    the cap.  The grouped rows (≤ cap ids each) then equi-join the eval
+    shingles and expand doc ids in-array, so the join carries one row
+    per distinct shingle instead of one per corpus occurrence.  The cap
+    semantics are unchanged: df = collected-list size = corpus
+    occurrence count of the shingle (shingle rows are distinct per
+    doc).
+    """
     sizes = es.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_eval_sh")
     )
-    hits = cs.join(es.hint("shuffle_hash"), "sh")
+    g = (
+        corpus_sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") <= cap)
+    )
+    hits = (
+        g.join(es.hint("shuffle_hash"), "sh")
+        .select(F.explode("ids").alias("doc_id"), "eval_id")
+    )
     if exclude_self:
         hits = hits.where(F.col("doc_id") != F.col("eval_id"))
     hits = hits.groupBy("doc_id", "eval_id").agg(
@@ -212,14 +253,50 @@ def contamination_pairs_bloom(
         shingles(corpus, k), "sh", bits, m_bits, n_hashes,
         handle_out=handle_out,
     )
-    keep = (
-        pre.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= cap)
-        .select("sh")
+    # the df-cap rides the shared grouped tail: bloom survival is a
+    # function of the shingle VALUE, so a surviving shingle keeps ALL
+    # its occurrences and its collected-list size IS its corpus df —
+    # identical cap decisions to the exact lane for every shingle that
+    # can reach the join
+    return _containment_pairs(
+        pre, es, cap, min_containment_milli, exclude_self
     )
-    cs = pre.join(keep.hint("shuffle_hash"), "sh")
-    return _containment_pairs(cs, es, min_containment_milli, exclude_self)
+
+
+def _shingle_arr_sql(k: int, text_col: str = "text") -> str:
+    """SQL for the DISTINCT k-shingle array of ``text_col`` (the array
+    form of :func:`shingles` — row-local, no explode)."""
+    return (
+        f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k})))"
+    )
+
+
+def _minhash_wide(
+    docs: DataFrame, k: int, lanes: int
+) -> DataFrame:
+    """(doc_id, m0..m{lanes-1}): per-lane md5-string MinHash minima as a
+    WIDE row — the shared front half of :func:`minhash_signatures` and
+    :func:`lsh_band_buckets`.
+
+    Shape note (measured, r7): the lane minima must stay a
+    groupBy-of-exploded-shingles — md5 inside a higher-order-function
+    lambda is evaluated INTERPRETED (HOF lambdas don't participate in
+    whole-stage codegen), and a row-local
+    ``transform(lanes, array_min(transform(shs, md5...)))`` rewrite
+    measured 11-20 s vs 2.1 s for this shape at sf0.1.  The explode +
+    8-parallel-min aggregation keeps every md5 in codegen'd projection
+    code; min(string) costs a SortAggregate pair, which is still 5-10×
+    cheaper than interpreted md5.
+    """
+    sh = shingles(docs, k)
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{lane}:"), F.col("sh")))
+        ).alias(f"m{lane}")
+        for lane in range(lanes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -233,14 +310,7 @@ def minhash_signatures(
     shuffle — 8× less shuffle volume for the same result; the per-lane
     rows are then unpivoted with ``stack``.
     """
-    sh = shingles(docs, k)
-    aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{lane}:"), F.col("sh")))
-        ).alias(f"m{lane}")
-        for lane in range(lanes)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(docs, k, lanes)
     stack_expr = ", ".join(
         f"CAST({lane} AS BIGINT), m{lane}" for lane in range(lanes)
     )
@@ -255,17 +325,35 @@ def lsh_band_buckets(
     lanes: int = MINHASH_LANES,
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
-    """(doc_id, band, bucket): concatenated lane-mins per band."""
-    mh = minhash_signatures(docs, k, lanes)
-    bucket = F.expr(
-        "concat_ws('|', transform(array_sort(collect_list(struct(lane, minh))), "
-        "x -> x.minh))"
-    )
-    return (
-        mh.withColumn("band", F.floor(F.col("lane") / band_rows))
-        .groupBy("doc_id", "band")
-        .agg(bucket.alias("bucket"))
-    )
+    """(doc_id, band, bucket): concatenated lane-mins per band.
+
+    Buckets are assembled ROW-LOCALLY from the wide lane-min row
+    (``concat_ws`` of plain columns — codegen'd, no HOF) and unpivoted
+    with one ``posexplode``.  The old shape unpivoted the signature to
+    long form first and re-grouped it with a collect_list aggregation,
+    which cost a second Exchange (hashpartitioning(doc_id, band)) plus
+    an ObjectHashAggregate sort-and-transform per bucket for what is a
+    per-row string concatenation (guide §2.4: same-keyed operations
+    should share one partitioning — here the second grouping is
+    eliminated outright).
+    """
+    wide = _minhash_wide(docs, k, lanes)
+    n_bands = -(-lanes // band_rows)
+    buckets = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"m{lane}")
+                for lane in range(
+                    b * band_rows, min((b + 1) * band_rows, lanes)
+                )
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "bucket")
 
 
 def minhash_lsh_pairs(
@@ -331,26 +419,26 @@ def minhash_lsh_star_pairs(
 def simhash16(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over single-space tokens.
 
-    Bit i = majority vote of the high bit of hex digit i of md5(token).
-    Pure relational: one explode + one 16-way conditional aggregation.
+    Bit i = majority vote of the high bit of hex digit i of md5(token)
+    (vote > 0 ⟺ 2·high_count > n_tokens).  ROW-LOCAL: the token md5
+    array is let-bound once per row and the 16 bit votes are cheap
+    ``filter``-count passes over it — no explode, no groupBy, no
+    shuffle (the old shape shuffled every token row into a 16-way
+    conditional aggregation; guide §2.4).
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.md5("tok"))
-    votes = [
-        F.sum(
-            F.when(
-                F.substring("h", i + 1, 1).isin(_HEX_HIGH), F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"v{i}")
+    highs = ", ".join(f"'{h}'" for h in _HEX_HIGH)
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, h -> substring(h, {i + 1}, 1) "
+        f"IN ({highs}))) > size(hs) THEN {1 << i} ELSE 0 END)"
         for i in range(16)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    fp = None
-    for i in range(16):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+    )
+    expr = (
+        "element_at(transform(array(transform(split(text, ' '), "
+        f"t -> md5(t))), hs -> CAST({terms} AS BIGINT)), 1)"
+    )
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(expr).alias("simhash")
+    )
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -479,24 +567,38 @@ def winnow_fingerprint_stats(
 ) -> DataFrame:
     """(doc_id, n_fps, min_fp): winnowing fingerprint selection as a
     sliding window-min over positional shingle hashes (W3 range-frame
-    machinery, /root/reference/src/candidates.h:144-165 analog)."""
-    arr = F.expr(
+    machinery, /root/reference/src/candidates.h:144-165 analog).
+
+    ROW-LOCAL: the positional md5 array is let-bound once per row and
+    the per-position window minima are ``array_min(slice(...))`` over
+    it — the old posexplode + Window(partitionBy doc_id) + groupBy
+    shape paid an Exchange, a per-doc sort and four SortAggregates for
+    what is a per-document array computation (guide §2.4).  ``min_fp``
+    (the min over all window minima) equals the GLOBAL hash min —
+    every window min is an element of ``hs`` and the window anchored at
+    the global min's position reports it — so it reads ``array_min(hs)``
+    directly instead of re-deriving the window mins.
+    """
+    hs = (
         f"transform(sequence(1, length(text) - {k - 1}), "
-        f"i -> substring(text, i, {k}))"
+        f"i -> md5(substring(text, i, {k})))"
     )
-    pos = (
+    mins = (
+        f"transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, {w})))"
+    )
+    st = (
+        f"element_at(transform(array({hs}), hs -> "
+        f"struct(size(array_distinct({mins})) AS n_fps, "
+        f"array_min(hs) AS min_fp)), 1)"
+    )
+    return (
         docs.where(F.length("text") >= k)
-        .select("doc_id", F.posexplode(arr).alias("i", "sh"))
-        .withColumn("h", F.md5("sh"))
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = pos.select("doc_id", F.min("h").over(win).alias("fp"))
-    return sel.groupBy("doc_id").agg(
-        F.countDistinct("fp").alias("n_fps"), F.min("fp").alias("min_fp")
+        .select("doc_id", F.expr(st).alias("_wst"))
+        .select(
+            "doc_id",
+            F.col("_wst.n_fps").cast("long").alias("n_fps"),
+            F.col("_wst.min_fp").alias("min_fp"),
+        )
     )
 
 
