@@ -126,16 +126,12 @@ def poly_window_hashes(data: np.ndarray, L: int) -> np.ndarray:
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
     m = data.shape[0]
+    binv_pows = _pow_table(_POLY_BINV, "binv", m)
+    bpows = _pow_table(_POLY_B, "b", m)
     with np.errstate(over="ignore"):
-        binv_pows = np.empty(m, dtype=np.uint64)
-        binv_pows[0] = np.uint64(1)
-        np.cumprod(np.full(m - 1, _POLY_BINV, dtype=np.uint64), out=binv_pows[1:])
         c = data.astype(np.uint64) * binv_pows
         s = np.cumsum(c, dtype=np.uint64)
         # window [i, i+L): (S[i+L-1] - S[i-1]) * B^(i+L-1)
-        bpows = np.empty(m, dtype=np.uint64)
-        bpows[0] = np.uint64(1)
-        np.cumprod(np.full(m - 1, _POLY_B, dtype=np.uint64), out=bpows[1:])
         upper = s[L - 1 :]
         lower = np.concatenate(([np.uint64(0)], s[: n - 1]))
         return (upper - lower) * bpows[L - 1 : L - 1 + n]
@@ -154,6 +150,27 @@ def fnv1a64_tokens(tokens: list[bytes]) -> np.ndarray:
 
 
 _WS = np.array([9, 10, 13, 32], dtype=np.uint8)  # \t \n \r space
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[_WS] = True
+
+# Power tables of B / B^-1 mod 2^64 are input-independent — cache and
+# grow them on demand instead of re-running two length-m cumprods per
+# call (they were ~half of token_poly_hashes at bench scale; the cache
+# is read-only after growth, so reuse across pandas-UDF batches is
+# race-free within a worker).
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pow_table(base: np.uint64, key: str, m: int) -> np.ndarray:
+    tab = _POW_CACHE.get(key)
+    if tab is None or tab.shape[0] < m:
+        size = max(m, 4096, 0 if tab is None else 2 * tab.shape[0])
+        new = np.empty(size, dtype=np.uint64)
+        new[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(size - 1, base, dtype=np.uint64), out=new[1:])
+        _POW_CACHE[key] = tab = new
+    return tab[:m]
 
 
 def token_poly_hashes(data: np.ndarray) -> np.ndarray:
@@ -168,20 +185,16 @@ def token_poly_hashes(data: np.ndarray) -> np.ndarray:
     m = data.shape[0]
     if m == 0:
         return np.empty(0, dtype=np.uint64)
-    is_ws = np.isin(data, _WS)
+    is_ws = _WS_LUT[data]
     # segment boundaries: starts where non-ws follows ws/edge
     nonws = ~is_ws
     starts = np.flatnonzero(nonws & np.concatenate(([True], is_ws[:-1])))
     ends_all = np.flatnonzero(nonws & np.concatenate((is_ws[1:], [True]))) + 1
     if starts.size == 0:
         return np.empty(0, dtype=np.uint64)
+    binv_pows = _pow_table(_POLY_BINV, "binv", m)
+    bpows = _pow_table(_POLY_B, "b", m)
     with np.errstate(over="ignore"):
-        binv_pows = np.empty(m, dtype=np.uint64)
-        binv_pows[0] = np.uint64(1)
-        np.cumprod(np.full(m - 1, _POLY_BINV, dtype=np.uint64), out=binv_pows[1:])
-        bpows = np.empty(m, dtype=np.uint64)
-        bpows[0] = np.uint64(1)
-        np.cumprod(np.full(m - 1, _POLY_B, dtype=np.uint64), out=bpows[1:])
         # bias bytes by +1 so leading zero bytes can't alias lengths
         c = (data.astype(np.uint64) + np.uint64(1)) * binv_pows
         s = np.concatenate(([np.uint64(0)], np.cumsum(c, dtype=np.uint64)))

@@ -53,16 +53,31 @@ def lane_seeds(s: int, seed: int) -> np.ndarray:
     )
 
 
+# Above this shingle count, the (s × n) lane matrix is built in chunks
+# so a multi-MB document costs bounded transient memory (s=16 lanes ×
+# 262144 shingles × 4 B = 16 MB per chunk).
+_KPERM_CHUNK = 1 << 18
+
+
 def kperm_signature(hashes: np.ndarray, s: int, seed: int) -> np.ndarray | None:
-    """s-lane MinHash signature of a shingle-hash set; None if empty."""
-    if hashes.shape[0] == 0:
+    """s-lane MinHash signature of a shingle-hash set; None if empty.
+
+    One (s × n) broadcasted xor + mix + row-min instead of a Python
+    loop over lanes: the per-lane loop cost ~6 small-array NumPy calls
+    × s per document (call overhead dominated at web-page lengths —
+    measured 2.6× slower than the matrix form on the bench corpus).
+    Documents longer than ``_KPERM_CHUNK`` shingles fold chunk-wise so
+    the matrix never exceeds ~16 MB.
+    """
+    n = hashes.shape[0]
+    if n == 0:
         return None
-    seeds = lane_seeds(s, seed)
-    sig = np.empty(s, dtype=np.uint32)
-    # Loop over s lanes (s=16), vectorized over all shingles per lane —
-    # avoids materializing the (n_shingles × s) matrix for long docs.
-    for i in range(s):
-        sig[i] = mueller_hash32(hashes ^ seeds[i]).min()
+    seeds = lane_seeds(s, seed)[:, None]
+    sig = np.full(s, np.uint32(0xFFFFFFFF), dtype=np.uint32)
+    for lo in range(0, n, _KPERM_CHUNK):
+        chunk = hashes[lo : lo + _KPERM_CHUNK]
+        m = mueller_hash32(chunk[None, :] ^ seeds).min(axis=1)
+        np.minimum(sig, m, out=sig)
     return sig
 
 
@@ -78,13 +93,17 @@ def simhash64(text: str) -> int:
     th = token_poly_hashes(data)
     if th.size == 0:
         return 0
-    bits = (th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    votes = bits.astype(np.int64).sum(axis=0) * 2 - th.size
-    fp = np.uint64(0)
-    one = np.uint64(1)
-    fp = np.bitwise_or.reduce(
-        np.where(votes > 0, one << np.arange(64, dtype=np.uint64), np.uint64(0))
+    # bit decomposition via unpackbits on the little-endian byte view:
+    # an (n × 64) uint8 matrix instead of the 8×-larger uint64 shift
+    # matrix (measured 3× faster on the bench corpus); bitorder="little"
+    # makes column j equal (th >> j) & 1 exactly
+    bits = np.unpackbits(
+        th[:, None].astype("<u8", copy=False).view(np.uint8),
+        axis=1,
+        bitorder="little",
     )
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - th.size
+    fp = np.packbits(votes > 0, bitorder="little").view("<u8")[0]
     return int(fp.astype(np.int64))
 
 

@@ -106,12 +106,21 @@ def emit_bands(
     """signature → one row per band: (id, band, bucket).
 
     ``bucket = xxhash64(band, slice(signature))`` — 64-bit, JVM-side.
-    Docs with null signatures (shorter than one shingle) emit nothing.
+    Docs with null signatures (shorter than one shingle) emit nothing:
+    the band array is declared null-on-null-signature INSIDE the
+    projection and a non-outer ``posexplode`` of null generates zero
+    rows.  Deliberately NOT a ``where(signature IS NOT NULL)`` — a
+    FILTER on a Python-UDF-computed column makes the optimizer evaluate
+    the UDF twice (once below the pushed filter, once again in the
+    projection; guide §4.4 — measured as the whole sketch stage
+    re-running: 0.6 s → 2.5 s at sf0.1), while a second attribute
+    reference within one projection is free.
     """
     r = cfg.rows_per_band
     band_arrays = F.expr(
+        f"CASE WHEN {sig_col} IS NULL THEN NULL ELSE "
         f"transform(sequence(0, {cfg.bands - 1}), "
-        f"b -> slice({sig_col}, b * {r} + 1, {r}))"
+        f"b -> slice({sig_col}, b * {r} + 1, {r})) END"
     )
     # md5 mode keys buckets by the concatenated lane strings (the SQL
     # oracle's string_agg) instead of xxhash64, which DuckDB lacks
@@ -120,11 +129,9 @@ def emit_bands(
         if cfg.sketch_mode == "md5"
         else F.xxhash64("band", "band_sig").alias("bucket")
     )
-    return (
-        sigs.where(F.col(sig_col).isNotNull())
-        .select(F.col(id_col), F.posexplode(band_arrays).alias("band", "band_sig"))
-        .select(id_col, "band", bucket)
-    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_arrays).alias("band", "band_sig")
+    ).select(id_col, "band", bucket)
 
 
 def prune_buckets(
@@ -413,9 +420,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """docs → candidate pairs, end to end (signature → bands → pairs)."""
+    """docs → candidate pairs, end to end (signature → bands → pairs).
+
+    The band table is pinned: the count-first pair machinery consumes
+    it twice (bucket sizes, then the join-back), Spark does not
+    stage-reuse through ArrowEvalPython lineages, and the md5 sketch
+    mode's signature expression is interpreted HOF work — unpinned,
+    the whole sketch stage executes once per consumer (the
+    dedup_pipeline persists its signature stage for the same reason).
+    The sizes aggregation materializes the cache before the join-back
+    stage can start, so no extra action is scheduled."""
+    from ..plans.pinning import pin
+
     sigs = attach_signature(docs.select(id_col, text_col), cfg, text_col)
-    bands = emit_bands(sigs, cfg, id_col)
+    bands = pin(emit_bands(sigs, cfg, id_col))
     return candidate_pairs(bands, cfg, id_col)
 
 

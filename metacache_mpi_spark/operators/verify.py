@@ -69,7 +69,17 @@ def _pair_jaccard(x: str | None, y: str | None, k: int) -> float:
     hb = np.unique(shingle_hashes64(y or "", k))
     if ha.size == 0 and hb.size == 0:
         return 0.0
-    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    if ha.size > hb.size:  # probe the smaller set into the larger
+        ha, hb = hb, ha
+    # membership count via searchsorted on the (unique, sorted) larger
+    # side — same count as intersect1d(assume_unique) without its
+    # concatenate+sort of both sets (the verify stage's hottest line)
+    if ha.size == 0:
+        inter = 0
+    else:
+        idx = np.searchsorted(hb, ha)
+        idx[idx == hb.size] = hb.size - 1 if hb.size else 0
+        inter = int((hb[idx] == ha).sum()) if hb.size else 0
     return inter / (ha.size + hb.size - inter)
 
 
