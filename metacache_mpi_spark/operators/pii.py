@@ -45,9 +45,10 @@ PHONE_TOKEN = "<PHONE>"
 
 
 def _n_matches(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast(
-        "long"
-    )
+    # regexp_count: same value as size(regexp_extract_all(...)) without
+    # materializing an array of matched substrings per row (the scrub
+    # stage runs three of these per document)
+    return F.regexp_count(col, F.lit(pattern)).cast("long")
 
 
 def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

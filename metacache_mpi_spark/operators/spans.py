@@ -81,7 +81,15 @@ def _span_strings_expr(window: int) -> str:
 def span_occurrences(docs: DataFrame, window: int = SPAN_W) -> DataFrame:
     """(doc_id, pos, h): md5 of the W-token window starting at 1-based
     token position ``pos``, one row per position of every document with
-    ≥ W tokens."""
+    ≥ W tokens.
+
+    ``h`` is the 16-byte BINARY digest (``unhex(md5)``), not the hex
+    string: one span row per token position is the single biggest row
+    stream in the repo (~n_tokens per doc, corpus-wide), and the binary
+    key shuffles at a third of the 32-char UTF8 key's bytes through the
+    frequency aggregation and the prune join.  Contract surfaces that
+    expose hashes re-derive the lowercase hex form
+    (:func:`repeated_span_occurrences`)."""
     spans = _span_strings_expr(window)
     return (
         docs.where(F.expr(f"size(split(text, ' ')) >= {window}"))
@@ -89,7 +97,7 @@ def span_occurrences(docs: DataFrame, window: int = SPAN_W) -> DataFrame:
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("long").alias("pos"),
-            F.md5("span").alias("h"),
+            F.unhex(F.md5("span")).alias("h"),
         )
     )
 
@@ -112,22 +120,39 @@ def repeated_span_occurrences(
     docs: DataFrame, window: int = SPAN_W, min_count: int = MIN_SPAN_COUNT
 ) -> DataFrame:
     """All occurrences of corpus-repeated W-token spans:
-    (doc_id, pos, span_hash, n_occurrences)."""
-    occ = span_occurrences(docs, window)
+    (doc_id, pos, span_hash, n_occurrences).  ``span_hash`` is the
+    lowercase md5 hex string (derived from the internal binary digest —
+    byte-identical to ``md5(span)``)."""
+    occ = _pinned_occurrences(docs, window)
     rep = _span_freq(occ, min_count)
     # repeated-span set scales with the corpus — shuffle join, never a
-    # broadcast build (same rule as textops.discriminative_shingles);
-    # occ is NOT pinned: each consumer re-scans the narrow doc pass and
-    # Catalyst prunes to exactly the columns that side needs.
+    # broadcast build (same rule as textops.discriminative_shingles)
     return (
         occ.join(rep.hint("shuffle_hash"), "h")
         .select(
             "doc_id",
             "pos",
-            F.col("h").alias("span_hash"),
+            F.lower(F.hex("h")).alias("span_hash"),
             "n_occurrences",
         )
     )
+
+
+def _pinned_occurrences(docs: DataFrame, window: int) -> DataFrame:
+    """Span occurrences pinned for the two consumers every span lane
+    has (the corpus-global frequency aggregation AND the prune
+    join-back).  Unpinned, the span-string construction + md5 over one
+    row per token position — the most expensive projection in the repo
+    — executes once per consumer; pinned it runs once (A/B at 50k
+    docs × 16 cores: 18-19 s → 13.4 s for strip_intervals, and first
+    runs 50 s → 13 s).  The cache holds (doc_id, pos, 16-byte digest)
+    — no span strings — and spills to disk past the memory fraction;
+    at cluster scale this is the materialize-once-decide-small shape of
+    guide §8 (the heavy span strings never leave the task that hashed
+    them)."""
+    from ..plans.pinning import pin
+
+    return pin(span_occurrences(docs, window))
 
 
 def strip_intervals(
@@ -136,7 +161,7 @@ def strip_intervals(
     """Merged per-document token intervals to remove: every occurrence
     of a repeated span EXCEPT the keeper, merged when overlapping or
     adjacent.  (doc_id, s, e) — 1-based inclusive token positions."""
-    occ = span_occurrences(docs, window)
+    occ = _pinned_occurrences(docs, window)
     rep = _span_freq(occ, min_count)
     iv = (
         occ.join(rep.hint("shuffle_hash"), "h")
@@ -211,7 +236,10 @@ def exact_substring_dedup(
     # (split runs once per row), the per-token test scans only the few
     # merged intervals of this doc.  `ivs` and `n_tokens_removed` are
     # join-output attributes (not inlinable aliases), so nothing here
-    # re-evaluates per element.
+    # re-evaluates per element.  n_tokens_kept is pure arithmetic:
+    # merged intervals are disjoint and in-bounds, so the kept count is
+    # exactly size(tokens) − n_tokens_removed — no second evaluation of
+    # the filter/exists scan per row.
     kept = (
         "filter(split(text, ' '), (x, i) -> NOT exists(ivs, "
         "v -> i + 1 >= v.s AND i + 1 <= v.e))"
@@ -219,6 +247,8 @@ def exact_substring_dedup(
     return joined.select(
         "doc_id",
         F.expr(f"concat_ws(' ', {kept})").alias("clean_text"),
-        F.expr(f"size({kept})").cast("long").alias("n_tokens_kept"),
+        (F.expr("size(split(text, ' '))") - F.col("n_tokens_removed"))
+        .cast("long")
+        .alias("n_tokens_kept"),
         "n_tokens_removed",
     )

@@ -183,6 +183,15 @@ def main() -> None:
         "id, first-crawled (warc_ts), or longest text "
         "(operators/cc.py::cluster_representatives)",
     )
+    ap.add_argument(
+        "--no-stage-counts",
+        action="store_true",
+        help="skip the per-stage funnel counts: every count is a "
+        "materialization barrier (one extra corpus action per stage); "
+        "production runs that only need the final survivor count get "
+        "the stages fused lazily instead (stage caches are still "
+        "pinned and populate on first downstream use)",
+    )
     args = ap.parse_args()
 
     from metacache_mpi_spark.session import get_spark
@@ -199,7 +208,9 @@ def main() -> None:
         json.dumps(
             {
                 **counts,
-                "docs_per_sec": round(counts["raw"] / dt, 1),
+                "docs_per_sec": round(
+                    counts.get("raw", counts["clean"]) / dt, 1
+                ),
                 "sec": round(dt, 2),
             }
         )
@@ -230,6 +241,14 @@ def run(spark, args) -> dict:
 
     stage_sec: dict[str, float] = {}
     _last = [_time.time()]
+    # --no-stage-counts: funnel counts are materialization barriers
+    # (one corpus-wide action each); with the flag only the final
+    # "clean" count runs and the stages fuse lazily into their first
+    # downstream consumer (measured at 200k docs × 16 cores: the
+    # count-barrier overhead is the delta recorded in
+    # OPTIMIZATION_r07.md).  Stage caches still persist() — they
+    # populate on first use instead of at the barrier.
+    lazy = bool(getattr(args, "no_stage_counts", False))
 
     def _count(key: str, n: int) -> int:
         counts[key] = n
@@ -239,7 +258,8 @@ def run(spark, args) -> dict:
         return n
 
     pages = load_pages(spark, args.input)
-    _count("raw", pages.count())
+    if not lazy:
+        _count("raw", pages.count())
 
     # 1. crawl-snapshot dedup on canonical URL identity
     pages = url_dedup_latest(pages).withColumn(
@@ -248,7 +268,8 @@ def run(spark, args) -> dict:
     docs = pages.select("doc_id", "url", "text").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    _count("after_url_dedup", docs.count())
+    if not lazy:
+        _count("after_url_dedup", docs.count())
 
     # 1b. optional intra-document line dedup (keep-first within a page)
     #     BEFORE the cross-document df count, so a page repeating its
@@ -260,9 +281,10 @@ def run(spark, args) -> dict:
         )
 
         stripped = strip_repeated_lines(docs)
-        _count("intra_doc_lines_dropped", int(
-            stripped.agg(F.sum("n_dropped")).first()[0] or 0
-        ))
+        if not lazy:
+            _count("intra_doc_lines_dropped", int(
+                stripped.agg(F.sum("n_dropped")).first()[0] or 0
+            ))
         # passthrough columns: NO join-back, the stage stays shuffle-free
         docs = stripped.select(
             "doc_id", "url", F.col("clean_text").alias("text")
@@ -278,7 +300,8 @@ def run(spark, args) -> dict:
         .join(docs.select("doc_id", "url"), "doc_id")
         .persist()
     )
-    _count("after_boilerplate", clean.count())
+    if not lazy:
+        _count("after_boilerplate", clean.count())
 
     # 3. quality gates — ONE fused row-local filter (quality_gate is
     #    the predicate composition of token_stats / quality_scores /
@@ -308,13 +331,16 @@ def run(spark, args) -> dict:
             .select("doc_id")
         )
         gated = gated.join(wf.hint("shuffle_hash"), "doc_id")
-    _count("after_quality", gated.count())
+    if not lazy:
+        _count("after_quality", gated.count())
 
     # 3b. decontamination — drop anything too close to the eval set,
     #     in EITHER modality (verbatim shingle containment / embedding
     #     cosine).  Contaminated ids are tiny relative to the corpus
     #     but derived FROM it, so they leave via anti-join, arriving as
     #     whatever side AQE sizes them to.
+    extra_pins: list = []  # stage caches whose projections ride forward
+
     def _advance(prev, nxt, stage_key):
         """Pin a decontam stage's output, materialize it via its funnel
         count, release the superseded caches — each expensive anti-join
@@ -326,9 +352,13 @@ def run(spark, args) -> dict:
         overflows a default 1g spark-submit driver heap (unpersist on a
         never-pinned frame is a no-op)."""
         nxt = nxt.persist()
-        _count(stage_key, nxt.count())
+        if not lazy:
+            _count(stage_key, nxt.count())
         prev.unpersist()
         clean.unpersist()  # superseded once any stage's output is pinned
+        for p in extra_pins:  # e.g. the PII scrub cache its projection rode on
+            p.unpersist()
+        extra_pins.clear()
         return nxt
 
     def _emb(path):
@@ -340,24 +370,32 @@ def run(spark, args) -> dict:
     # 3aa. optional PII scrub — placeholders land BEFORE span-strip /
     #      decontamination / dedup, so two pages differing only in the
     #      injected email/IP unify for every downstream matcher.
-    #      Row-preserving; the redaction total is aggregated on the
-    #      narrow pre-join lineage (row-local regex over the cached
-    #      quality survivors — re-running it once is cheaper than
-    #      carrying n_redactions through the funnel schema).
+    #      Row-preserving.  The scrub output (incl. n_redactions) is
+    #      pinned and materialized ONCE: the old shape aggregated the
+    #      redaction total on the un-pinned lineage and then pinned the
+    #      projection, running the regex cascade over the whole corpus
+    #      twice — measured 45.8 s + 39.8 s for the two passes at
+    #      200k docs × 16 cores; one pass + two cached scans halves the
+    #      stage.  The funnel's forward frame is a projection of the
+    #      cache; the cache itself is released by the next _advance.
     if getattr(args, "scrub_pii", False):
         from metacache_mpi_spark.operators.pii import scrub_pii
 
-        scrubbed = scrub_pii(gated)
-        _count("pii_redactions", int(
-            scrubbed.agg(F.sum("n_redactions")).first()[0] or 0
-        ))
-        gated = _advance(
-            gated,
-            scrubbed.select(
-                "doc_id", "url", F.col("clean_text").alias("text")
-            ),
-            "after_pii_scrub",
+        scrubbed = scrub_pii(gated).persist()
+        if not lazy:
+            n_after = scrubbed.count()  # ONE regex pass; populates cache
+            _count("pii_redactions", int(
+                scrubbed.agg(F.sum("n_redactions")).first()[0] or 0
+            ))
+        prev = gated
+        gated = scrubbed.select(
+            "doc_id", "url", F.col("clean_text").alias("text")
         )
+        if not lazy:
+            _count("after_pii_scrub", n_after)
+        prev.unpersist()
+        clean.unpersist()
+        extra_pins.append(scrubbed)
 
     # 3a. optional passage-level dedup (ExactSubstr, Lee et al. 2022):
     #     strip every non-keeper corpus-repeated W-token span, then
@@ -418,7 +456,8 @@ def run(spark, args) -> dict:
         probe = corpus_emb.first()
         if probe is None:
             # empty survivors/embeddings: nothing can be contaminated
-            _count("after_decontam_semantic", gated.count())
+            if not lazy:
+                _count("after_decontam_semantic", gated.count())
         else:
             pairs = sign_banded_cross_pairs(
                 corpus_emb,
@@ -509,7 +548,8 @@ def run(spark, args) -> dict:
             args.max_per_host,
             [F.length("text").desc(), F.col("doc_id").asc()],
         ).drop("__host")
-        _count("after_host_cap", survivors.count())
+        if not lazy:
+            _count("after_host_cap", survivors.count())
 
     survivors.write.mode("overwrite").parquet(args.output)
     _count("clean", spark.read.parquet(args.output).count())
@@ -518,6 +558,8 @@ def run(spark, args) -> dict:
     clean.unpersist()
     gated.unpersist()
     res.unpersist()
+    for p in extra_pins:
+        p.unpersist()
     counts["stage_sec"] = stage_sec
     return counts
 
