@@ -337,8 +337,12 @@ def align_top_candidates(
 
     paired = "seq2" in queries.columns
     length = (cfg.num_windows - 1) * cfg.winstride + cfg.winlen
+    # case-preserving complement: sources/bio.py uppercases everything
+    # today, but a direct caller with soft-masked (lowercase) bases must
+    # not score ~0 on the reverse strand because the complement silently
+    # uppercased while the window kept its case (ADVICE r6)
     rc = lambda c: F.translate(  # noqa: E731
-        F.reverse(F.col(c)), "ACGTacgt", "TGCATGCA"
+        F.reverse(F.col(c)), "ACGTacgt", "TGCAtgca"
     )
     j = (
         cands.where(F.col("rank") == 1)

@@ -220,7 +220,13 @@ def main() -> None:
 
 def run(spark, args) -> dict:
     """The cleanup funnel body (separated from main() so tests drive
-    it on a shared session; main owns argparse/session/JSON-line)."""
+    it on a shared session; main owns argparse/session/JSON-line).
+
+    Returns a MIXED-shape mapping (ADVICE r6): integer per-stage funnel
+    counts, plus two nested audit objects — ``stage_sec`` (stage → wall
+    seconds) and, in bucketed-warehouse mode, ``warehouse`` (table /
+    reused / fingerprint).  Consumers iterating counts as integers must
+    skip the dict-valued keys."""
     from pyspark.sql import functions as F
 
     from metacache_mpi_spark.operators.textops import (
