@@ -808,56 +808,63 @@ def remove_boilerplate_lines(
     (sketch_database.h:375-395) applied at line granularity: a
     corpus-wide document-frequency count gates a per-document rebuild.
 
-    Scale: the line-df aggregation shuffles on the line hash (bounded
-    by distinct boilerplate lines, NOT corpus bytes — the join carries
-    md5 keys only); the drop-set join is hinted ``shuffle_hash`` since
-    it scales with the corpus and must never be a broadcast build; the
-    rebuild is one keyed aggregation per doc.
+    Scale: the line-df aggregation shuffles on the 16-byte binary line
+    digest (bounded by distinct boilerplate lines, NOT corpus bytes);
+    the per-doc boiler-hash sets are tiny (only each doc's boilerplate
+    line digests) and attach back to ``docs`` with one shuffle-hash
+    join; the REBUILD is then a row-local array filter over
+    ``split(text)`` — the old shape shuffled every line's text through
+    the drop-set join and re-assembled documents with a
+    collect_list + array_sort aggregation (a second full-text shuffle
+    plus per-doc sorts) for what is a per-row projection once the
+    boiler set is attached.
     """
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
-    ).withColumn("lh", F.md5("line"))
+    lh = F.unhex(F.md5("line")).alias("lh")
+    doc_lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    )
     # distinct per doc first (a line repeated WITHIN one doc is
     # repetition, not boilerplate), then corpus-wide df
-    drop = (
-        lines.where(F.length("line") >= min_line_chars)
-        .select("doc_id", "lh")
+    per_doc = (
+        doc_lines.where(F.length("line") >= min_line_chars)
+        .select("doc_id", lh)
         .distinct()
-        .groupBy("lh")
+    )
+    drop = (
+        per_doc.groupBy("lh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
         .select("lh")
     )
-    tagged = lines.join(
-        drop.hint("shuffle_hash").withColumn("is_boiler", F.lit(True)),
-        "lh",
-        "left",
+    # per-doc boilerplate digest set: only boiler lines survive the
+    # join, so the collected arrays hold a handful of 16-byte digests
+    boiler_sets = (
+        per_doc.join(drop.hint("shuffle_hash"), "lh")
+        .groupBy("doc_id")
+        .agg(F.collect_set("lh").alias("_bl"))
     )
-    return (
-        tagged.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("is_boiler").isNull(),
-                                F.struct("pos", "line"),
-                            )
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("clean_text"),
-            F.sum(
-                F.when(F.col("is_boiler").isNull(), 1).otherwise(0)
-            ).cast("long").alias("n_lines_kept"),
-            F.sum(
-                F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
-            ).cast("long").alias("n_lines_dropped"),
-        )
+    # null-text docs emit NO row — the explode-based formulation
+    # dropped them implicitly (posexplode of a null array), and the
+    # row-local rebuild must pin the same row-drop semantics
+    joined = docs.select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    ).join(boiler_sets.hint("shuffle_hash"), "doc_id", "left")
+    # row-local rebuild: keep lines whose digest is not in the doc's
+    # boiler set (digest equality ⟺ line equality, and a dropped
+    # digest always came from a ≥ min_line_chars line, so short lines
+    # can never match one).  `_bl` is a join-output attribute — the
+    # per-element md5 is the only work inside the lambda.
+    kept = (
+        "filter(split(text, '\\n'), "
+        "x -> _bl IS NULL OR NOT array_contains(_bl, unhex(md5(x))))"
+    )
+    return joined.select(
+        "doc_id",
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(f"size({kept})").cast("long").alias("n_lines_kept"),
+        (
+            F.expr("size(split(text, '\\n'))") - F.expr(f"size({kept})")
+        ).cast("long").alias("n_lines_dropped"),
     )
 
 
