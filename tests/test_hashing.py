@@ -122,3 +122,76 @@ def test_winnowing_short_doc_single_fingerprint():
     h = np.array([9, 4, 6], dtype=np.uint32)
     assert winnow_fingerprints(h, 50).tolist() == [4]
     assert winnow_fingerprints(np.empty(0, dtype=np.uint32), 50).size == 0
+
+
+# ---- round-7 kernel vectorizations: bit-exactness vs the reference
+# formulations (the chunked lane matrix and the unpackbits vote both
+# replaced loop-form kernels; these pin the equivalence, including the
+# chunk boundary) ----------------------------------------------------
+
+
+def test_kperm_matrix_equals_lane_loop():
+    from metacache_mpi_spark.functions.sketch import (
+        kperm_signature,
+        lane_seeds,
+    )
+    from metacache_mpi_spark.functions.hashing import mueller_hash32
+
+    rng = np.random.RandomState(11)
+    s, seed = 16, 0x9E3779B9
+    seeds = lane_seeds(s, seed)
+    for n in (1, 7, 400):
+        h = rng.randint(0, 2**32, size=n).astype(np.uint32)
+        loop = np.array(
+            [mueller_hash32(h ^ seeds[i]).min() for i in range(s)],
+            dtype=np.uint32,
+        )
+        assert np.array_equal(loop, kperm_signature(h, s, seed))
+
+
+def test_kperm_chunk_boundary_exact():
+    from metacache_mpi_spark.functions import sketch as sk
+
+    rng = np.random.RandomState(12)
+    # straddle the chunk boundary so the chunk-min fold is exercised
+    n = sk._KPERM_CHUNK + 123
+    h = rng.randint(0, 2**32, size=n).astype(np.uint32)
+    whole = sk.kperm_signature(h, 16, 0x9E3779B9)
+    # reference: shrink the chunk so MANY folds happen on the same data
+    old_chunk = sk._KPERM_CHUNK
+    try:
+        sk._KPERM_CHUNK = 1000
+        chunked = sk.kperm_signature(h, 16, 0x9E3779B9)
+    finally:
+        sk._KPERM_CHUNK = old_chunk
+    assert np.array_equal(whole, chunked)
+
+
+def test_simhash64_unpackbits_equals_shift_matrix():
+    from metacache_mpi_spark.functions.hashing import token_poly_hashes
+
+    rng = np.random.RandomState(13)
+    for _ in range(50):
+        n = int(rng.randint(0, 300))
+        t = "".join(
+            "abcdefg h"[c] for c in rng.randint(0, 9, size=n)
+        )
+        data = np.frombuffer(t.encode(), dtype=np.uint8)
+        th = token_poly_hashes(data)
+        if th.size == 0:
+            expected = 0
+        else:
+            bits = (
+                th[:, None] >> np.arange(64, dtype=np.uint64)
+            ) & np.uint64(1)
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - th.size
+            one = np.uint64(1)
+            fp = np.bitwise_or.reduce(
+                np.where(
+                    votes > 0,
+                    one << np.arange(64, dtype=np.uint64),
+                    np.uint64(0),
+                )
+            )
+            expected = int(fp.astype(np.int64))
+        assert expected == simhash64(t)

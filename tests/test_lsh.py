@@ -242,3 +242,26 @@ def test_star_two_lane_counts_each_shared_bucket_once(spark):
     got = {(r["a"], r["b"]): r["fp_hits"]
            for r in two_lane_candidate_pairs(df, cfg).collect()}
     assert got == {(1, 2): 2, (1, 3): 2}
+
+
+def test_emit_bands_single_udf_evaluation(spark):
+    """Regression (r7, guide §4.4): a FILTER on the pandas-UDF signature
+    column made the optimizer evaluate the sketch UDF twice (one
+    ArrowEvalPython below the pushed filter, one in the projection).
+    emit_bands must plan exactly ONE ArrowEvalPython over a UDF-backed
+    signature lineage."""
+    from metacache_mpi_spark.operators.lsh import attach_signature
+
+    cfg = DedupConfig()
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over everything " * 4),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    bands = emit_bands(attach_signature(docs, cfg), cfg)
+    plan = bands._sc._jvm.PythonSQLUtils.explainString(
+        bands._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # and the null-text doc still emits no band rows
+    assert {r["doc_id"] for r in bands.collect()} == {1}
