@@ -51,17 +51,39 @@ def _n_matches(col: Column, pattern: str) -> Column:
     return F.regexp_count(col, F.lit(pattern)).cast("long")
 
 
+def _gated_count(col: Column, gate: Column, pattern: str) -> Column:
+    # Run the regex count only when the cheap pre-gate says a match is
+    # possible; a non-null text that fails the gate has 0 matches by
+    # construction, and a null text stays null (no ``otherwise`` —
+    # CaseWhen's default is null), preserving ANSI null semantics.
+    return (
+        F.when(gate, _n_matches(col, pattern))
+        .when(col.isNotNull(), F.lit(0).cast("long"))
+    )
+
+
 def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_emails, n_ipv4, n_phones): independent per-pattern
     match counts on the raw text (an IPv4 inside the text counts under
     BOTH n_ipv4 and n_phones here — the patterns overlap by design;
-    :func:`scrub_pii`'s ``n_redactions`` is the disjoint count)."""
+    :func:`scrub_pii`'s ``n_redactions`` is the disjoint count).
+
+    Pre-gates: ``EMAIL_RE`` cannot match a text without a literal
+    ``'@'`` and ``IPV4_RE`` / ``PHONE_RE`` cannot match one without a
+    decimal digit, so each count is gated on a cheap scan
+    (``contains`` / one-char-class ``rlike``) before paying the full
+    regex — on corpora where most documents carry no PII the expensive
+    scans are skipped entirely, and where PII is dense the gates cost
+    two trivial passes next to six regex passes.
+    """
     t = F.col(text_col)
+    has_at = t.contains("@")
+    has_digit = t.rlike("[0-9]")
     return docs.select(
         "doc_id",
-        _n_matches(t, EMAIL_RE).alias("n_emails"),
-        _n_matches(t, IPV4_RE).alias("n_ipv4"),
-        _n_matches(t, PHONE_RE).alias("n_phones"),
+        _gated_count(t, has_at, EMAIL_RE).alias("n_emails"),
+        _gated_count(t, has_digit, IPV4_RE).alias("n_ipv4"),
+        _gated_count(t, has_digit, PHONE_RE).alias("n_phones"),
     )
 
 
@@ -77,13 +99,31 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     raw text, IPs on the email-scrubbed text, phones on the IP-scrubbed
     text — each span is counted exactly once even though the pattern
     languages overlap.
+
+    Each pass is pre-gated on a cheap necessary-condition scan (see
+    :func:`pii_stats`): no ``'@'`` → the email replace is the identity
+    and its count 0; no digit in the email-scrubbed text → both the
+    IPv4 and phone passes are identities (the IPv4 replace only ever
+    REMOVES digits, so one digit test on ``t1`` soundly gates the
+    phone pass on ``t2`` as well).  The gate never skips a possible
+    match — results are byte-identical to the ungated cascade.
     """
     t0 = F.col(text_col)
-    t1 = F.regexp_replace(t0, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN))
-    t2 = F.regexp_replace(t1, F.lit(IPV4_RE), F.lit(IPV4_TOKEN))
-    t3 = F.regexp_replace(t2, F.lit(PHONE_RE), F.lit(PHONE_TOKEN))
-    n = _n_matches(t0, EMAIL_RE) + _n_matches(t1, IPV4_RE) + _n_matches(
-        t2, PHONE_RE
+    has_at = t0.contains("@")
+    t1 = F.when(
+        has_at, F.regexp_replace(t0, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN))
+    ).otherwise(t0)
+    has_digit = t1.rlike("[0-9]")
+    t2 = F.when(
+        has_digit, F.regexp_replace(t1, F.lit(IPV4_RE), F.lit(IPV4_TOKEN))
+    ).otherwise(t1)
+    t3 = F.when(
+        has_digit, F.regexp_replace(t2, F.lit(PHONE_RE), F.lit(PHONE_TOKEN))
+    ).otherwise(t2)
+    n = (
+        _gated_count(t0, has_at, EMAIL_RE)
+        + _gated_count(t1, has_digit, IPV4_RE)
+        + _gated_count(t2, has_digit, PHONE_RE)
     )
     return docs.select(
         *[F.col(c) for c in docs.columns],

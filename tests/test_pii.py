@@ -71,6 +71,46 @@ def test_pii_ops_have_no_shuffle(spark):
         assert "Exchange" not in plan
 
 
+def test_pii_pre_gates_are_sound(spark):
+    """The cheap pre-gates (contains('@') / rlike('[0-9]')) must never
+    change results vs the ungated cascade — exercise each gate's
+    true/false combination, including the corner where the email scrub
+    removes the text's ONLY digits (the digit gate is computed on the
+    email-scrubbed text, so the IPv4/phone passes are skipped exactly
+    when they could not match)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "at-sign no digits @ here"),       # '@' but no email
+            (2, "digits 12345678 no at sign"),     # phone, no '@'
+            (3, "only a1@b.co here"),              # email holds all digits
+            (4, "a@b.co then 10.0.0.1 then 555-0100 x"),  # all three
+            (5, "plain words only"),               # both gates false
+            (6, ""),                               # empty
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "at-sign no digits @ here"
+    assert out[1]["n_redactions"] == 0
+    assert out[2]["clean_text"] == "digits <PHONE> no at sign"
+    assert out[2]["n_redactions"] == 1
+    # doc 3: t1 = "only <EMAIL> here" has no digits left -> the gated
+    # IPv4/phone passes are identities, same as the ungated cascade
+    assert out[3]["clean_text"] == "only <EMAIL> here"
+    assert out[3]["n_redactions"] == 1
+    assert out[4]["clean_text"] == "<EMAIL> then <IP> then <PHONE> x"
+    assert out[4]["n_redactions"] == 3
+    assert out[5]["clean_text"] == "plain words only"
+    assert out[5]["n_redactions"] == 0
+    assert (out[6]["clean_text"], out[6]["n_redactions"]) == ("", 0)
+    s = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (s[1]["n_emails"], s[1]["n_ipv4"], s[1]["n_phones"]) == (0, 0, 0)
+    assert (s[2]["n_emails"], s[2]["n_phones"]) == (0, 1)
+    assert (s[3]["n_emails"], s[3]["n_ipv4"]) == (1, 0)
+    assert (s[4]["n_emails"], s[4]["n_ipv4"], s[4]["n_phones"]) == (1, 1, 2)
+    assert (s[5]["n_emails"], s[5]["n_ipv4"], s[5]["n_phones"]) == (0, 0, 0)
+
+
 def test_strip_repeated_lines_keep_first_order(spark):
     docs = _docs(
         spark,
