@@ -387,7 +387,13 @@ def run(spark, args) -> dict:
     if getattr(args, "scrub_pii", False):
         from metacache_mpi_spark.operators.pii import scrub_pii
 
-        scrubbed = scrub_pii(gated).persist()
+        # cache only what downstream consumes (count, redaction total,
+        # forward frame): projecting the raw text column OUT before the
+        # persist halves the cache bytes — clean_text duplicates text
+        # for every unredacted page, which is most of the corpus
+        scrubbed = scrub_pii(gated).select(
+            "doc_id", "url", "clean_text", "n_redactions"
+        ).persist()
         if not lazy:
             n_after = scrubbed.count()  # ONE regex pass; populates cache
             _count("pii_redactions", int(
